@@ -1,0 +1,43 @@
+"""oceananigans_tpu — a TPU-native (JAX/XLA/Pallas) ocean dynamical core.
+
+A from-scratch reimplementation of the capabilities of Oceananigans.jl
+(reference: /root/reference, v0.96.19) designed for TPU hardware:
+
+- a functional core: immutable ``Grid`` pytrees + ``State`` pytrees stepped by
+  pure, jit-compiled functions (no mutable Field objects, no kernel launches);
+- staggered Arakawa C-grid finite volume operators expressed as whole-array
+  shifted ops that XLA fuses into a handful of HBM-bandwidth-bound kernels;
+- FFT / Fourier-tridiagonal pressure Poisson solvers on top of XLA's TPU FFT;
+- multi-chip scaling via ``jax.sharding.Mesh`` + ``shard_map`` halo exchange
+  (ICI neighbor collectives) rather than MPI.
+
+Layer order mirrors the reference's dependency order
+(``/root/reference/src/Oceananigans.jl:209-251``) but the implementation is
+idiomatic JAX throughout.
+"""
+
+from oceananigans_tpu.config import config, set_float_type, float_type
+from oceananigans_tpu.grids import (
+    Periodic, Bounded, Flat,
+    Center, Face,
+    RectilinearGrid,
+    LatitudeLongitudeGrid,
+)
+from oceananigans_tpu.boundary_conditions import (
+    BoundaryCondition,
+    PeriodicBC, FluxBC, ValueBC, GradientBC, OpenBC,
+    FieldBoundaryConditions,
+    fill_halo_regions,
+)
+from oceananigans_tpu.fields import (
+    new_field, set_field, interior, with_interior,
+    field_mean, field_max, field_min, field_abs_max, field_integral,
+    interpolate,
+    LOC_U, LOC_V, LOC_W, LOC_C,
+)
+from oceananigans_tpu.utils.units import (
+    second, seconds, minute, minutes, hour, hours, day, days, year, years,
+    meter, meters, kilometer, kilometers, KiB, MiB, GiB, TiB,
+)
+
+__version__ = "0.1.0"

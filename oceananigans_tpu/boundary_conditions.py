@@ -1,0 +1,312 @@
+"""Boundary conditions: classifications, functional halo filling, flux application.
+
+Reference layer: ``src/BoundaryConditions/`` (SURVEY.md §2.4) —
+classifications at ``boundary_condition_classifications.jl:15-64``, halo
+filling at ``fill_halo_regions.jl:50-80``, flux-into-tendency at
+``apply_flux_bcs.jl``.
+
+TPU-native re-design: ``fill_halo_regions`` is a pure function
+``array -> array`` that overwrites the halo rings according to the BC rules;
+there are no per-side kernel launches — the whole fill is a few fused
+dynamic-update-slices inside the jitted step. Axes are filled in x → y → z
+order so edge/corner halos are consistent (each later axis re-fills the full
+slab, reproducing the reference's fused corner handling).
+
+Location-awareness: the rule applied on an axis depends on the field's
+staggering *along that axis*. Wall-normal (Face-located) data on a Bounded
+axis gets the wall value imposed on the wall face itself (which lives in the
+first halo slot, see grids/__init__.py) plus an antisymmetric mirror;
+Center-located data gets value/gradient/no-flux ghost mirrors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from oceananigans_tpu.grids.base import (
+    AXIS_NAMES, Bounded, Center, Connected, Face, Flat, Periodic,
+)
+
+# ---------------------------------------------------------------------------
+# Classifications
+# ---------------------------------------------------------------------------
+PERIODIC = "periodic"
+FLUX = "flux"
+VALUE = "value"          # Dirichlet
+GRADIENT = "gradient"    # Neumann
+OPEN = "open"            # wall-normal / open boundary
+COMMUNICATION = "communication"  # filled by distributed halo exchange
+ZIPPER = "zipper"        # tripolar north fold
+
+
+@dataclasses.dataclass
+class BoundaryCondition:
+    """A classification plus a condition.
+
+    ``condition`` may be ``None``, a scalar, a broadcastable array over the
+    boundary plane, or a callable. Callables are *continuous boundary
+    functions* ``f(coord1, coord2, t)`` of the two transverse coordinates
+    (broadcast-ready arrays) and time — the functional analog of the
+    reference's ``ContinuousBoundaryFunction``
+    (``src/BoundaryConditions/continuous_boundary_function.jl``).
+    """
+    classification: str
+    condition: Any = None
+
+    def __repr__(self):
+        return f"BoundaryCondition({self.classification}, {self.condition})"
+
+
+jax.tree_util.register_pytree_node(
+    BoundaryCondition,
+    lambda bc: (((bc.condition,) if not callable(bc.condition) else ()),
+                (bc.classification,
+                 bc.condition if callable(bc.condition) else None)),
+    lambda meta, leaves: BoundaryCondition(
+        meta[0], meta[1] if meta[1] is not None
+        else (leaves[0] if leaves else None)),
+)
+
+
+def PeriodicBC():
+    return BoundaryCondition(PERIODIC)
+
+
+def FluxBC(q=None):
+    return BoundaryCondition(FLUX, q)
+
+
+def ValueBC(v):
+    return BoundaryCondition(VALUE, v)
+
+
+def GradientBC(g):
+    return BoundaryCondition(GRADIENT, g)
+
+
+def OpenBC(v=None):
+    return BoundaryCondition(OPEN, v)
+
+
+def CommunicationBC():
+    return BoundaryCondition(COMMUNICATION)
+
+
+@dataclasses.dataclass
+class FieldBoundaryConditions:
+    """west/east/south/north/bottom/top bundle
+    (reference ``field_boundary_conditions.jl``)."""
+    west: Optional[BoundaryCondition] = None
+    east: Optional[BoundaryCondition] = None
+    south: Optional[BoundaryCondition] = None
+    north: Optional[BoundaryCondition] = None
+    bottom: Optional[BoundaryCondition] = None
+    top: Optional[BoundaryCondition] = None
+    immersed: Optional[BoundaryCondition] = None
+
+    def sides(self, axis: int):
+        return ((self.west, self.east), (self.south, self.north),
+                (self.bottom, self.top))[axis]
+
+
+jax.tree_util.register_dataclass(
+    FieldBoundaryConditions,
+    data_fields=["west", "east", "south", "north", "bottom", "top",
+                 "immersed"],
+    meta_fields=[])
+
+
+def default_bc(topo: str, loc: str, side: str) -> Optional[BoundaryCondition]:
+    """Default regularization (reference
+    ``field_boundary_conditions.jl`` `default_auxiliary/prognostic_bc`):
+    Periodic axes -> periodic; Bounded + Center -> no-flux; Bounded + Face
+    (wall-normal) -> impenetrable (open with zero wall value); Connected ->
+    communication; Flat -> nothing.
+    """
+    if topo == Flat:
+        return None
+    if topo == Periodic:
+        return PeriodicBC()
+    if topo == Connected:
+        return CommunicationBC()
+    if loc == Face:
+        return OpenBC(None)   # None -> impenetrable zero wall value
+    return FluxBC(None)
+
+
+def regularize_field_boundary_conditions(bcs, grid, loc):
+    """Fill unspecified sides of ``bcs`` with topology/location defaults."""
+    if bcs is None:
+        bcs = FieldBoundaryConditions()
+    names = (("west", "east"), ("south", "north"), ("bottom", "top"))
+    out = {}
+    for axis in range(3):
+        topo = grid.axis_topo(axis)
+        for s, name in enumerate(names[axis]):
+            bc = getattr(bcs, name)
+            if bc is None:
+                bc = default_bc(topo, loc[axis], name)
+            elif topo == Periodic and bc.classification != PERIODIC:
+                raise ValueError(
+                    f"non-periodic BC on periodic axis {AXIS_NAMES[axis]}")
+            out[name] = bc
+    out["immersed"] = bcs.immersed
+    return FieldBoundaryConditions(**out)
+
+
+# ---------------------------------------------------------------------------
+# Halo filling
+# ---------------------------------------------------------------------------
+
+def _axslice(axis, sl):
+    out = [slice(None)] * 3
+    out[axis] = sl
+    return tuple(out)
+
+
+def _transverse_coords(grid, axis, loc):
+    """Broadcast-ready coordinate arrays of the two transverse axes, for
+    evaluating continuous boundary functions."""
+    coords = []
+    for ax in range(3):
+        if ax == axis:
+            continue
+        name = AXIS_NAMES[ax]
+        arr = getattr(grid, f"{name}F" if loc[ax] == Face else f"{name}C")
+        coords.append(arr)
+    return tuple(coords)
+
+
+def _bc_value(bc, grid, axis, loc, time):
+    cond = bc.condition
+    if cond is None:
+        return None
+    if callable(cond):
+        c1, c2 = _transverse_coords(grid, axis, loc)
+        t = 0.0 if time is None else time
+        return cond(c1, c2, t)
+    return cond
+
+
+def _fill_axis(a, grid, axis, loc_ax, left_bc, right_bc, left_val, right_val,
+               grid_axis=None):
+    """Fill both halo rings of one axis. Pure; returns the updated array."""
+    if grid_axis is None:
+        grid_axis = axis
+    H = grid.H[grid_axis]
+    N = grid.N[grid_axis]
+    if H == 0:
+        return a
+    nd = a.ndim
+
+    def axsl(sl):
+        out = [slice(None)] * nd
+        out[axis] = sl
+        return tuple(out)
+
+    topo = grid.axis_topo(grid_axis)
+    if topo == Periodic:
+        a = a.at[axsl(slice(0, H))].set(a[axsl(slice(N, N + H))])
+        a = a.at[axsl(slice(N + H, N + 2 * H))].set(a[axsl(slice(H, 2 * H))])
+        return a
+    if topo in (Connected,):
+        return a  # filled by the distributed halo exchange
+
+    # distances between mirrored point pairs, for gradient BCs
+    name = AXIS_NAMES[grid_axis]
+    coord = getattr(grid, f"{name}F" if loc_ax == Face else f"{name}C")
+    coord = jnp.reshape(coord, (-1,))
+
+    def mirror(side):  # (ghost indices, interior mirror indices) outward order
+        if side == "left":
+            return ([H - 1 - h for h in range(H)], [H + h for h in range(H)])
+        return ([N + H + h for h in range(H)], [N + H - 1 - h for h in range(H)])
+
+    for side, bc, val in (("left", left_bc, left_val),
+                          ("right", right_bc, right_val)):
+        if bc is None or bc.classification in (COMMUNICATION,):
+            continue
+        kind = bc.classification
+        gi, mi = mirror(side)
+
+        if loc_ax == Face and kind in (OPEN, VALUE):
+            # wall-normal: impose the wall-face value itself, then mirror
+            # antisymmetrically about it. Left wall face index = H; right
+            # wall face index = H + N (first halo slot).
+            wall = H if side == "left" else N + H
+            wv = jnp.zeros((), a.dtype) if val is None else val
+            a = a.at[axsl(slice(wall, wall + 1))].set(
+                jnp.broadcast_to(wv, a[axsl(slice(wall, wall + 1))].shape))
+            for h in range(1, H + 1):
+                g = wall - h if side == "left" else wall + h
+                m = wall + h if side == "left" else wall - h
+                if 0 <= g < N + 2 * H:
+                    a = a.at[axsl(slice(g, g + 1))].set(
+                        2.0 * wv - a[axsl(slice(m, m + 1))])
+            continue
+
+        for g, m in zip(gi, mi):
+            mirror_slab = a[axsl(slice(m, m + 1))]
+            if kind == VALUE:
+                ghost = 2.0 * val - mirror_slab
+            elif kind == GRADIENT:
+                d = coord[m] - coord[g]
+                sign = -1.0 if side == "left" else 1.0
+                ghost = mirror_slab + sign * val * d
+            else:  # FLUX (no-flux mirror), OPEN on centers, default
+                ghost = mirror_slab
+            a = a.at[axsl(slice(g, g + 1))].set(
+                jnp.broadcast_to(ghost, a[axsl(slice(g, g + 1))].shape))
+    return a
+
+
+def fill_halo_regions(a, grid, bcs=None, loc=(Center, Center, Center),
+                      time=None):
+    """Return ``a`` with all halo rings filled per its boundary conditions.
+
+    The functional analog of the reference's ``fill_halo_regions!``
+    (``src/BoundaryConditions/fill_halo_regions.jl:50-80``).
+    """
+    if bcs is None:
+        bcs = regularize_field_boundary_conditions(None, grid, loc)
+    for axis in range(3):
+        lbc, rbc = bcs.sides(axis)
+        lval = _bc_value(lbc, grid, axis, loc, time) if lbc else None
+        rval = _bc_value(rbc, grid, axis, loc, time) if rbc else None
+        a = _fill_axis(a, grid, axis, loc[axis], lbc, rbc, lval, rval)
+    return a
+
+
+# ---------------------------------------------------------------------------
+# Flux boundary conditions -> tendencies
+# ---------------------------------------------------------------------------
+
+def apply_flux_bcs(G, grid, bcs, loc=(Center, Center, Center), time=None):
+    """Add boundary fluxes to a tendency array.
+
+    Fluxes are oriented along the positive axis; a left-side flux ``q`` adds
+    ``+q/Δ`` to the boundary-adjacent interior cell, a right-side flux adds
+    ``-q/Δ`` (reference ``apply_flux_bcs.jl`` via
+    ``compute_nonhydrostatic_tendencies.jl:202-208``).
+    """
+    spacings = (grid.dx(loc[0], Center), grid.dy(loc[1], Center),
+                grid.dz(loc[2]))
+    for axis in range(3):
+        if grid.axis_topo(axis) == Flat:
+            continue
+        lbc, rbc = bcs.sides(axis)
+        H, N = grid.H[axis], grid.N[axis]
+        d = spacings[axis]
+        for side, bc, idx, sign in (("left", lbc, H, +1.0),
+                                    ("right", rbc, H + N - 1, -1.0)):
+            if bc is None or bc.classification != FLUX or bc.condition is None:
+                continue
+            q = _bc_value(bc, grid, axis, loc, time)
+            sl = _axslice(axis, slice(idx, idx + 1))
+            dcell = d[_axslice(axis, slice(idx, idx + 1))] if d.ndim == 3 else d
+            G = G.at[sl].add(sign * q / dcell)
+    return G

@@ -1,0 +1,156 @@
+"""Fields as plain arrays + location conventions.
+
+Reference layer: ``src/Fields/`` (SURVEY.md §2.5). The reference's
+``Field{LX,LY,LZ}`` object (grid + OffsetArray + BCs + lazy operand) is
+replaced by plain jax arrays shaped ``grid.shape`` (halo-extended); the
+staggered location is carried in *function signatures* (``loc`` tuples) and
+variable naming, not in the array. That keeps state pytrees flat and lets
+XLA see straight through every access.
+
+Locations of the standard C-grid variables:
+    u : (Face,   Center, Center)     w : (Center, Center, Face)
+    v : (Center, Face,   Center)     tracers, p, b : (Center, Center, Center)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oceananigans_tpu.config import config
+from oceananigans_tpu.grids.base import AXIS_NAMES, Bounded, Center, Face
+
+LOC_U = (Face, Center, Center)
+LOC_V = (Center, Face, Center)
+LOC_W = (Center, Center, Face)
+LOC_C = (Center, Center, Center)
+
+
+def new_field(grid, dtype=None):
+    """A zeroed halo-extended array on ``grid``."""
+    if dtype is None:
+        dtype = grid.xC.dtype
+    return jnp.zeros(grid.shape, dtype)
+
+
+def location_coords(grid, loc):
+    """Broadcast-ready (x, y, z) coordinate arrays at a staggered location."""
+    out = []
+    for axis, name in enumerate(AXIS_NAMES):
+        arr = getattr(grid, f"{name}F" if loc[axis] == Face else f"{name}C")
+        out.append(arr)
+    return tuple(out)
+
+
+def set_field(grid, value, loc=LOC_C, dtype=None):
+    """Build a field from a number, array (interior-shaped or full), or a
+    callable ``f(x, y, z)`` evaluated at the staggered nodes — the functional
+    ``set!`` (reference ``src/Fields/set!.jl:26-44``). Halos are left
+    unfilled; call ``fill_halo_regions`` afterwards (models do this in
+    ``update_state``)."""
+    a = new_field(grid, dtype)
+    if callable(value):
+        x, y, z = location_coords(grid, loc)
+        vals = value(x, y, z)
+        return jnp.broadcast_to(jnp.asarray(vals, a.dtype), a.shape)
+    value = jnp.asarray(value, a.dtype)
+    if value.ndim == 0:
+        return jnp.full(grid.shape, value, a.dtype)
+    if value.shape == tuple(grid.N):
+        sx, sy, sz = grid.interior_slices
+        return a.at[sx, sy, sz].set(value)
+    if value.shape == grid.shape:
+        return value
+    # allow broadcastable shapes against the interior
+    sx, sy, sz = grid.interior_slices
+    return a.at[sx, sy, sz].set(jnp.broadcast_to(value, tuple(grid.N)))
+
+
+def interior(grid, a):
+    """Interior view (no halos) — reference ``interior(field)``."""
+    return grid.interior(a)
+
+
+def with_interior(grid, a, values):
+    sx, sy, sz = grid.interior_slices
+    return a.at[sx, sy, sz].set(values)
+
+
+# ---------------------------------------------------------------------------
+# Reductions over the interior (reference src/Fields/scans.jl + metric
+# reductions in src/AbstractOperations/metric_field_reductions.jl)
+# ---------------------------------------------------------------------------
+
+def field_sum(grid, a, loc=LOC_C):
+    return jnp.sum(interior(grid, a))
+
+def field_max(grid, a):
+    return jnp.max(interior(grid, a))
+
+def field_min(grid, a):
+    return jnp.min(interior(grid, a))
+
+def field_abs_max(grid, a):
+    return jnp.max(jnp.abs(interior(grid, a)))
+
+def field_mean(grid, a, loc=LOC_C):
+    """Volume-weighted mean over the interior (reference ``Average``)."""
+    V = grid.V(*loc)
+    sx, sy, sz = grid.interior_slices
+    Vi = jnp.broadcast_to(V, grid.shape)[sx, sy, sz]
+    return jnp.sum(interior(grid, a) * Vi) / jnp.sum(Vi)
+
+def field_integral(grid, a, loc=LOC_C):
+    V = grid.V(*loc)
+    sx, sy, sz = grid.interior_slices
+    Vi = jnp.broadcast_to(V, grid.shape)[sx, sy, sz]
+    return jnp.sum(interior(grid, a) * Vi)
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-point interpolation (reference src/Fields/interpolate.jl),
+# used by Lagrangian particles and FieldTimeSeries.
+# ---------------------------------------------------------------------------
+
+def _fractional_index(xs, x):
+    """Continuous index of ``x`` in sorted 1-D coords ``xs`` (halo incl.)."""
+    i = jnp.clip(jnp.searchsorted(xs, x, side="right") - 1, 0, xs.size - 2)
+    x0 = xs[i]
+    x1 = xs[i + 1]
+    frac = (x - x0) / jnp.where(x1 == x0, 1.0, x1 - x0)
+    return i, jnp.clip(frac, 0.0, 1.0)
+
+
+def interpolate(grid, a, loc, x, y, z):
+    """Trilinear interpolation of field ``a`` (location ``loc``) at point(s)
+    ``(x, y, z)``. Works under vmap for particle batches."""
+    coords = location_coords(grid, loc)
+    idxs, fracs = [], []
+    for axis, (carr, q) in enumerate(zip(coords, (x, y, z))):
+        c1 = jnp.reshape(carr, (-1,))
+        if c1.size == 1:
+            idxs.append(jnp.zeros((), jnp.int32))
+            fracs.append(jnp.zeros((), a.dtype))
+        else:
+            i, f = _fractional_index(c1, q)
+            idxs.append(i)
+            fracs.append(f.astype(a.dtype))
+    ix, iy, iz = idxs
+    fx, fy, fz = fracs
+
+    def g(dx_, dy_, dz_):
+        return a[jnp.minimum(ix + dx_, a.shape[0] - 1),
+                 jnp.minimum(iy + dy_, a.shape[1] - 1),
+                 jnp.minimum(iz + dz_, a.shape[2] - 1)]
+
+    return ((1 - fx) * (1 - fy) * (1 - fz) * g(0, 0, 0)
+            + fx * (1 - fy) * (1 - fz) * g(1, 0, 0)
+            + (1 - fx) * fy * (1 - fz) * g(0, 1, 0)
+            + fx * fy * (1 - fz) * g(1, 1, 0)
+            + (1 - fx) * (1 - fy) * fz * g(0, 0, 1)
+            + fx * (1 - fy) * fz * g(1, 0, 1)
+            + (1 - fx) * fy * fz * g(0, 1, 1)
+            + fx * fy * fz * g(1, 1, 1))

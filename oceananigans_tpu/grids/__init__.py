@@ -1,0 +1,36 @@
+"""Grids: geometry + topology for staggered Arakawa C-grids.
+
+Reference layer: ``src/Grids/`` (see SURVEY.md §2.2). Key differences from the
+reference, chosen for TPU/XLA:
+
+- Grids are immutable pytrees (``jax.tree_util.register_dataclass``): sizes,
+  topology and halo widths are static metadata (hashable, drive tracing);
+  coordinate and spacing arrays are ordinary jax array leaves, so a compiled
+  step function closes over nothing and reshards cleanly under ``pjit``.
+- All per-axis coordinate arrays are stored *broadcast-ready*: x-arrays have
+  shape ``(nx_total, 1, 1)``, y ``(1, ny_total, 1)``, z ``(1, 1, nz_total)``.
+  Every physics expression is then a whole-array jnp expression; XLA fuses the
+  broadcasts into the stencil kernels for free.
+- Fields are dense arrays with halo rings (width ``halo`` per non-flat axis).
+  Flat axes have size 1 and halo 0 (reference: ``Flat`` topology,
+  ``src/Grids/Grids.jl:46-108``).
+- Face-located data uses the same array shape as center-located data; on
+  Bounded axes the "extra" wall face at index ``H + N`` lives in the first
+  halo slot and is maintained by the boundary-condition fill (the reference
+  instead sizes face fields N+1: ``src/Grids/grid_utils.jl``).
+"""
+
+from oceananigans_tpu.grids.base import (
+    Periodic, Bounded, Flat,
+    Center, Face,
+    AbstractGrid,
+    total_length,
+)
+from oceananigans_tpu.grids.rectilinear import RectilinearGrid
+from oceananigans_tpu.grids.latlon import LatitudeLongitudeGrid
+
+__all__ = [
+    "Periodic", "Bounded", "Flat", "Center", "Face",
+    "AbstractGrid", "RectilinearGrid", "LatitudeLongitudeGrid",
+    "total_length",
+]
