@@ -1,0 +1,88 @@
+"""FFT-based Poisson solver on regular grids.
+
+Eigenfunction expansion of the 2nd-order staggered Laplacian: forward
+transforms (FFT on periodic axes, DCT-II on bounded axes), divide by the sum
+of per-axis discrete eigenvalues, zero the mean mode, inverse transforms
+(reference ``src/Solvers/fft_based_poisson_solver.jl:95-125`` +
+``poisson_eigenvalues.jl``). On TPU the transforms are XLA FFT HLOs; DCT is
+the permuted-FFT construction in :mod:`transforms` — no host round trips,
+the whole solve jit-fuses into the pressure step.
+
+Transform order matters for dtype: DCT (real→real) runs before FFT
+(real→complex) on the forward pass and after the inverse FFTs (which produce
+Hermitian-symmetric spectra, so taking the real part first is exact).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from oceananigans_tpu.grids.base import Bounded, Connected, Flat, Periodic
+from oceananigans_tpu.solvers.transforms import dct2, idct2
+
+
+def poisson_eigenvalues(N: int, extent_spacing: float, topo: str):
+    """Eigenvalues of the 1-D second-order difference operator.
+
+    periodic: λ_k = -(2 sin(πk/N) / Δ)²  (full FFT index ordering)
+    bounded : λ_k = -(2 sin(πk/2N) / Δ)² (DCT-II / staggered Neumann)
+    (reference ``src/Solvers/poisson_eigenvalues.jl``)
+    """
+    d = extent_spacing
+    k = np.arange(N, dtype=np.float64)
+    if topo == Flat:
+        return np.zeros(1)
+    if topo == Bounded:
+        return -((2.0 / d) * np.sin(np.pi * k / (2.0 * N))) ** 2
+    return -((2.0 / d) * np.sin(np.pi * k / N)) ** 2
+
+
+class FFTPoissonSolver:
+    """∇²φ = rhs on a fully regular grid; operates on interior-shaped arrays.
+
+    The eigenvalue tables are host numpy constants baked into the jitted
+    trace (they are O(N) 1-D arrays, not per-point 3-D fields).
+    """
+
+    def __init__(self, grid):
+        if not grid.regular:
+            raise ValueError("FFTPoissonSolver requires regular spacings on "
+                             "every axis; use FourierTridiagonalPoissonSolver")
+        self.grid = grid
+        self.fft_axes = []
+        self.dct_axes = []
+        lams = []
+        for axis in range(3):
+            topo = grid.axis_topo(axis)
+            N = grid.N[axis]
+            d = (grid.Lx / grid.Nx, grid.Ly / grid.Ny,
+                 grid.Lz / grid.Nz)[axis] if topo != Flat else 1.0
+            lam = poisson_eigenvalues(N, d, topo)
+            shape = [1, 1, 1]
+            shape[axis] = lam.shape[0]
+            lams.append(lam.reshape(shape))
+            if topo in (Periodic, Connected):
+                self.fft_axes.append(axis)
+            elif topo == Bounded:
+                self.dct_axes.append(axis)
+        self.lam_sum = lams[0] + lams[1] + lams[2]
+
+    def solve(self, rhs):
+        """rhs: interior-shaped (Nx,Ny,Nz) array -> φ with zero mean."""
+        dtype = rhs.dtype
+        x = rhs
+        for axis in self.dct_axes:
+            x = dct2(x, axis)
+        for axis in self.fft_axes:
+            x = jnp.fft.fft(x, axis=axis)
+        lam = jnp.asarray(self.lam_sum, x.real.dtype)
+        denom = jnp.where(lam == 0, 1.0, lam)
+        x = jnp.where(lam == 0, 0.0, x / denom)
+        for axis in self.fft_axes:
+            x = jnp.fft.ifft(x, axis=axis)
+        x = jnp.real(x)
+        for axis in self.dct_axes:
+            x = idct2(x, axis)
+        return x.astype(dtype)
