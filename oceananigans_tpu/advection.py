@@ -1,0 +1,403 @@
+"""Advection schemes: reconstruction + flux-form divergences.
+
+Reference layer: ``src/Advection/`` (SURVEY.md §2.8) — centered
+reconstruction (``centered_reconstruction.jl``), odd-order upwind
+(``upwind_biased_reconstruction.jl``), WENO-Z
+(``weno_reconstruction.jl:7``, ``weno_interpolants.jl``), flux assemblies
+(``momentum_advection_operators.jl``, ``tracer_advection_operators.jl``),
+per-direction composition (``flux_form_advection.jl``), CFL timescale
+(``cell_advection_timescale.jl``).
+
+TPU-native design: each reconstruction is a whole-array expression over
+shifted copies of the operand; XLA fuses the stencil + smoothness indicators
++ nonlinear weights into one VPU loop, so WENO's high arithmetic intensity
+(~100 flops/point at order 5) runs out of registers/VMEM, not HBM. There are
+no data-dependent branches: upwinding is a ``where`` on the advecting
+velocity sign, which vectorizes.
+
+Index convention (see ops/operators.py): ``shift(a, n, axis)[i] = a[i+n]``.
+A reconstruction "landing on faces" produces the value at face ``i`` (the
+face between centers ``i-1`` and ``i``); "landing on centers" produces the
+value at center ``i`` (between faces ``i`` and ``i+1``), which is the same
+stencil shifted by +1. Left-biased stencils weight cells below the target
+(upwind for positive velocity); right-biased are the mirror image.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from oceananigans_tpu.grids.base import Center, Face
+from oceananigans_tpu.ops.operators import (
+    dx_c, dx_f, dy_c, dy_f, dz_c, dz_f,
+    ix_c, ix_f, iy_c, iy_f, iz_c, iz_f, shift,
+)
+
+__all__ = [
+    "Centered", "UpwindBiased", "WENO", "FluxFormAdvection",
+    "div_Uc", "div_vu", "div_vv", "div_vw",
+    "cell_advection_timescale", "required_halo",
+]
+
+X, Y, Z = 0, 1, 2
+
+
+# ---------------------------------------------------------------------------
+# Reconstruction stencils.
+#
+# Each entry maps an offset n -> coefficient of shift(a, n + o, axis) where
+# o = 0 lands on faces and o = 1 lands on centers. Offsets are relative to
+# the target face i: n = -1 is the first cell below the face, n = 0 the
+# first above.
+# ---------------------------------------------------------------------------
+
+_CENTERED = {
+    2: {-1: 1 / 2, 0: 1 / 2},
+    4: {-2: -1 / 12, -1: 7 / 12, 0: 7 / 12, 1: -1 / 12},
+    6: {-3: 1 / 60, -2: -8 / 60, -1: 37 / 60, 0: 37 / 60, 1: -8 / 60,
+        2: 1 / 60},
+}
+
+_UPWIND_LEFT = {
+    1: {-1: 1.0},
+    3: {-2: -1 / 6, -1: 5 / 6, 0: 2 / 6},
+    5: {-3: 2 / 60, -2: -13 / 60, -1: 47 / 60, 0: 27 / 60, 1: -3 / 60},
+}
+
+
+def _mirror(stencil):
+    """Right-biased mirror: reflect offsets about the target face
+    (cell ``n`` below the face <-> cell ``n`` above: n -> -1 - n)."""
+    return {-1 - n: c for n, c in stencil.items()}
+
+
+def _apply_stencil(a, axis, stencil, o):
+    out = None
+    for n, c in sorted(stencil.items()):
+        term = c * shift(a, n + o, axis)
+        out = term if out is None else out + term
+    return out
+
+
+# WENO sub-stencil reconstruction coefficients and ideal weights, left-biased
+# at face i. Sub-stencil r uses cells i-1-r .. i-1-r+(k-1) for order 2k-1.
+_WENO_GAMMA = {
+    3: (1 / 3, 2 / 3),
+    5: (1 / 10, 6 / 10, 3 / 10),
+    7: (1 / 35, 12 / 35, 18 / 35, 4 / 35),
+}
+
+_WENO_Q = {
+    3: ({-2: -1 / 2, -1: 3 / 2},
+        {-1: 1 / 2, 0: 1 / 2}),
+    5: ({-3: 2 / 6, -2: -7 / 6, -1: 11 / 6},
+        {-2: -1 / 6, -1: 5 / 6, 0: 2 / 6},
+        {-1: 2 / 6, 0: 5 / 6, 1: -1 / 6}),
+    7: ({-4: -3 / 12, -3: 13 / 12, -2: -23 / 12, -1: 25 / 12},
+        {-3: 1 / 12, -2: -5 / 12, -1: 13 / 12, 0: 3 / 12},
+        {-2: -1 / 12, -1: 7 / 12, 0: 7 / 12, 1: -1 / 12},
+        {-1: 3 / 12, 0: 13 / 12, 1: -5 / 12, 2: 1 / 12}),
+}
+
+
+def _weno3_betas(s):
+    return ((s[-1] - s[-2]) ** 2,
+            (s[0] - s[-1]) ** 2)
+
+
+def _weno5_betas(s):
+    c1, c2 = 13.0 / 12.0, 0.25
+    b0 = (c1 * (s[-3] - 2 * s[-2] + s[-1]) ** 2
+          + c2 * (s[-3] - 4 * s[-2] + 3 * s[-1]) ** 2)
+    b1 = (c1 * (s[-2] - 2 * s[-1] + s[0]) ** 2
+          + c2 * (s[-2] - s[0]) ** 2)
+    b2 = (c1 * (s[-1] - 2 * s[0] + s[1]) ** 2
+          + c2 * (3 * s[-1] - 4 * s[0] + s[1]) ** 2)
+    return b0, b1, b2
+
+
+def _weno7_betas(s):
+    # Balsara & Shu (2000) smoothness indicators for k = 4. Edge and inner
+    # sub-stencils have distinct quadratic forms; the two inner (and two
+    # edge) forms are mirror images of each other.
+    def beta_edge(a, b, c, d):
+        # most-upwind stencil, target face adjacent to d
+        return (a * (547 * a - 3882 * b + 4642 * c - 1854 * d)
+                + b * (7043 * b - 17246 * c + 7042 * d)
+                + c * (11003 * c - 9402 * d)
+                + d * 2107 * d)
+
+    def beta_inner(a, b, c, d):
+        # stencil with one point downwind of the target face (face between
+        # c and d)
+        return (a * (267 * a - 1642 * b + 1602 * c - 494 * d)
+                + b * (2843 * b - 5966 * c + 1922 * d)
+                + c * (3443 * c - 2522 * d)
+                + d * 547 * d)
+
+    b0 = beta_edge(s[-4], s[-3], s[-2], s[-1])
+    b1 = beta_inner(s[-3], s[-2], s[-1], s[0])
+    b2 = beta_inner(s[1], s[0], s[-1], s[-2])   # mirror of the inner form
+    b3 = beta_edge(s[2], s[1], s[0], s[-1])     # mirror of the edge form
+    return b0, b1, b2, b3
+
+
+_WENO_BETAS = {3: _weno3_betas, 5: _weno5_betas, 7: _weno7_betas}
+
+
+# ---------------------------------------------------------------------------
+# Scheme objects. Static config (hashable; braided into the jit trace).
+# ---------------------------------------------------------------------------
+
+class AdvectionScheme:
+    """Base: a reconstruction rule. ``symmetric`` schemes provide
+    ``reconstruct``; biased schemes provide ``biased`` and are combined with
+    the advecting-velocity sign by the flux assemblies below."""
+
+    symmetric = False
+    order: int = 2
+
+    @property
+    def required_halo(self):
+        # buffer size B for order p: centered p=2B, upwind/WENO p=2B-1
+        # (reference ``Advection.jl:49-57`` boundary_buffer).
+        return (self.order + 1) // 2
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self.order == other.order
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.order))
+
+
+class Centered(AdvectionScheme):
+    """Even-order centered reconstruction (reference
+    ``centered_reconstruction.jl``; orders 2-6 of the reference's 2-12)."""
+
+    symmetric = True
+
+    def __init__(self, order: int = 2):
+        if order not in _CENTERED:
+            raise ValueError(f"Centered order must be one of "
+                             f"{sorted(_CENTERED)}, got {order}")
+        self.order = order
+
+    def reconstruct(self, a, axis, o):
+        return _apply_stencil(a, axis, _CENTERED[self.order], o)
+
+    def __repr__(self):
+        return f"Centered(order={self.order})"
+
+
+class UpwindBiased(AdvectionScheme):
+    """Odd-order upwind-biased reconstruction (reference
+    ``upwind_biased_reconstruction.jl``; orders 1-5 of the reference's
+    1-11)."""
+
+    def __init__(self, order: int = 3):
+        if order not in _UPWIND_LEFT:
+            raise ValueError(f"UpwindBiased order must be one of "
+                             f"{sorted(_UPWIND_LEFT)}, got {order}")
+        self.order = order
+
+    def biased(self, a, axis, o):
+        left = _apply_stencil(a, axis, _UPWIND_LEFT[self.order], o)
+        right = _apply_stencil(a, axis, _mirror(_UPWIND_LEFT[self.order]), o)
+        return left, right
+
+    def __repr__(self):
+        return f"UpwindBiased(order={self.order})"
+
+
+class WENO(AdvectionScheme):
+    """WENO-Z reconstruction (Borges et al. 2008), orders 3/5/7 (reference
+    ``weno_reconstruction.jl:7``, ``weno_interpolants.jl``; the reference
+    reaches order 11).
+
+    All sub-stencil values, smoothness indicators, and nonlinear weights are
+    branch-free array expressions; XLA fuses the whole thing into one pass.
+    """
+
+    def __init__(self, order: int = 5, epsilon: float = 1e-8):
+        if order not in _WENO_Q:
+            raise ValueError(f"WENO order must be one of {sorted(_WENO_Q)}, "
+                             f"got {order}")
+        self.order = order
+        self.epsilon = epsilon
+
+    def _onesided(self, shifts, axis, o, reflect):
+        order = self.order
+        if reflect:
+            s = {n: shifts[-1 - n] for n in shifts}
+        else:
+            s = shifts
+        qs = [_apply_stencil_shifted(s, q) for q in _WENO_Q[order]]
+        betas = _WENO_BETAS[order](s)
+        gammas = _WENO_GAMMA[order]
+        eps = self.epsilon
+        tau = abs(betas[0] - betas[-1])
+        alphas = [g * (1.0 + (tau / (b + eps)) ** 2)
+                  for g, b in zip(gammas, betas)]
+        asum = alphas[0]
+        for al in alphas[1:]:
+            asum = asum + al
+        out = alphas[0] * qs[0]
+        for al, q in zip(alphas[1:], qs[1:]):
+            out = out + al * q
+        return out / asum
+
+    def biased(self, a, axis, o):
+        B = self.required_halo
+        shifts = {n: shift(a, n + o, axis) for n in range(-B, B)}
+        left = self._onesided(shifts, axis, o, reflect=False)
+        right = self._onesided(shifts, axis, o, reflect=True)
+        return left, right
+
+    def __eq__(self, other):
+        return (type(self) is type(other) and self.order == other.order
+                and self.epsilon == other.epsilon)
+
+    def __hash__(self):
+        return hash(("WENO", self.order, self.epsilon))
+
+    def __repr__(self):
+        return f"WENO(order={self.order})"
+
+
+def _apply_stencil_shifted(shifts, stencil):
+    out = None
+    for n, c in sorted(stencil.items()):
+        term = c * shifts[n]
+        out = term if out is None else out + term
+    return out
+
+
+class FluxFormAdvection:
+    """Per-direction scheme combination (reference
+    ``flux_form_advection.jl``)."""
+
+    def __init__(self, x, y=None, z=None):
+        self.x = x
+        self.y = x if y is None else y
+        self.z = x if z is None else z
+
+    @property
+    def required_halo(self):
+        return max(s.required_halo for s in (self.x, self.y, self.z))
+
+    def scheme_for(self, axis):
+        return (self.x, self.y, self.z)[axis]
+
+    def __eq__(self, other):
+        return (type(self) is type(other) and self.x == other.x
+                and self.y == other.y and self.z == other.z)
+
+    def __hash__(self):
+        return hash((self.x, self.y, self.z))
+
+    def __repr__(self):
+        return f"FluxFormAdvection({self.x}, {self.y}, {self.z})"
+
+
+def required_halo(scheme) -> int:
+    if scheme is None:
+        return 1
+    return scheme.required_halo
+
+
+def _scheme_for(scheme, axis):
+    if isinstance(scheme, FluxFormAdvection):
+        return scheme.scheme_for(axis)
+    return scheme
+
+
+# ---------------------------------------------------------------------------
+# Flux assembly
+# ---------------------------------------------------------------------------
+
+def _face_value(scheme, U, a, axis, o):
+    """Reconstructed value of ``a`` at the flux location, upwinded on the
+    sign of the (already interpolated) advecting velocity ``U``."""
+    if scheme.symmetric:
+        return scheme.reconstruct(a, axis, o)
+    left, right = scheme.biased(a, axis, o)
+    return jnp.where(U > 0, left, jnp.where(U < 0, right,
+                                            0.5 * (left + right)))
+
+
+def div_Uc(grid, scheme, u, v, w, c):
+    """Tracer advective flux divergence ∇·(𝐯c) at (c,c,c) (reference
+    ``tracer_advection_operators.jl`` `div_Uc`)."""
+    if scheme is None:
+        return jnp.zeros_like(c)
+    sx, sy, sz = (_scheme_for(scheme, ax) for ax in range(3))
+    fx = grid.Ax(Face, Center, Center) * u * _face_value(sx, u, c, X, 0)
+    fy = grid.Ay(Center, Face, Center) * v * _face_value(sy, v, c, Y, 0)
+    fz = grid.Az(Center, Center) * w * _face_value(sz, w, c, Z, 0)
+    return (dx_c(fx) + dy_c(fy) + dz_c(fz)) / grid.V(Center, Center, Center)
+
+
+def div_vu(grid, scheme, u, v, w, uq=None):
+    """Momentum advection ∇·(𝐯u) at u's location (f,c,c) (reference
+    ``momentum_advection_operators.jl`` `div_𝐯u`). ``uq`` is the advected
+    field (defaults to ``u``; differs for background-flow decompositions)."""
+    if scheme is None:
+        return jnp.zeros_like(u)
+    uq = u if uq is None else uq
+    sx, sy, sz = (_scheme_for(scheme, ax) for ax in range(3))
+    # x-flux at (c,c,c): ℑx_c(Ax u) advects u landing on centers (o=1)
+    Uadv = ix_c(grid.Ax(Face, Center, Center) * u)
+    fxx = Uadv * _face_value(sx, Uadv, uq, X, 1)
+    # y-flux at (f,f,c): ℑx_f(Ay v) advects u landing on y-faces (o=0)
+    Vadv = ix_f(grid.Ay(Center, Face, Center) * v)
+    fxy = Vadv * _face_value(sy, Vadv, uq, Y, 0)
+    # z-flux at (f,c,f): ℑx_f(Az w) advects u landing on z-faces (o=0)
+    Wadv = ix_f(grid.Az(Center, Center) * w)
+    fxz = Wadv * _face_value(sz, Wadv, uq, Z, 0)
+    return (dx_f(fxx) + dy_c(fxy) + dz_c(fxz)) / grid.V(Face, Center, Center)
+
+
+def div_vv(grid, scheme, u, v, w, vq=None):
+    """∇·(𝐯v) at v's location (c,f,c)."""
+    if scheme is None:
+        return jnp.zeros_like(v)
+    vq = v if vq is None else vq
+    sx, sy, sz = (_scheme_for(scheme, ax) for ax in range(3))
+    Uadv = iy_f(grid.Ax(Face, Center, Center) * u)
+    fyx = Uadv * _face_value(sx, Uadv, vq, X, 0)
+    Vadv = iy_c(grid.Ay(Center, Face, Center) * v)
+    fyy = Vadv * _face_value(sy, Vadv, vq, Y, 1)
+    Wadv = iy_f(grid.Az(Center, Center) * w)
+    fyz = Wadv * _face_value(sz, Wadv, vq, Z, 0)
+    return (dx_c(fyx) + dy_f(fyy) + dz_c(fyz)) / grid.V(Center, Face, Center)
+
+
+def div_vw(grid, scheme, u, v, w, wq=None):
+    """∇·(𝐯w) at w's location (c,c,f)."""
+    if scheme is None:
+        return jnp.zeros_like(w)
+    wq = w if wq is None else wq
+    sx, sy, sz = (_scheme_for(scheme, ax) for ax in range(3))
+    Uadv = iz_f(grid.Ax(Face, Center, Center) * u)
+    fzx = Uadv * _face_value(sx, Uadv, wq, X, 0)
+    Vadv = iz_f(grid.Ay(Center, Face, Center) * v)
+    fzy = Vadv * _face_value(sy, Vadv, wq, Y, 0)
+    Wadv = iz_c(grid.Az(Center, Center) * w)
+    fzz = Wadv * _face_value(sz, Wadv, wq, Z, 1)
+    return (dx_c(fzx) + dy_c(fzy) + dz_f(fzz)) / grid.V(Center, Center, Face)
+
+
+# ---------------------------------------------------------------------------
+# CFL timescale (reference ``cell_advection_timescale.jl``)
+# ---------------------------------------------------------------------------
+
+def cell_advection_timescale(grid, u, v, w):
+    """min over the interior of (|u|/Δx + |v|/Δy + |w|/Δz)⁻¹."""
+    sx, sy, sz = grid.interior_slices
+    dx = jnp.broadcast_to(grid.dx(Face, Center), grid.shape)[sx, sy, sz]
+    dy = jnp.broadcast_to(grid.dy(Face, Center), grid.shape)[sx, sy, sz]
+    dz = jnp.broadcast_to(grid.dz(Face), grid.shape)[sx, sy, sz]
+    rate = (jnp.abs(u[sx, sy, sz]) / dx
+            + jnp.abs(v[sx, sy, sz]) / dy
+            + jnp.abs(w[sx, sy, sz]) / dz)
+    return 1.0 / jnp.maximum(jnp.max(rate), 1e-30)

@@ -1,0 +1,120 @@
+"""Advection scheme tests: constancy preservation, convergence order,
+upwind direction. Mirrors the reference's advection test strategy
+(test_advection_schemes.jl: smooth-function convergence + constancy)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oceananigans_tpu import RectilinearGrid, Periodic, Bounded, Flat
+from oceananigans_tpu.advection import (
+    Centered, UpwindBiased, WENO, FluxFormAdvection,
+    div_Uc, div_vu, cell_advection_timescale,
+)
+from oceananigans_tpu.boundary_conditions import fill_halo_regions
+from oceananigans_tpu.fields import set_field, interior, LOC_U, LOC_C
+
+SCHEMES = [Centered(2), Centered(4), Centered(6),
+           UpwindBiased(1), UpwindBiased(3), UpwindBiased(5),
+           WENO(3), WENO(5), WENO(7)]
+
+
+def periodic_1d_grid(N, halo=4):
+    return RectilinearGrid(size=(N,), x=(0.0, 2 * np.pi),
+                           topology=(Periodic, Flat, Flat), halo=halo)
+
+
+@pytest.mark.parametrize("scheme", SCHEMES, ids=repr)
+def test_constancy_preservation(scheme):
+    """Advecting a constant tracer with a divergence-free velocity gives an
+    exactly-zero flux divergence."""
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1.0, 1.0, 1.0),
+                           topology=(Periodic, Periodic, Periodic), halo=4)
+    u = set_field(grid, lambda x, y, z: jnp.sin(2 * np.pi * y), loc=LOC_U)
+    v = set_field(grid, 0.3)
+    w = set_field(grid, -0.2)
+    c = set_field(grid, 7.5)
+    u = fill_halo_regions(u, grid)
+    div = div_Uc(grid, scheme, u, v, w, c)
+    assert np.max(np.abs(np.asarray(interior(grid, div)))) < 1e-12
+
+
+@pytest.mark.parametrize("scheme,order", [
+    (Centered(2), 2), (Centered(4), 4), (Centered(6), 6),
+    (UpwindBiased(3), 3), (UpwindBiased(5), 5),
+    # WENO3's L-inf rate degrades to ~1 at critical points of the profile
+    # (well-known k=2 WENO property); 5/7 keep near-design order with WENO-Z.
+    (WENO(3), 1.3), (WENO(5), 5), (WENO(7), 6),
+])
+def test_convergence_order(scheme, order):
+    """div(u c) for u = 1, c = sin(x) should converge at the scheme's order
+    (WENO at least at its underlying upwind order minus a bit, since the
+    nonlinear weights perturb smooth-flow accuracy near critical points)."""
+    errs = []
+    for N in (32, 64):
+        grid = periodic_1d_grid(N)
+        c = set_field(grid, lambda x, y, z: jnp.sin(x))
+        c = fill_halo_regions(c, grid)
+        u = set_field(grid, 1.0)
+        div = div_Uc(grid, scheme, u, jnp.zeros_like(u), jnp.zeros_like(u), c)
+        x = grid.xnodes()
+        exact = np.cos(np.asarray(x))
+        err = np.max(np.abs(np.asarray(interior(grid, div)).ravel() - exact))
+        errs.append(err)
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > order - 0.5, f"rate {rate:.2f} < expected {order}"
+
+
+def test_upwind_bias_direction():
+    """For u > 0 an upwind flux at face i must not read cells above i."""
+    N = 16
+    grid = periodic_1d_grid(N, halo=3)
+    # step tracer: 1 in left half, 0 in right half
+    c = set_field(grid, lambda x, y, z: jnp.where(x < np.pi, 1.0, 0.0))
+    c = fill_halo_regions(c, grid)
+    u = set_field(grid, 1.0)
+    scheme = UpwindBiased(1)
+    div = div_Uc(grid, scheme, u, jnp.zeros_like(u), jnp.zeros_like(u), c)
+    di = np.asarray(interior(grid, div)).ravel()
+    # first-order upwind with u=1: div[i] = (c[i] - c[i-1]) / dx.
+    ci = np.asarray(interior(grid, c)).ravel()
+    dx = 2 * np.pi / N
+    expected = (ci - np.roll(ci, 1)) / dx
+    np.testing.assert_allclose(di, expected, atol=1e-13)
+
+
+def test_momentum_advection_uniform_flow():
+    """A uniform velocity field advects itself with zero tendency."""
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1.0, 1.0, 1.0),
+                           topology=(Periodic, Periodic, Periodic), halo=4)
+    u = set_field(grid, 0.7)
+    v = set_field(grid, -0.4)
+    w = set_field(grid, 0.1)
+    for scheme in (Centered(2), WENO(5)):
+        div = div_vu(grid, scheme, u, v, w)
+        assert np.max(np.abs(np.asarray(interior(grid, div)))) < 1e-12
+
+
+def test_flux_form_mixed_schemes():
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1.0, 1.0, 1.0),
+                           topology=(Periodic, Periodic, Periodic), halo=4)
+    scheme = FluxFormAdvection(WENO(5), WENO(5), Centered(2))
+    assert scheme.required_halo == 3
+    c = set_field(grid, lambda x, y, z: jnp.sin(2 * np.pi * x))
+    c = fill_halo_regions(c, grid)
+    u = set_field(grid, 1.0)
+    v = set_field(grid, 1.0)
+    w = set_field(grid, 1.0)
+    div = div_Uc(grid, scheme, u, v, w, c)
+    assert np.all(np.isfinite(np.asarray(div)))
+
+
+def test_cell_advection_timescale():
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1.0, 1.0, 1.0),
+                           topology=(Periodic, Periodic, Periodic))
+    u = set_field(grid, 2.0)
+    v = set_field(grid, 0.0)
+    w = set_field(grid, 0.0)
+    dt = cell_advection_timescale(grid, u, v, w)
+    # dx = 1/8, |u| = 2 -> dt = dx/|u| = 1/16
+    np.testing.assert_allclose(float(dt), 1 / 16, rtol=1e-12)
