@@ -1,0 +1,150 @@
+"""Forcing terms: continuous/discrete user functions, relaxation.
+
+Reference layer: ``src/Forcings/`` (SURVEY.md §2.12) —
+``ContinuousForcing`` (``continuous_forcing.jl:14``), ``DiscreteForcing``
+(``discrete_forcing.jl:10``), ``Relaxation`` + masks/targets
+(``relaxation.jl:17``), ``AdvectiveForcing`` (``advective_forcing.jl:9``),
+``MultipleForcings``.
+
+Functional design: a forcing is reduced at model construction to a callable
+``(grid, time, fields) -> tendency contribution`` evaluated inside the
+jitted step; ``fields`` is a dict of all prognostic arrays. Continuous
+forcings receive broadcast-ready staggered coordinates.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from oceananigans_tpu.fields import LOC_C, location_coords
+
+__all__ = ["Forcing", "ContinuousForcing", "DiscreteForcing", "Relaxation",
+           "GaussianMask", "LinearTarget", "MultipleForcings",
+           "materialize_forcing"]
+
+
+class ContinuousForcing:
+    """``func(x, y, z, t, *field_args, *parameters)`` evaluated at the
+    forced field's staggered nodes (reference ``continuous_forcing.jl:14``).
+    ``field_dependencies`` names prognostic fields passed positionally after
+    the coordinates (at their own locations — collocation interpolation is
+    the caller's concern for C-grid-critical uses)."""
+
+    def __init__(self, func, parameters=None, field_dependencies=()):
+        self.func = func
+        self.parameters = parameters
+        if isinstance(field_dependencies, str):
+            field_dependencies = (field_dependencies,)
+        self.field_dependencies = tuple(field_dependencies)
+
+    def __call__(self, grid, loc, time, fields):
+        x, y, z = location_coords(grid, loc)
+        args = tuple(fields[name] for name in self.field_dependencies)
+        if self.parameters is not None:
+            return self.func(x, y, z, time, *args, self.parameters)
+        return self.func(x, y, z, time, *args)
+
+
+def Forcing(func, parameters=None, field_dependencies=(), discrete_form=False):
+    """User-facing constructor (reference ``forcing.jl``)."""
+    if discrete_form:
+        return DiscreteForcing(func, parameters)
+    return ContinuousForcing(func, parameters, field_dependencies)
+
+
+class DiscreteForcing:
+    """``func(grid, loc, time, fields[, parameters])`` — full access to the
+    discrete state (reference ``discrete_forcing.jl:10``)."""
+
+    def __init__(self, func, parameters=None):
+        self.func = func
+        self.parameters = parameters
+
+    def __call__(self, grid, loc, time, fields):
+        if self.parameters is not None:
+            return self.func(grid, loc, time, fields, self.parameters)
+        return self.func(grid, loc, time, fields)
+
+
+class GaussianMask:
+    """exp(−(r−center)²/(2 width²)) mask in one coordinate (reference
+    ``relaxation.jl`` `GaussianMask`)."""
+
+    def __init__(self, center, width, coordinate="z"):
+        self.center = float(center)
+        self.width = float(width)
+        self.coordinate = coordinate
+
+    def __call__(self, x, y, z):
+        r = {"x": x, "y": y, "z": z}[self.coordinate]
+        return jnp.exp(-((r - self.center) ** 2) / (2.0 * self.width ** 2))
+
+
+class LinearTarget:
+    """target = intercept + gradient · coord (reference ``relaxation.jl``
+    `LinearTarget`)."""
+
+    def __init__(self, intercept, gradient, coordinate="z"):
+        self.intercept = float(intercept)
+        self.gradient = float(gradient)
+        self.coordinate = coordinate
+
+    def __call__(self, x, y, z, t):
+        r = {"x": x, "y": y, "z": z}[self.coordinate]
+        return self.intercept + self.gradient * r
+
+
+class Relaxation:
+    """F = −rate · mask(x,y,z) · (q − target) (reference
+    ``relaxation.jl:17``)."""
+
+    def __init__(self, rate, mask=1.0, target=0.0):
+        self.rate = float(rate)
+        self.mask = mask
+        self.target = target
+
+    def __call__(self, grid, loc, time, fields, field_name=None):
+        x, y, z = location_coords(grid, loc)
+        mask = self.mask(x, y, z) if callable(self.mask) else self.mask
+        target = (self.target(x, y, z, time) if callable(self.target)
+                  else self.target)
+        q = fields[field_name]
+        return -self.rate * mask * (q - target)
+
+
+class MultipleForcings:
+    """Sum of forcings (reference ``multiple_forcings.jl``)."""
+
+    def __init__(self, *forcings):
+        self.forcings = tuple(forcings)
+
+
+def materialize_forcing(forcing, name, loc):
+    """Normalize a user forcing spec to ``(grid, time, fields) -> array``.
+
+    Accepts: None, a number, a plain callable ``f(x, y, z, t)``, a
+    Continuous/DiscreteForcing, a Relaxation, or MultipleForcings.
+    """
+    if forcing is None:
+        return None
+    if isinstance(forcing, MultipleForcings):
+        parts = [materialize_forcing(f, name, loc) for f in forcing.forcings]
+        def summed(grid, time, fields):
+            out = 0.0
+            for p in parts:
+                out = out + p(grid, time, fields)
+            return out
+        return summed
+    if isinstance(forcing, Relaxation):
+        return lambda grid, time, fields: forcing(grid, loc, time, fields,
+                                                  field_name=name)
+    if isinstance(forcing, (ContinuousForcing, DiscreteForcing)):
+        return lambda grid, time, fields: forcing(grid, loc, time, fields)
+    if callable(forcing):
+        cf = ContinuousForcing(forcing)
+        return lambda grid, time, fields: cf(grid, loc, time, fields)
+    # constant
+    value = forcing
+    return lambda grid, time, fields: value

@@ -1,0 +1,406 @@
+"""NonhydrostaticModel: incompressible Boussinesq dynamics with a
+pressure-projection method.
+
+Reference: ``src/Models/NonhydrostaticModels/`` (SURVEY.md §2.14) — struct
+and constructor ``nonhydrostatic_model.jl:32-239``, tendency kernels
+``nonhydrostatic_tendency_kernel_functions.jl:47-78``, projection
+``solve_for_pressure.jl:78-90`` + ``pressure_correction.jl:31-50``, state
+update ``update_nonhydrostatic_model_state.jl:20-57``.
+
+TPU-native design: the model object is a lightweight pytree (grid as child,
+physics configuration as static metadata); the state is a flat pytree of
+halo-extended arrays; ``step(state, dt)`` is a pure function containing the
+whole AB2/RK3 + projection cycle, jit-compiled once. There are no kernel
+launches, no mutation, no data-dependent branching — the AB2 Euler first
+step is a ``where`` on the iteration counter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from oceananigans_tpu import closures as closures_mod
+from oceananigans_tpu.advection import (
+    Centered, cell_advection_timescale, div_Uc, div_vu, div_vv, div_vw,
+    required_halo as advection_required_halo,
+)
+from oceananigans_tpu.boundary_conditions import (
+    FieldBoundaryConditions, apply_flux_bcs, fill_halo_regions,
+    regularize_field_boundary_conditions,
+)
+from oceananigans_tpu.buoyancy import regularize_buoyancy
+from oceananigans_tpu.fields import LOC_C, LOC_U, LOC_V, LOC_W, new_field, set_field
+from oceananigans_tpu.forcings import materialize_forcing
+from oceananigans_tpu.grids.base import Center, Face
+from oceananigans_tpu.ops.operators import (
+    ddx_f, ddy_f, ddz_f, divergence_ccc, dx_f, dy_f, dz_f,
+)
+from oceananigans_tpu.solvers.pressure_solver import make_pressure_solver
+from oceananigans_tpu.timesteppers import (
+    Clock, RK3_STAGES, ab2_coefficients, tick,
+)
+
+__all__ = ["NonhydrostaticModel", "NonhydrostaticState"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NonhydrostaticState:
+    """The prognostic + diagnostic state pytree.
+
+    ``G_`` fields hold the previous tendencies required by quasi-AB2
+    restart continuity (reference ``checkpointer.jl:20-26``); for RK3 they
+    hold the previous stage's tendencies within a step.
+    """
+    u: jnp.ndarray
+    v: jnp.ndarray
+    w: jnp.ndarray
+    tracers: Dict[str, jnp.ndarray]
+    pressure: jnp.ndarray
+    clock: Clock
+    Gu: jnp.ndarray
+    Gv: jnp.ndarray
+    Gw: jnp.ndarray
+    Gtracers: Dict[str, jnp.ndarray]
+
+    @property
+    def velocities(self):
+        return {"u": self.u, "v": self.v, "w": self.w}
+
+    def fields(self):
+        return {"u": self.u, "v": self.v, "w": self.w, **self.tracers}
+
+
+def _replace(state, **kw):
+    return dataclasses.replace(state, **kw)
+
+
+class NonhydrostaticModel:
+    """Configuration + pure step functions.
+
+    Construction mirrors the reference's keyword surface
+    (``nonhydrostatic_model.jl:114``): grid, advection, tracers, buoyancy,
+    coriolis, closure, forcing, boundary_conditions, timestepper.
+    """
+
+    def __init__(self, grid, advection=None, tracers=(),
+                 buoyancy=None, coriolis=None, closure=None,
+                 forcing=None, boundary_conditions=None,
+                 background_fields=None,
+                 timestepper="RungeKutta3"):
+        if advection is None:
+            advection = Centered(2)
+        if isinstance(tracers, str):
+            tracers = (tracers,)
+        tracers = tuple(tracers)
+        buoyancy = regularize_buoyancy(buoyancy)
+        if buoyancy is not None:
+            for t in buoyancy.required_tracers:
+                if t not in tracers:
+                    tracers = tracers + (t,)
+
+        # halo requirement check (reference inflate_grid_halo_size,
+        # nonhydrostatic_model.jl:243-257 — we validate rather than rebuild)
+        needed = max(advection_required_halo(advection),
+                     closures_mod.closure_required_halo(closure))
+        for axis in range(3):
+            H = grid.H[axis]
+            if grid.N[axis] > 1 and H < min(needed, grid.N[axis]):
+                raise ValueError(
+                    f"grid halo {grid.H} too small for advection/closure "
+                    f"requiring {needed}; build the grid with halo={needed}")
+
+        self.grid = grid
+        self.advection = advection
+        self.tracer_names = tracers
+        self.buoyancy = buoyancy
+        self.coriolis = coriolis
+        self.closure = closure
+        self.timestepper = timestepper
+
+        # boundary conditions per field, regularized against topology
+        boundary_conditions = dict(boundary_conditions or {})
+        locs = {"u": LOC_U, "v": LOC_V, "w": LOC_W}
+        self.locations = {**locs, **{t: LOC_C for t in tracers}}
+        self.bcs = {}
+        for name, loc in self.locations.items():
+            self.bcs[name] = regularize_field_boundary_conditions(
+                boundary_conditions.get(name), grid, loc)
+        self.pressure_bcs = regularize_field_boundary_conditions(
+            None, grid, LOC_C)
+
+        # forcings -> callables (grid, time, fields) -> array
+        forcing = dict(forcing or {})
+        self.forcings = {
+            name: materialize_forcing(forcing.get(name), name,
+                                      self.locations[name])
+            for name in self.locations
+        }
+
+        self.pressure_solver = make_pressure_solver(grid)
+
+    # -- pytree protocol: grid is a child, config is aux ------------------
+    def tree_flatten(self):
+        return (self.grid,), _ModelAux(self)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.__dict__.update(aux.d)
+        obj.grid = children[0]
+        return obj
+
+    # ---------------------------------------------------------------------
+    # State construction (the functional `set!`)
+    # ---------------------------------------------------------------------
+    def initial_state(self, time=0.0, **field_values):
+        g = self.grid
+        dtype = g.xC.dtype
+
+        def mk(name, loc):
+            if name in field_values:
+                return set_field(g, field_values[name], loc=loc, dtype=dtype)
+            return new_field(g, dtype)
+
+        u = mk("u", LOC_U)
+        v = mk("v", LOC_V)
+        w = mk("w", LOC_W)
+        tracers = {t: mk(t, LOC_C) for t in self.tracer_names}
+        state = NonhydrostaticState(
+            u=u, v=v, w=w, tracers=tracers,
+            pressure=new_field(g, dtype),
+            clock=Clock.start(time, dtype),
+            Gu=new_field(g, dtype), Gv=new_field(g, dtype),
+            Gw=new_field(g, dtype),
+            Gtracers={t: new_field(g, dtype) for t in self.tracer_names},
+        )
+        # construction-time update_state (reference
+        # nonhydrostatic_model.jl:236): fill halos, project the initial
+        # velocity onto the divergence-free subspace so u₀ is admissible.
+        state = self.fill_state_halos(state)
+        state = self._pressure_correct(state, 1.0)
+        state = self.fill_state_halos(state)
+        return state
+
+    # ---------------------------------------------------------------------
+    # update_state: halo fills (reference update_nonhydrostatic_model_state)
+    # ---------------------------------------------------------------------
+    def fill_state_halos(self, state):
+        t = state.clock.time
+        u = fill_halo_regions(state.u, self.grid, self.bcs["u"], LOC_U, t)
+        v = fill_halo_regions(state.v, self.grid, self.bcs["v"], LOC_V, t)
+        w = fill_halo_regions(state.w, self.grid, self.bcs["w"], LOC_W, t)
+        tracers = {
+            name: fill_halo_regions(c, self.grid, self.bcs[name], LOC_C, t)
+            for name, c in state.tracers.items()
+        }
+        return _replace(state, u=u, v=v, w=w, tracers=tracers)
+
+    # ---------------------------------------------------------------------
+    # Tendencies (reference nonhydrostatic_tendency_kernel_functions.jl)
+    # ---------------------------------------------------------------------
+    def compute_tendencies(self, state):
+        g = self.grid
+        u, v, w = state.u, state.v, state.w
+        tracers = state.tracers
+        time = state.clock.time
+        fields = state.fields()
+
+        diffusivities = closures_mod.compute_diffusivities(
+            self.closure, g, u, v, w, tracers, self.buoyancy)
+
+        Gu = -div_vu(g, self.advection, u, v, w)
+        Gv = -div_vv(g, self.advection, u, v, w)
+        Gw = -div_vw(g, self.advection, u, v, w)
+
+        if self.coriolis is not None:
+            Gu = Gu - self.coriolis.x_f_cross_U(g, u, v, w)
+            Gv = Gv - self.coriolis.y_f_cross_U(g, u, v, w)
+            Gw = Gw - self.coriolis.z_f_cross_U(g, u, v, w)
+
+        if self.buoyancy is not None:
+            for contrib, G in (("x_contribution", "Gu"),
+                               ("y_contribution", "Gv"),
+                               ("z_contribution", "Gw")):
+                term = getattr(self.buoyancy, contrib)(g, tracers)
+                if term is not None:
+                    if G == "Gu":
+                        Gu = Gu + term
+                    elif G == "Gv":
+                        Gv = Gv + term
+                    else:
+                        Gw = Gw + term
+
+        du, dv, dw = closures_mod.momentum_flux_divergences(
+            self.closure, g, u, v, w, tracers, diffusivities,
+            include_implicit=False)
+        Gu = Gu + du
+        Gv = Gv + dv
+        Gw = Gw + dw
+
+        for name, fn, loc in (("u", None, LOC_U), ("v", None, LOC_V),
+                              ("w", None, LOC_W)):
+            f = self.forcings[name]
+            if f is not None:
+                term = f(g, time, fields)
+                if name == "u":
+                    Gu = Gu + term
+                elif name == "v":
+                    Gv = Gv + term
+                else:
+                    Gw = Gw + term
+
+        # boundary fluxes into tendencies (reference apply_flux_bcs!,
+        # compute_nonhydrostatic_tendencies.jl:202-208)
+        Gu = apply_flux_bcs(Gu, g, self.bcs["u"], LOC_U, time)
+        Gv = apply_flux_bcs(Gv, g, self.bcs["v"], LOC_V, time)
+        Gw = apply_flux_bcs(Gw, g, self.bcs["w"], LOC_W, time)
+
+        Gtracers = {}
+        for name in self.tracer_names:
+            c = tracers[name]
+            Gc = -div_Uc(g, self.advection, u, v, w, c)
+            Gc = Gc + closures_mod.tracer_flux_divergence(
+                self.closure, g, name, c, tracers, diffusivities,
+                include_implicit=False)
+            f = self.forcings[name]
+            if f is not None:
+                Gc = Gc + f(g, time, fields)
+            Gc = apply_flux_bcs(Gc, g, self.bcs[name], LOC_C, time)
+            Gtracers[name] = Gc
+
+        return Gu, Gv, Gw, Gtracers, diffusivities
+
+    # ---------------------------------------------------------------------
+    # Pressure projection (reference solve_for_pressure.jl +
+    # pressure_correction.jl)
+    # ---------------------------------------------------------------------
+    def _pressure_correct(self, state, dt):
+        g = self.grid
+        div = divergence_ccc(g, state.u, state.v, state.w)
+        rhs = g.interior(div) / dt
+        phi_int = self.pressure_solver.solve(rhs)
+        p = new_field(g, phi_int.dtype)
+        sx, sy, sz = g.interior_slices
+        p = p.at[sx, sy, sz].set(phi_int)
+        p = fill_halo_regions(p, g, self.pressure_bcs, LOC_C)
+        u = state.u - dt * ddx_f(g, p, Center)
+        v = state.v - dt * ddy_f(g, p, Center)
+        w = state.w - dt * ddz_f(g, p)
+        return _replace(state, u=u, v=v, w=w, pressure=p)
+
+    def _implicit_diffusion(self, state, diffusivities, dt):
+        if not closures_mod.closure_is_vertically_implicit(self.closure):
+            return state
+        u, v, tracers = closures_mod.implicit_vertical_diffusion_step(
+            self.grid, self.closure, diffusivities, dt,
+            u=state.u, v=state.v, tracers=state.tracers)
+        return _replace(state, u=u, v=v, tracers=tracers)
+
+    # ---------------------------------------------------------------------
+    # Steps
+    # ---------------------------------------------------------------------
+    def step(self, state, dt):
+        """One full time step (pure; jit me)."""
+        if self.timestepper == "RungeKutta3":
+            return self.rk3_step(state, dt)
+        if self.timestepper == "QuasiAdamsBashforth2":
+            return self.ab2_step(state, dt)
+        raise ValueError(f"unknown timestepper {self.timestepper!r}")
+
+    def rk3_step(self, state, dt):
+        """3-stage Wray RK3 with per-stage projection (reference
+        ``runge_kutta_3.jl:56-132``)."""
+        Gu_prev, Gv_prev, Gw_prev = state.Gu, state.Gv, state.Gw
+        Gt_prev = state.Gtracers
+        for stage, (gamma, zeta) in enumerate(RK3_STAGES):
+            state = self.fill_state_halos(state)
+            Gu, Gv, Gw, Gt, diffusivities = self.compute_tendencies(state)
+            stage_dt = dt * (gamma + zeta)
+            u = state.u + dt * (gamma * Gu + zeta * Gu_prev)
+            v = state.v + dt * (gamma * Gv + zeta * Gv_prev)
+            w = state.w + dt * (gamma * Gw + zeta * Gw_prev)
+            tracers = {
+                name: state.tracers[name]
+                + dt * (gamma * Gt[name] + zeta * Gt_prev[name])
+                for name in self.tracer_names
+            }
+            state = _replace(state, u=u, v=v, w=w, tracers=tracers)
+            state = self._implicit_diffusion(state, diffusivities, stage_dt)
+            state = self.fill_state_halos(state)
+            state = self._pressure_correct(state, stage_dt)
+            Gu_prev, Gv_prev, Gw_prev, Gt_prev = Gu, Gv, Gw, Gt
+        state = _replace(state, Gu=Gu_prev, Gv=Gv_prev, Gw=Gw_prev,
+                         Gtracers=Gt_prev, clock=tick(state.clock, dt))
+        return self.fill_state_halos(state)
+
+    def ab2_step(self, state, dt, chi=0.1):
+        """Quasi-AB2 with branch-free Euler first step (reference
+        ``quasi_adams_bashforth_2.jl:74-175``)."""
+        state = self.fill_state_halos(state)
+        Gu, Gv, Gw, Gt, diffusivities = self.compute_tendencies(state)
+        c_now, c_prev = ab2_coefficients(state.clock.iteration, chi)
+        u = state.u + dt * (c_now * Gu + c_prev * state.Gu)
+        v = state.v + dt * (c_now * Gv + c_prev * state.Gv)
+        w = state.w + dt * (c_now * Gw + c_prev * state.Gw)
+        tracers = {
+            name: state.tracers[name]
+            + dt * (c_now * Gt[name] + c_prev * state.Gtracers[name])
+            for name in self.tracer_names
+        }
+        state = _replace(state, u=u, v=v, w=w, tracers=tracers,
+                         Gu=Gu, Gv=Gv, Gw=Gw, Gtracers=Gt)
+        state = self._implicit_diffusion(state, diffusivities, dt)
+        state = self.fill_state_halos(state)
+        state = self._pressure_correct(state, dt)
+        state = _replace(state, clock=tick(state.clock, dt))
+        return self.fill_state_halos(state)
+
+    # ---------------------------------------------------------------------
+    def cfl_timescale(self, state):
+        return cell_advection_timescale(self.grid, state.u, state.v, state.w)
+
+    def __repr__(self):
+        return (f"NonhydrostaticModel(grid={self.grid!r}, "
+                f"advection={self.advection!r}, "
+                f"tracers={self.tracer_names}, "
+                f"timestepper={self.timestepper!r})")
+
+
+class _ModelAux:
+    """Hashable-by-identity aux wrapper for the model's static config."""
+
+    def __init__(self, model):
+        self.d = {k: v for k, v in model.__dict__.items() if k != "grid"}
+
+    def __eq__(self, other):
+        return isinstance(other, _ModelAux) and _aux_key(self.d) == _aux_key(
+            other.d)
+
+    def __hash__(self):
+        return hash(_aux_key(self.d))
+
+
+def _aux_key(d):
+    return (repr(sorted(d.keys())),
+            tuple(id(v) if not _hashable(v) else v
+                  for _, v in sorted(d.items(), key=lambda kv: kv[0])))
+
+
+def _hashable(v):
+    try:
+        hash(v)
+        return True
+    except TypeError:
+        return False
+
+
+jax.tree_util.register_pytree_node(
+    NonhydrostaticModel,
+    lambda m: m.tree_flatten(),
+    NonhydrostaticModel.tree_unflatten,
+)
