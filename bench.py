@@ -1,0 +1,70 @@
+"""Benchmark harness: nonhydrostatic 256³ step throughput on one chip.
+
+Mirrors the reference's headline benchmark
+(``benchmark/benchmarkable_nonhydrostatic_model.jl:20-30``: median wall time
+per ``time_step!`` of a default ``NonhydrostaticModel`` on a 256³ grid;
+V100 Float64 baseline 56.4 ms -> 0.2976e9 grid-points/s, see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Runs in the TPU-native configuration (float32; the baseline is the
+reference's published Float64 V100 number).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from oceananigans_tpu import RectilinearGrid, Periodic, Bounded
+from oceananigans_tpu.models import NonhydrostaticModel
+
+BASELINE_PTS_PER_S = 256 ** 3 / 56.4e-3   # V100 Float64, benchmarks.md:107
+
+
+def main():
+    N = int(os.environ.get("BENCH_N", "256"))
+    inner = int(os.environ.get("BENCH_INNER", "10"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+
+    grid = RectilinearGrid(size=(N, N, N), extent=(1.0, 1.0, 1.0),
+                           topology=(Periodic, Periodic, Bounded),
+                           halo=1, dtype="float32")
+    model = NonhydrostaticModel(grid=grid)   # reference-default config
+    rng = np.random.default_rng(7)
+    state = model.initial_state(
+        u=rng.standard_normal((N, N, N)).astype("float32") * 0.01,
+        v=rng.standard_normal((N, N, N)).astype("float32") * 0.01)
+    dt = jnp.float32(1e-4)
+
+    @jax.jit
+    def multi_step(s):
+        return jax.lax.fori_loop(0, inner, lambda i, s_: model.step(s_, dt),
+                                 s)
+
+    # warm-up/compile
+    state = jax.block_until_ready(multi_step(state))
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state = jax.block_until_ready(multi_step(state))
+        el = (time.perf_counter() - t0) / inner
+        best = min(best, el)
+
+    pts_per_s = N ** 3 / best
+    print(json.dumps({
+        "metric": f"nonhydrostatic_{N}cubed_points_per_s",
+        "value": pts_per_s,
+        "unit": "grid-points/s/chip (float32)",
+        "vs_baseline": pts_per_s / BASELINE_PTS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

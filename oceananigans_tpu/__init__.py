@@ -39,5 +39,35 @@ from oceananigans_tpu.utils.units import (
     second, seconds, minute, minutes, hour, hours, day, days, year, years,
     meter, meters, kilometer, kilometers, KiB, MiB, GiB, TiB,
 )
+from oceananigans_tpu.advection import (
+    Centered, UpwindBiased, WENO, FluxFormAdvection,
+)
+from oceananigans_tpu.coriolis import (
+    FPlane, ConstantCartesianCoriolis, BetaPlane, NonTraditionalBetaPlane,
+    HydrostaticSphericalCoriolis,
+)
+from oceananigans_tpu.buoyancy import (
+    BuoyancyTracer, SeawaterBuoyancy, LinearEquationOfState, BuoyancyForce,
+)
+from oceananigans_tpu.closures import (
+    ScalarDiffusivity, VerticalScalarDiffusivity,
+    HorizontalScalarDiffusivity, ScalarBiharmonicDiffusivity,
+    SmagorinskyLilly, AnisotropicMinimumDissipation,
+    ConvectiveAdjustmentVerticalDiffusivity,
+    ExplicitTimeDiscretization, VerticallyImplicitTimeDiscretization,
+)
+from oceananigans_tpu.forcings import (
+    Forcing, Relaxation, GaussianMask, LinearTarget, MultipleForcings,
+)
+from oceananigans_tpu.models import NonhydrostaticModel
+from oceananigans_tpu.simulation import Simulation, Callback, TimeStepWizard
+from oceananigans_tpu.utils.schedules import (
+    TimeInterval, IterationInterval, WallTimeInterval, SpecifiedTimes,
+    AveragedTimeInterval,
+)
+from oceananigans_tpu.output import (
+    HDF5Writer, JLD2Writer, Checkpointer, FieldTimeSeries,
+    load_field_time_series,
+)
 
 __version__ = "0.1.0"

@@ -1,0 +1,234 @@
+"""Output writers and readers: HDF5 field output, checkpointing, time series.
+
+Reference layer: ``src/OutputWriters/`` + ``src/OutputReaders/``
+(SURVEY.md §2.16) — ``JLD2Writer`` (``jld2_writer.jl:12-24``; JLD2 is an
+HDF5 container, so :class:`HDF5Writer` is the direct equivalent),
+``Checkpointer`` (``checkpointer.jl:10-26``), ``WindowedTimeAverage``
+(``windowed_time_average.jl:152``), ``FieldTimeSeries``
+(``src/OutputReaders/field_time_series.jl:219``).
+
+All IO is host-side between jitted windows; arrays cross the device
+boundary once per scheduled output (optionally downcast to float32, the
+reference's ``array_type=Array{Float32}`` convention).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Callable, Dict, Optional
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+
+from oceananigans_tpu.fields import LOC_C, interior
+from oceananigans_tpu.utils.schedules import (
+    AveragedTimeInterval, IterationInterval, TimeInterval,
+)
+
+__all__ = ["HDF5Writer", "JLD2Writer", "Checkpointer", "FieldTimeSeries",
+           "load_field_time_series", "WindowedTimeAverage"]
+
+
+def _fetch(model, state, output):
+    """Materialize one named output: a field name, or a callable
+    ``f(model, state) -> array`` (reference fetch_output.jl)."""
+    if callable(output):
+        return np.asarray(output(model, state))
+    fields = state.fields()
+    if output in fields:
+        return np.asarray(interior(model.grid, fields[output]))
+    if output == "pressure":
+        return np.asarray(interior(model.grid, state.pressure))
+    raise KeyError(f"unknown output {output!r}")
+
+
+class HDF5Writer:
+    """Writes named outputs on a schedule into one HDF5 file, with the
+    time axis unlimited — the JLD2Writer equivalent
+    (``jld2_writer.jl:12-24``).
+
+    Layout: ``/times`` (T,), ``/iterations`` (T,), ``/fields/<name>``
+    (T, nx, ny, nz), ``/grid/{x,y,z}`` coordinate vectors.
+    """
+
+    def __init__(self, outputs, filename, schedule, array_type=np.float32,
+                 overwrite_existing=True, with_halos=False):
+        self.outputs = outputs
+        self.filename = str(filename)
+        self.schedule = schedule
+        self.array_type = array_type
+        self.with_halos = with_halos
+        if overwrite_existing and os.path.exists(self.filename):
+            os.remove(self.filename)
+        os.makedirs(os.path.dirname(os.path.abspath(self.filename)),
+                    exist_ok=True)
+        self._initialized = False
+
+    def _init_file(self, sim, shapes):
+        with h5py.File(self.filename, "a") as f:
+            f.create_dataset("times", shape=(0,), maxshape=(None,),
+                             dtype=np.float64)
+            f.create_dataset("iterations", shape=(0,), maxshape=(None,),
+                             dtype=np.int64)
+            g = sim.model.grid
+            grp = f.create_group("grid")
+            grp.create_dataset("x", data=np.asarray(g.xnodes()).ravel())
+            grp.create_dataset("y", data=np.asarray(g.ynodes()).ravel())
+            grp.create_dataset("z", data=np.asarray(g.znodes()).ravel())
+            grp.attrs["Nx"], grp.attrs["Ny"], grp.attrs["Nz"] = g.N
+            fg = f.create_group("fields")
+            for name, shape in shapes.items():
+                fg.create_dataset(name, shape=(0, *shape),
+                                  maxshape=(None, *shape),
+                                  dtype=self.array_type,
+                                  chunks=(1, *shape))
+        self._initialized = True
+
+    def write(self, sim):
+        data = {name: _fetch(sim.model, sim.state, out)
+                for name, out in self.outputs.items()}
+        if not self._initialized:
+            self._init_file(sim, {k: v.shape for k, v in data.items()})
+        with h5py.File(self.filename, "a") as f:
+            n = f["times"].shape[0]
+            f["times"].resize((n + 1,))
+            f["times"][n] = float(sim.state.clock.time)
+            f["iterations"].resize((n + 1,))
+            f["iterations"][n] = int(sim.state.clock.iteration)
+            for name, arr in data.items():
+                ds = f["fields"][name]
+                ds.resize((n + 1, *arr.shape))
+                ds[n] = arr.astype(self.array_type)
+
+
+#: alias matching the reference's name
+JLD2Writer = HDF5Writer
+
+
+class WindowedTimeAverage:
+    """Wraps an output so a writer receives its trailing time average
+    (reference ``windowed_time_average.jl:152``). Used with an
+    ``AveragedTimeInterval`` schedule: the Simulation calls ``accumulate``
+    every stride iterations inside the window (simplified: every write of
+    the owning writer's sampling callback)."""
+
+    def __init__(self, output):
+        self.output = output
+        self._sum = None
+        self._n = 0
+
+    def accumulate(self, model, state):
+        v = _fetch(model, state, self.output)
+        self._sum = v if self._sum is None else self._sum + v
+        self._n += 1
+
+    def __call__(self, model, state):
+        if self._n == 0:
+            self.accumulate(model, state)
+        out = self._sum / self._n
+        self._sum = None
+        self._n = 0
+        return out
+
+
+class Checkpointer:
+    """Serializes the full state pytree + clock so a run restarts with
+    bitwise-identical AB2 tendency history (reference
+    ``checkpointer.jl:10-26,220``)."""
+
+    def __init__(self, dirname="checkpoints", schedule=None, prefix="ckpt",
+                 cleanup=False, keep=2):
+        self.dirname = str(dirname)
+        self.schedule = schedule or IterationInterval(1000)
+        self.prefix = prefix
+        self.cleanup = cleanup
+        self.keep = keep
+        os.makedirs(self.dirname, exist_ok=True)
+
+    def _path(self, iteration):
+        return os.path.join(self.dirname,
+                            f"{self.prefix}_iteration{iteration}.h5")
+
+    def write(self, sim):
+        import jax
+        it = int(sim.state.clock.iteration)
+        path = self._path(it)
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(sim.state)
+        with h5py.File(path, "w") as f:
+            for keypath, leaf in leaves:
+                key = jax.tree_util.keystr(keypath)
+                f.create_dataset(key, data=np.asarray(leaf))
+        if self.cleanup:
+            ckpts = sorted(glob.glob(os.path.join(
+                self.dirname, f"{self.prefix}_iteration*.h5")),
+                key=_ckpt_iteration)
+            for old in ckpts[:-self.keep]:
+                os.remove(old)
+
+    def restore(self, template_state, path=None):
+        """Rebuild a state pytree from a checkpoint (reference
+        ``set!(model, filepath)``). ``template_state`` provides structure
+        and dtypes (e.g. ``model.initial_state()``)."""
+        import jax
+        if path is None:
+            ckpts = sorted(glob.glob(os.path.join(
+                self.dirname, f"{self.prefix}_iteration*.h5")),
+                key=_ckpt_iteration)
+            if not ckpts:
+                raise FileNotFoundError(
+                    f"no checkpoints under {self.dirname}")
+            path = ckpts[-1]
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(
+            template_state)
+        with h5py.File(path, "r") as f:
+            new_leaves = []
+            for keypath, leaf in leaves:
+                key = jax.tree_util.keystr(keypath)
+                data = np.asarray(f[key])
+                new_leaves.append(jnp.asarray(data, leaf.dtype))
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(template_state), new_leaves)
+
+
+def _ckpt_iteration(path):
+    m = re.search(r"iteration(\d+)", path)
+    return int(m.group(1)) if m else -1
+
+
+class FieldTimeSeries:
+    """In-memory 4-D (time, x, y, z) series read from an HDF5Writer file,
+    with linear time interpolation (reference
+    ``field_time_series.jl:219``, ``field_time_series_indexing.jl``)."""
+
+    def __init__(self, times, data, name=""):
+        self.times = np.asarray(times)
+        self.data = data
+        self.name = name
+
+    def __len__(self):
+        return len(self.times)
+
+    def __getitem__(self, i):
+        return self.data[i]
+
+    def at_time(self, t):
+        """Linear interpolation (clamped extrapolation) in time."""
+        times = self.times
+        t = float(t)
+        if t <= times[0]:
+            return self.data[0]
+        if t >= times[-1]:
+            return self.data[-1]
+        i = int(np.searchsorted(times, t) - 1)
+        f = (t - times[i]) / (times[i + 1] - times[i])
+        return (1 - f) * self.data[i] + f * self.data[i + 1]
+
+
+def load_field_time_series(filename, name):
+    with h5py.File(filename, "r") as f:
+        times = np.asarray(f["times"])
+        data = np.asarray(f["fields"][name])
+    return FieldTimeSeries(times, data, name)

@@ -1,0 +1,223 @@
+"""Simulation driver: the run loop, callbacks, adaptive Δt, NaN guard.
+
+Reference layer: ``src/Simulations/`` (SURVEY.md §2.15) — ``Simulation``
+(``simulation.jl:11-26``), ``run!`` (``run.jl:92-113``), Δt alignment
+(``run.jl:24-57``), ``Callback`` (``callback.jl:7``), ``TimeStepWizard``
+(``time_step_wizard.jl:5-14``), ``NaNChecker``
+(``src/Models/nan_checker.jl:3-31``).
+
+TPU-native design: the schedule machinery stays outside the compiled region
+(the Reactant lesson, SURVEY.md §3.5); between actuation times the driver
+advances several steps inside ONE jitted ``lax.fori_loop`` dispatch, so the
+host loop costs one dispatch per output window, not per step.
+"""
+
+from __future__ import annotations
+
+import math
+import time as _time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oceananigans_tpu.utils.schedules import (
+    AbstractSchedule, IterationInterval, TimeInterval,
+)
+from oceananigans_tpu.utils.pretty import prettytime
+
+__all__ = ["Simulation", "Callback", "TimeStepWizard"]
+
+
+class Callback:
+    """func(simulation) on a schedule (reference ``callback.jl:7``)."""
+
+    def __init__(self, func, schedule=None):
+        self.func = func
+        self.schedule = schedule or IterationInterval(1)
+
+    def __call__(self, sim):
+        return self.func(sim)
+
+
+class TimeStepWizard:
+    """Adaptive Δt targeting an advective CFL (reference
+    ``time_step_wizard.jl:5-14``)."""
+
+    def __init__(self, cfl=0.2, diffusive_cfl=np.inf, max_change=1.1,
+                 min_change=0.5, max_dt=np.inf, min_dt=0.0):
+        self.cfl = cfl
+        self.diffusive_cfl = diffusive_cfl
+        self.max_change = max_change
+        self.min_change = min_change
+        self.max_dt = max_dt
+        self.min_dt = min_dt
+
+    def __call__(self, sim):
+        tau = float(sim.model.cfl_timescale(sim.state))
+        new_dt = self.cfl * tau
+        new_dt = min(new_dt, self.max_change * sim.dt)
+        new_dt = max(new_dt, self.min_change * sim.dt)
+        sim.dt = float(np.clip(new_dt, self.min_dt, self.max_dt))
+
+
+class NaNChecker:
+    """Halts the run when a velocity field goes non-finite (reference
+    ``nan_checker.jl:3-31``; wired as a default IterationInterval(100)
+    callback like the reference Simulation constructor)."""
+
+    def __init__(self, fields=("u",)):
+        self.fields = fields
+
+    def __call__(self, sim):
+        for name in self.fields:
+            arr = sim.state.fields()[name]
+            if not bool(jnp.all(jnp.isfinite(arr))):
+                sim.running = False
+                sim.stop_reason = f"NaN found in field {name!r}"
+                raise RuntimeError(
+                    f"time step {int(sim.state.clock.iteration)}: "
+                    f"NaN found in {name!r}; aborting simulation")
+
+
+class Simulation:
+    """Drives ``model.step`` with schedules, callbacks, and writers.
+
+    Usage mirrors the reference (``simulation.jl``)::
+
+        sim = Simulation(model, state, dt=0.01, stop_time=10.0)
+        sim.callbacks["progress"] = Callback(print_progress,
+                                             IterationInterval(10))
+        sim.output_writers["fields"] = HDF5Writer(...)
+        sim.run()
+
+    ``sim.state`` holds the current state pytree (replaced, never mutated).
+    """
+
+    def __init__(self, model, state=None, dt=None, stop_time=None,
+                 stop_iteration=None, wall_time_limit=None):
+        if dt is None:
+            raise ValueError("Simulation needs dt=")
+        self.model = model
+        self.state = state if state is not None else model.initial_state()
+        self.dt = float(dt)
+        self.stop_time = stop_time
+        self.stop_iteration = stop_iteration
+        self.wall_time_limit = wall_time_limit
+        self.callbacks: Dict[str, Callback] = {
+            "nan_checker": Callback(NaNChecker(), IterationInterval(100)),
+        }
+        self.output_writers: Dict[str, object] = {}
+        self.running = True
+        self.stop_reason = None
+        self.run_wall_time = 0.0
+        self.initialized = False
+
+        self._step1 = jax.jit(model.step, static_argnums=())
+        self._stepn_cache = {}
+
+    # ------------------------------------------------------------------
+    def _stepn(self, n):
+        """Jitted n-step advance (one dispatch per window)."""
+        if n not in self._stepn_cache:
+            model = self.model
+
+            @jax.jit
+            def stepn(state, dt):
+                return jax.lax.fori_loop(
+                    0, n, lambda i, s: model.step(s, dt), state)
+
+            self._stepn_cache[n] = stepn
+        return self._stepn_cache[n]
+
+    def _all_schedules(self):
+        for cb in self.callbacks.values():
+            yield cb.schedule
+        for w in self.output_writers.values():
+            yield w.schedule
+
+    def _aligned_steps(self):
+        """(n_steps, dt): how many dt-steps until the next schedule
+        actuation / stop time (reference aligned_time_step, run.jl:24-57),
+        batched into one compiled dispatch."""
+        t = float(self.state.clock.time)
+        horizon = math.inf
+        if self.stop_time is not None:
+            horizon = min(horizon, self.stop_time - t)
+        for s in self._all_schedules():
+            nt = s.next_actuation_time(self.state.clock)
+            if nt is not None:
+                horizon = min(horizon, nt - t)
+            else:
+                # iteration/wall-time schedules force per-step actuation
+                # checks, capping the window at 1 step
+                if isinstance(s, IterationInterval) and s.interval == 1:
+                    return 1, self.dt
+                horizon = min(horizon, self.dt)
+        if not math.isfinite(horizon) or horizon <= 0:
+            return 1, self.dt
+        n = max(1, int(math.ceil(horizon / self.dt - 1e-9)))
+        dt = min(self.dt, horizon / n)
+        # align exactly onto the horizon when within one window
+        if n * self.dt > horizon - 1e-12:
+            dt = horizon / n
+        return n, dt
+
+    # ------------------------------------------------------------------
+    def initialize(self):
+        """Actuate everything once at iteration 0 (reference run.jl:203-252)."""
+        for cb in self.callbacks.values():
+            cb.schedule.initialize(self.state.clock)
+            if cb.schedule.actuates(self.state.clock):
+                cb(self)
+        for w in self.output_writers.values():
+            w.schedule.initialize(self.state.clock)
+            w.write(self)
+        self.initialized = True
+
+    def _should_stop(self):
+        if self.stop_iteration is not None and (
+                int(self.state.clock.iteration) >= self.stop_iteration):
+            self.stop_reason = "stop_iteration reached"
+            return True
+        if self.stop_time is not None and (
+                float(self.state.clock.time) >= self.stop_time - 1e-12):
+            self.stop_reason = "stop_time reached"
+            return True
+        if self.wall_time_limit is not None and (
+                self.run_wall_time > self.wall_time_limit):
+            self.stop_reason = "wall_time_limit exceeded"
+            return True
+        return False
+
+    def run(self):
+        """The run loop (reference run.jl:92-113)."""
+        if not self.initialized:
+            self.initialize()
+        while self.running and not self._should_stop():
+            t0 = _time.monotonic()
+            n, dt = self._aligned_steps()
+            if self.stop_iteration is not None:
+                n = min(n, self.stop_iteration
+                        - int(self.state.clock.iteration))
+                n = max(n, 1)
+            if n == 1:
+                self.state = self._step1(self.state, dt)
+            else:
+                self.state = self._stepn(n)(self.state,
+                                            jnp.asarray(dt))
+            self.run_wall_time += _time.monotonic() - t0
+
+            for cb in self.callbacks.values():
+                if cb.schedule.actuates(self.state.clock):
+                    cb(self)
+            for w in self.output_writers.values():
+                if w.schedule.actuates(self.state.clock):
+                    w.write(self)
+        return self.state
+
+    def __repr__(self):
+        return (f"Simulation(t={prettytime(float(self.state.clock.time))}, "
+                f"iteration={int(self.state.clock.iteration)}, "
+                f"dt={self.dt:g})")
