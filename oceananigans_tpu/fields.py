@@ -74,6 +74,12 @@ def interior(grid, a):
     return grid.interior(a)
 
 
+def interior_xy(grid, a):
+    """Interior view of a reduced (nx, ny, 1) field (e.g. free surface)."""
+    sx, sy, _ = grid.interior_slices
+    return a[..., sx, sy, :]
+
+
 def with_interior(grid, a, values):
     sx, sy, sz = grid.interior_slices
     return a.at[sx, sy, sz].set(values)

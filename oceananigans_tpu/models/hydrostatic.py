@@ -1,0 +1,600 @@
+"""HydrostaticFreeSurfaceModel: primitive equations with a free surface.
+
+Reference: ``src/Models/HydrostaticFreeSurfaceModels/`` (SURVEY.md §2.14) —
+struct ``hydrostatic_free_surface_model.jl:28-49``, tendencies
+``hydrostatic_free_surface_tendency_kernel_functions.jl:29-110``, w from
+continuity ``compute_w_from_continuity.jl``, free surfaces
+``explicit_free_surface.jl:14`` / ``SplitExplicitFreeSurfaces/`` /
+``implicit_free_surface.jl:12``, AB2 step
+``hydrostatic_free_surface_ab2_step.jl:12-33``.
+
+TPU-native design notes:
+- Prognostic state: u, v, tracers, η. w is diagnosed from continuity by a
+  z-``cumsum`` (a log-depth scan XLA lowers well) instead of a per-column
+  loop kernel.
+- The split-explicit barotropic substepping is ONE ``lax.scan`` over the
+  substep weights inside the jitted step (the reference unrolls ~50 tiny
+  GPU kernels and is latency-bound there; a scan of fused 2-D ops is the
+  TPU answer, reference ``step_split_explicit_free_surface.jl:100-115``).
+- The free-surface solver choice is static config; no data-dependent
+  branching anywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oceananigans_tpu import closures as closures_mod
+from oceananigans_tpu.advection import (
+    Centered, cell_advection_timescale, div_Uc, div_vu, div_vv,
+    required_halo as advection_required_halo,
+)
+from oceananigans_tpu.boundary_conditions import (
+    FieldBoundaryConditions, apply_flux_bcs, fill_halo_regions,
+    regularize_field_boundary_conditions,
+)
+from oceananigans_tpu.buoyancy import g_Earth, regularize_buoyancy
+from oceananigans_tpu.fields import (
+    LOC_C, LOC_U, LOC_V, LOC_W, new_field, set_field,
+)
+from oceananigans_tpu.forcings import materialize_forcing
+from oceananigans_tpu.grids.base import Center, Face
+from oceananigans_tpu.models.nonhydrostatic import _ModelAux
+from oceananigans_tpu.ops.operators import (
+    ddx_f, ddy_f, div_xy_cc, dx_f, dy_f, dz_f, dx_c, dy_c,
+    ix_c, ix_f, iy_c, iy_f, iz_c, iz_f, shift,
+    vorticity_z_ff,
+)
+from oceananigans_tpu.timesteppers import Clock, ab2_coefficients, tick
+
+__all__ = ["HydrostaticFreeSurfaceModel", "HydrostaticState",
+           "ExplicitFreeSurface", "SplitExplicitFreeSurface",
+           "VectorInvariant", "PrescribedVelocityFields"]
+
+X, Y, Z = 0, 1, 2
+
+
+# ---------------------------------------------------------------------------
+# Momentum advection schemes
+# ---------------------------------------------------------------------------
+
+class VectorInvariant:
+    """Rotational-form momentum advection (reference
+    ``vector_invariant_advection.jl``): 𝐯·∇u = ζ ẑ×u + ∇K + w ∂z u, with
+    the enstrophy-conserving vorticity scheme by default."""
+
+    def __init__(self, vorticity_scheme="enstrophy_conserving"):
+        self.vorticity_scheme = vorticity_scheme
+
+    required_halo = property(lambda self: 2)
+
+    def __eq__(self, other):
+        return (type(self) is type(other)
+                and self.vorticity_scheme == other.vorticity_scheme)
+
+    def __hash__(self):
+        return hash(("VectorInvariant", self.vorticity_scheme))
+
+    def __repr__(self):
+        return f"VectorInvariant({self.vorticity_scheme})"
+
+    def u_tendency(self, grid, u, v, w):
+        """−[𝐯·∇u]ₓ at (f,c,c)."""
+        zeta = vorticity_z_ff(grid, u, v)   # (f,f,c)
+        # + ζ v̄ˣʸ : enstrophy-conserving form ℑy_c(ζ ℑx_f(v))
+        zeta_v = iy_c(zeta * ix_f(v))
+        # − ∂x K
+        K = 0.5 * (ix_c(u * u) + iy_c(v * v))
+        dKdx = dx_f(K) / grid.dx(Face, Center)
+        # − w ∂z u (vertical advection, at (f,c,c))
+        w_fcf = ix_f(w)
+        dudz = dz_f(u) / grid.dz(Face)
+        w_dudz = iz_c(w_fcf * dudz)
+        return zeta_v - dKdx - w_dudz
+
+    def v_tendency(self, grid, u, v, w):
+        zeta = vorticity_z_ff(grid, u, v)
+        zeta_u = ix_c(zeta * iy_f(u))
+        K = 0.5 * (ix_c(u * u) + iy_c(v * v))
+        dKdy = dy_f(K) / grid.dy(Face, Center)
+        w_cff = iy_f(w)
+        dvdz = dz_f(v) / grid.dz(Face)
+        w_dvdz = iz_c(w_cff * dvdz)
+        return -zeta_u - dKdy - w_dvdz
+
+
+# ---------------------------------------------------------------------------
+# Free surfaces
+# ---------------------------------------------------------------------------
+
+class ExplicitFreeSurface:
+    """∂t η = −∇·U with g∇η explicit in the momentum tendency (reference
+    ``explicit_free_surface.jl:14``). Gravity-wave CFL limits Δt."""
+
+    def __init__(self, gravitational_acceleration=g_Earth):
+        self.g = float(gravitational_acceleration)
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self.g == other.g
+
+    def __hash__(self):
+        return hash(("ExplicitFS", self.g))
+
+    def __repr__(self):
+        return f"ExplicitFreeSurface(g={self.g:g})"
+
+
+def averaging_shape_function(tau, p=2, q=4, r=0.18927):
+    """Shchepetkin & McWilliams (2005) dispersion-minimizing barotropic
+    averaging kernel (reference ``split_explicit_free_surface.jl:210-215``).
+    """
+    tau0 = (p + 2) * (p + q + 2) / (p + 1) / (p + q + 1)
+    return (tau / tau0) ** p * (1 - (tau / tau0) ** q) - r * (tau / tau0)
+
+
+def weights_from_substeps(substeps, kernel=averaging_shape_function):
+    """Normalized averaging weights over τ ∈ (0, 2], truncated at the last
+    positive weight (reference ``weights_from_substeps``,
+    ``split_explicit_free_surface.jl:251-260``)."""
+    tau_f = np.linspace(0.0, 2.0, substeps + 1)
+    frac = tau_f[1] - tau_f[0]
+    w = np.array([kernel(t) for t in tau_f[1:]])
+    idx = len(w)
+    while idx > 0 and w[idx - 1] <= 0:
+        idx -= 1
+    w = w[:idx]
+    return frac, w / w.sum()
+
+
+class SplitExplicitFreeSurface:
+    """Barotropic substepping with filtered averaging (reference
+    ``SplitExplicitFreeSurfaces/split_explicit_free_surface.jl:5-12``)."""
+
+    def __init__(self, substeps=30, gravitational_acceleration=g_Earth,
+                 averaging_kernel=averaging_shape_function):
+        self.g = float(gravitational_acceleration)
+        self.substeps = int(substeps)
+        self.fractional_step, w = weights_from_substeps(self.substeps,
+                                                        averaging_kernel)
+        self.weights = tuple(float(x) for x in w)
+
+    def __eq__(self, other):
+        return (type(self) is type(other) and self.g == other.g
+                and self.weights == other.weights)
+
+    def __hash__(self):
+        return hash(("SplitExplicitFS", self.g, self.weights))
+
+    def __repr__(self):
+        return (f"SplitExplicitFreeSurface(substeps={len(self.weights)}, "
+                f"g={self.g:g})")
+
+
+class PrescribedVelocityFields:
+    """Diagnostic-velocity mode: tracers advected by fixed analytic
+    velocities (reference ``prescribed_hydrostatic_velocity_fields.jl``)."""
+
+    def __init__(self, u=None, v=None, w=None):
+        self.u = u
+        self.v = v
+        self.w = w
+
+
+# ---------------------------------------------------------------------------
+# State
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HydrostaticState:
+    u: jnp.ndarray
+    v: jnp.ndarray
+    w: jnp.ndarray            # diagnostic
+    eta: jnp.ndarray          # (nx, ny, 1) free surface displacement
+    tracers: Dict[str, jnp.ndarray]
+    clock: Clock
+    Gu: jnp.ndarray
+    Gv: jnp.ndarray
+    Geta: jnp.ndarray
+    Gtracers: Dict[str, jnp.ndarray]
+
+    @property
+    def velocities(self):
+        return {"u": self.u, "v": self.v, "w": self.w}
+
+    def fields(self):
+        return {"u": self.u, "v": self.v, "w": self.w, "eta": self.eta,
+                **self.tracers}
+
+
+def _replace(state, **kw):
+    return dataclasses.replace(state, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+class HydrostaticFreeSurfaceModel:
+    """Hydrostatic Boussinesq dynamics with a free surface.
+
+    Mirrors the reference keyword surface
+    (``hydrostatic_free_surface_model.jl:87``): grid, momentum_advection,
+    tracer_advection, free_surface, tracers, buoyancy, coriolis, closure,
+    forcing, boundary_conditions.
+    """
+
+    def __init__(self, grid, momentum_advection=None, tracer_advection=None,
+                 free_surface=None, tracers=(), buoyancy=None, coriolis=None,
+                 closure=None, forcing=None, boundary_conditions=None):
+        if momentum_advection is None:
+            momentum_advection = VectorInvariant()
+        if tracer_advection is None:
+            tracer_advection = Centered(2)
+        if free_surface is None:
+            # reference default: implicit on regular grids else split
+            # explicit (hydrostatic_free_surface_model.jl:51-55); we default
+            # to split-explicit, the scalable choice
+            free_surface = SplitExplicitFreeSurface()
+        if isinstance(tracers, str):
+            tracers = (tracers,)
+        tracers = tuple(tracers)
+        buoyancy = regularize_buoyancy(buoyancy)
+        if buoyancy is not None:
+            for t in buoyancy.required_tracers:
+                if t not in tracers:
+                    tracers = tracers + (t,)
+
+        self.grid = grid
+        self.momentum_advection = momentum_advection
+        self.tracer_advection = tracer_advection
+        self.free_surface = free_surface
+        self.tracer_names = tracers
+        self.buoyancy = buoyancy
+        self.coriolis = coriolis
+        self.closure = closure
+
+        boundary_conditions = dict(boundary_conditions or {})
+        locs = {"u": LOC_U, "v": LOC_V, "w": LOC_W}
+        self.locations = {**locs, **{t: LOC_C for t in tracers}}
+        self.bcs = {}
+        for name, loc in self.locations.items():
+            self.bcs[name] = regularize_field_boundary_conditions(
+                boundary_conditions.get(name), grid, loc)
+        # η: center-located in x,y
+        self.eta_bcs = regularize_field_boundary_conditions(
+            boundary_conditions.get("eta"), grid, LOC_C)
+
+        forcing = dict(forcing or {})
+        self.forcings = {
+            name: materialize_forcing(forcing.get(name), name,
+                                      self.locations[name])
+            for name in self.locations
+        }
+
+    tree_flatten = lambda self: ((self.grid,), _ModelAux(self))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.__dict__.update(aux.d)
+        obj.grid = children[0]
+        return obj
+
+    # ------------------------------------------------------------------
+    def initial_state(self, time=0.0, **field_values):
+        g = self.grid
+        dtype = g.xC.dtype
+
+        def mk(name, loc):
+            if name in field_values:
+                return set_field(g, field_values[name], loc=loc, dtype=dtype)
+            return new_field(g, dtype)
+
+        u = mk("u", LOC_U)
+        v = mk("v", LOC_V)
+        eta2d = field_values.get("eta", 0.0)
+        eta = self._eta_field(eta2d, dtype)
+        tracers = {t: mk(t, LOC_C) for t in self.tracer_names}
+        zeros2d = jnp.zeros_like(eta)
+        state = HydrostaticState(
+            u=u, v=v, w=new_field(g, dtype), eta=eta, tracers=tracers,
+            clock=Clock.start(time, dtype),
+            Gu=new_field(g, dtype), Gv=new_field(g, dtype),
+            Geta=zeros2d,
+            Gtracers={t: new_field(g, dtype) for t in self.tracer_names},
+        )
+        state = self.update_state(state)
+        return state
+
+    def _eta_field(self, value, dtype):
+        g = self.grid
+        shape2d = (g.shape[0], g.shape[1], 1)
+        if callable(value):
+            x = g.xC
+            y = g.yC
+            vals = value(x, y)
+            return jnp.broadcast_to(jnp.asarray(vals, dtype),
+                                    shape2d).astype(dtype)
+        return jnp.broadcast_to(jnp.asarray(value, dtype), shape2d)
+
+    # ------------------------------------------------------------------
+    def _fill_eta_halos(self, eta):
+        g = self.grid
+        # fill x/y halos only (η has no z extent)
+        from oceananigans_tpu.boundary_conditions import _fill_axis
+        for axis in (X, Y):
+            lbc, rbc = self.eta_bcs.sides(axis)
+            eta = _fill_axis(eta, g, axis, Center, lbc, rbc, None, None)
+        return eta
+
+    def fill_state_halos(self, state):
+        g = self.grid
+        t = state.clock.time
+        u = fill_halo_regions(state.u, g, self.bcs["u"], LOC_U, t)
+        v = fill_halo_regions(state.v, g, self.bcs["v"], LOC_V, t)
+        tracers = {
+            name: fill_halo_regions(c, g, self.bcs[name], LOC_C, t)
+            for name, c in state.tracers.items()
+        }
+        eta = self._fill_eta_halos(state.eta)
+        return _replace(state, u=u, v=v, tracers=tracers, eta=eta)
+
+    def compute_w(self, state):
+        """Diagnose w from continuity: w(zF_k) = −∫_bottom^k ∇ₕ·𝐮 dz
+        (reference ``compute_w_from_continuity.jl``)."""
+        g = self.grid
+        hdiv = div_xy_cc(g, state.u, state.v)
+        dz = jnp.broadcast_to(g.dz(Center), g.shape)
+        k = jnp.arange(g.shape[Z]).reshape(1, 1, -1)
+        in_interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
+        contrib = jnp.where(in_interior, hdiv * dz, 0.0)
+        csum = jnp.cumsum(contrib, axis=Z)
+        # w at face k (bottom face of cell k) = −sum over cells k' < k
+        w = -shift(csum, -1, Z)
+        w = jnp.where(k == 0, 0.0, w)
+        w = fill_halo_regions(w, g, self.bcs["w"], LOC_W, state.clock.time)
+        return _replace(state, w=w)
+
+    def update_state(self, state):
+        state = self.fill_state_halos(state)
+        state = self.compute_w(state)
+        return state
+
+    # ------------------------------------------------------------------
+    def hydrostatic_pressure_anomaly(self, state):
+        """p′(z) = −∫_z^0 b dz′ at centers (∂z p′ = b, p′(top) = 0);
+        reference ``update_hydrostatic_pressure.jl``."""
+        g = self.grid
+        if self.buoyancy is None:
+            return None
+        b = self.buoyancy.buoyancy_ccc(g, state.tracers)
+        dz = jnp.broadcast_to(g.dz(Center), g.shape)
+        k = jnp.arange(g.shape[Z]).reshape(1, 1, -1)
+        in_interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
+        contrib = jnp.where(in_interior, b * dz, 0.0)
+        total = jnp.sum(contrib, axis=Z, keepdims=True)
+        below_incl = jnp.cumsum(contrib, axis=Z)
+        # −∫_z^0 b dz' = −(total − ∫_bottom^z) ; center value uses the half
+        # cell above: −(above-z integral) with midpoint correction
+        above = total - below_incl
+        p = -(above + 0.5 * contrib)
+        return p
+
+    def compute_tendencies(self, state):
+        g = self.grid
+        u, v, w = state.u, state.v, state.w
+        tracers = state.tracers
+        time = state.clock.time
+        fields = state.fields()
+
+        diffusivities = closures_mod.compute_diffusivities(
+            self.closure, g, u, v, w, tracers, self.buoyancy)
+
+        ma = self.momentum_advection
+        if isinstance(ma, VectorInvariant):
+            Gu = ma.u_tendency(g, u, v, w)
+            Gv = ma.v_tendency(g, u, v, w)
+        elif ma is None:
+            Gu = jnp.zeros_like(u)
+            Gv = jnp.zeros_like(v)
+        else:
+            Gu = -div_vu(g, ma, u, v, w)
+            Gv = -div_vv(g, ma, u, v, w)
+
+        if self.coriolis is not None:
+            Gu = Gu - self.coriolis.x_f_cross_U(g, u, v, w)
+            Gv = Gv - self.coriolis.y_f_cross_U(g, u, v, w)
+
+        p_anom = self.hydrostatic_pressure_anomaly(state)
+        if p_anom is not None:
+            Gu = Gu - dx_f(p_anom) / g.dx(Face, Center)
+            Gv = Gv - dy_f(p_anom) / g.dy(Face, Center)
+
+        # explicit barotropic pressure gradient (explicit free surface only)
+        if isinstance(self.free_surface, ExplicitFreeSurface):
+            fs_g = self.free_surface.g
+            Gu = Gu - fs_g * dx_f(state.eta) / g.dx(Face, Center)
+            Gv = Gv - fs_g * dy_f(state.eta) / g.dy(Face, Center)
+
+        du, dv, _ = closures_mod.momentum_flux_divergences(
+            self.closure, g, u, v, w, tracers, diffusivities,
+            include_implicit=False)
+        Gu = Gu + du
+        Gv = Gv + dv
+
+        for name, G in (("u", None), ("v", None)):
+            f = self.forcings[name]
+            if f is not None:
+                term = f(g, time, fields)
+                if name == "u":
+                    Gu = Gu + term
+                else:
+                    Gv = Gv + term
+
+        Gu = apply_flux_bcs(Gu, g, self.bcs["u"], LOC_U, time)
+        Gv = apply_flux_bcs(Gv, g, self.bcs["v"], LOC_V, time)
+
+        Gtracers = {}
+        for name in self.tracer_names:
+            c = tracers[name]
+            Gc = -div_Uc(g, self.tracer_advection, u, v, w, c)
+            Gc = Gc + closures_mod.tracer_flux_divergence(
+                self.closure, g, name, c, tracers, diffusivities,
+                include_implicit=False)
+            f = self.forcings[name]
+            if f is not None:
+                Gc = Gc + f(g, time, fields)
+            Gc = apply_flux_bcs(Gc, g, self.bcs[name], LOC_C, time)
+            Gtracers[name] = Gc
+
+        return Gu, Gv, Gtracers, diffusivities
+
+    # ------------------------------------------------------------------
+    def _barotropic_mode(self, u, v):
+        """(U, V) = ∫ u dz (reference ``_compute_barotropic_mode!``)."""
+        g = self.grid
+        dz = jnp.broadcast_to(g.dz(Center), g.shape)
+        k = jnp.arange(g.shape[Z]).reshape(1, 1, -1)
+        in_interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
+        dzm = jnp.where(in_interior, dz, 0.0)
+        U = jnp.sum(u * dzm, axis=Z, keepdims=True)
+        V = jnp.sum(v * dzm, axis=Z, keepdims=True)
+        return U, V
+
+    def _column_depth(self):
+        g = self.grid
+        dz = jnp.broadcast_to(g.dz(Center), g.shape)
+        k = jnp.arange(g.shape[Z]).reshape(1, 1, -1)
+        in_interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
+        return jnp.sum(jnp.where(in_interior, dz, 0.0), axis=Z,
+                       keepdims=True)
+
+    def _div_transports(self, U, V):
+        """2-D divergence per unit area of depth-integrated transports
+        located at (f,c)/(c,f): (δx(Δy U) + δy(Δx V)) / Az."""
+        g = self.grid
+        return (dx_c(g.dy(Center, Face) * U)
+                + dy_c(g.dx(Center, Face) * V)) / g.Az(Center, Center)
+
+    def _split_explicit_substep(self, eta, U, V, GU, GV, dtau, fs):
+        """One forward-backward barotropic substep (reference
+        ``_split_explicit_free_surface!`` + `_split_explicit_barotropic_
+        velocity!``, step_split_explicit_free_surface.jl:11-47)."""
+        g = self.grid
+        # η ← η − Δτ ∇·(U, V)
+        eta = eta - dtau * self._div_transports(U, V)
+        eta = self._fill_eta_halos(eta)
+        H_fc = ix_f(self._column_depth())
+        H_cf = iy_f(self._column_depth())
+        U = U + dtau * (-fs.g * H_fc * dx_f(eta) / g.dx(Face, Center) + GU)
+        V = V + dtau * (-fs.g * H_cf * dy_f(eta) / g.dy(Face, Center) + GV)
+        return eta, U, V
+
+    def _step_free_surface_split(self, state, Gu_ab2, Gv_ab2, dt, fs):
+        g = self.grid
+        # slow forcing: vertically integrated AB2 tendencies
+        dz = jnp.broadcast_to(g.dz(Center), g.shape)
+        k = jnp.arange(g.shape[Z]).reshape(1, 1, -1)
+        in_interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
+        dzm = jnp.where(in_interior, dz, 0.0)
+        GU = jnp.sum(Gu_ab2 * dzm, axis=Z, keepdims=True)
+        GV = jnp.sum(Gv_ab2 * dzm, axis=Z, keepdims=True)
+
+        U0, V0 = self._barotropic_mode(state.u, state.v)
+        eta0 = state.eta
+        dtau = fs.fractional_step * dt
+
+        weights = np.asarray(fs.weights, dtype=np.float64)
+
+        def substep(carry, wgt):
+            eta, U, V, eta_f, U_f, V_f = carry
+            eta, U, V = self._split_explicit_substep(eta, U, V, GU, GV,
+                                                     dtau, fs)
+            return (eta, U, V,
+                    eta_f + wgt * eta, U_f + wgt * U, V_f + wgt * V), None
+
+        zero = jnp.zeros_like(eta0)
+        init = (eta0, U0, V0, zero, jnp.zeros_like(U0), jnp.zeros_like(V0))
+        (eta, U, V, eta_f, U_f, V_f), _ = jax.lax.scan(
+            substep, init, weights.astype(eta0.dtype))
+        return eta_f, U_f, V_f
+
+    def _barotropic_correct(self, state, U_target, V_target):
+        """u ← u + (Ū − ∫u dz)/H (reference
+        ``barotropic_split_explicit_corrector.jl``)."""
+        H = self._column_depth()
+        U, V = self._barotropic_mode(state.u, state.v)
+        du = (U_target - U) / ix_f(H)
+        dv = (V_target - V) / iy_f(H)
+        return _replace(state, u=state.u + du, v=state.v + dv)
+
+    # ------------------------------------------------------------------
+    def step(self, state, dt, chi=0.1):
+        """Quasi-AB2 step with the configured free surface (reference
+        ``hydrostatic_free_surface_ab2_step.jl:12-33``)."""
+        g = self.grid
+        state = self.update_state(state)
+        Gu, Gv, Gt, diffusivities = self.compute_tendencies(state)
+        c_now, c_prev = ab2_coefficients(state.clock.iteration, chi)
+
+        Gu_ab2 = c_now * Gu + c_prev * state.Gu
+        Gv_ab2 = c_now * Gv + c_prev * state.Gv
+
+        u = state.u + dt * Gu_ab2
+        v = state.v + dt * Gv_ab2
+        tracers = {
+            name: state.tracers[name]
+            + dt * (c_now * Gt[name] + c_prev * state.Gtracers[name])
+            for name in self.tracer_names
+        }
+
+        fs = self.free_surface
+        if isinstance(fs, ExplicitFreeSurface):
+            # ∂t η = −∇·U with the *updated* velocities (forward-backward)
+            state2 = _replace(state, u=u, v=v, tracers=tracers)
+            state2 = self.fill_state_halos(state2)
+            U, V = self._barotropic_mode(state2.u, state2.v)
+            eta = state.eta - dt * self._div_transports(U, V)
+            state2 = _replace(state2, eta=eta)
+        else:
+            eta_f, U_f, V_f = self._step_free_surface_split(
+                _replace(state, u=u, v=v), Gu_ab2, Gv_ab2, dt, fs)
+            state2 = _replace(state, u=u, v=v, tracers=tracers, eta=eta_f)
+            state2 = self.fill_state_halos(state2)
+            state2 = self._barotropic_correct(state2, U_f, V_f)
+
+        state2 = _replace(state2, Gu=Gu, Gv=Gv, Gtracers=Gt)
+        state2 = self._implicit_diffusion(state2, diffusivities, dt)
+        state2 = _replace(state2, clock=tick(state2.clock, dt))
+        return self.update_state(state2)
+
+    def _implicit_diffusion(self, state, diffusivities, dt):
+        if not closures_mod.closure_is_vertically_implicit(self.closure):
+            return state
+        u, v, tracers = closures_mod.implicit_vertical_diffusion_step(
+            self.grid, self.closure, diffusivities, dt,
+            u=state.u, v=state.v, tracers=state.tracers)
+        return _replace(state, u=u, v=v, tracers=tracers)
+
+    def cfl_timescale(self, state):
+        return cell_advection_timescale(self.grid, state.u, state.v,
+                                        state.w)
+
+    def __repr__(self):
+        return (f"HydrostaticFreeSurfaceModel(grid={self.grid!r}, "
+                f"free_surface={self.free_surface!r}, "
+                f"tracers={self.tracer_names})")
+
+
+jax.tree_util.register_pytree_node(
+    HydrostaticFreeSurfaceModel,
+    lambda m: m.tree_flatten(),
+    HydrostaticFreeSurfaceModel.tree_unflatten,
+)

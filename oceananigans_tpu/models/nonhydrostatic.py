@@ -181,10 +181,15 @@ class NonhydrostaticModel:
         # construction-time update_state (reference
         # nonhydrostatic_model.jl:236): fill halos, project the initial
         # velocity onto the divergence-free subspace so u₀ is admissible.
-        state = self.fill_state_halos(state)
-        state = self._pressure_correct(state, 1.0)
-        state = self.fill_state_halos(state)
-        return state
+        # Jitted: eager complex FFT ops are unimplemented on the axon TPU
+        # tunnel, and one fused dispatch is faster anyway.
+        @jax.jit
+        def _project(s):
+            s = self.fill_state_halos(s)
+            s = self._pressure_correct(s, 1.0)
+            return self.fill_state_halos(s)
+
+        return _project(state)
 
     # ---------------------------------------------------------------------
     # update_state: halo fills (reference update_nonhydrostatic_model_state)

@@ -67,7 +67,11 @@ class FFTPoissonSolver:
                 self.fft_axes.append(axis)
             elif topo == Bounded:
                 self.dct_axes.append(axis)
-        self.lam_sum = lams[0] + lams[1] + lams[2]
+        lam_sum = lams[0] + lams[1] + lams[2]
+        # reciprocal with the k=0 (mean) mode zeroed; kept as a numpy
+        # constant so it embeds as a literal (never a device-array capture)
+        self.inv_lam = np.where(lam_sum == 0, 0.0, 1.0 / np.where(
+            lam_sum == 0, 1.0, lam_sum))
 
     def solve(self, rhs):
         """rhs: interior-shaped (Nx,Ny,Nz) array -> φ with zero mean."""
@@ -77,9 +81,7 @@ class FFTPoissonSolver:
             x = dct2(x, axis)
         for axis in self.fft_axes:
             x = jnp.fft.fft(x, axis=axis)
-        lam = jnp.asarray(self.lam_sum, x.real.dtype)
-        denom = jnp.where(lam == 0, 1.0, lam)
-        x = jnp.where(lam == 0, 0.0, x / denom)
+        x = x * self.inv_lam.astype(x.real.dtype)
         for axis in self.fft_axes:
             x = jnp.fft.ifft(x, axis=axis)
         x = jnp.real(x)

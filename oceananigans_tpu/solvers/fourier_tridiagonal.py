@@ -68,10 +68,14 @@ class FourierTridiagonalPoissonSolver:
             x = jnp.fft.fft(x, axis=axis)
 
         rdt = x.real.dtype
-        lam_h = jnp.asarray(self.lam_h, rdt)
-        az = jnp.asarray(self.az, rdt)
-        cz = jnp.asarray(self.cz, rdt)
-        dzc = jnp.asarray(self.dzc, rdt)
+        # numpy constants combined with a traced zero so only the SMALL
+        # per-axis literals are embedded (not a full 3-D constant), and no
+        # device arrays are created at trace time (axon-tunnel constraint)
+        zero = jnp.real(x[:1, :1, :1]) * 0
+        lam_h = zero + self.lam_h.astype(rdt)
+        az = zero + self.az.astype(rdt)
+        cz = zero + self.cz.astype(rdt)
+        dzc = zero + self.dzc.astype(rdt)
         b = -(az + cz) + lam_h * dzc
         # project the nullspace component out of the singular (λ_h = 0)
         # column so the pure-Neumann system is exactly compatible even under

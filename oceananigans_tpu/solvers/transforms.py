@@ -31,17 +31,22 @@ def _perm_indices(N: int):
     return perm, inv
 
 
+# NOTE: all constants below stay numpy and are passed straight into jnp
+# ops, which embeds them as literals at lowering. Creating device arrays
+# with jnp.asarray at trace time breaks under the axon TPU tunnel (eager
+# complex ops / constant d2h round-trips are unimplemented there).
+
 def dct2(x, axis: int):
     """Unnormalized DCT-II along ``axis`` (real in, real out)."""
     N = x.shape[axis]
     perm, _ = _perm_indices(N)
-    v = jnp.take(x, jnp.asarray(perm), axis=axis)
+    v = jnp.take(x, perm, axis=axis)
     V = jnp.fft.fft(v, axis=axis)
     k = np.arange(N)
     w = 2.0 * np.exp(-1j * np.pi * k / (2 * N))
     shape = [1] * x.ndim
     shape[axis] = N
-    return jnp.real(jnp.asarray(w).reshape(shape) * V)
+    return jnp.real(w.reshape(shape) * V)
 
 
 def idct2(X, axis: int):
@@ -53,10 +58,10 @@ def idct2(X, axis: int):
     shape[axis] = N
     # X_rev_k = X_{N-k} with X_rev_0 = 0 (Hermitian reconstruction)
     Xrev = jnp.concatenate(
-        [jnp.zeros_like(jnp.take(X, jnp.asarray([0]), axis=axis)),
-         jnp.flip(jnp.take(X, jnp.arange(1, N), axis=axis), axis=axis)],
+        [jnp.zeros_like(jnp.take(X, np.array([0]), axis=axis)),
+         jnp.flip(jnp.take(X, np.arange(1, N), axis=axis), axis=axis)],
         axis=axis)
-    V = jnp.asarray(w).reshape(shape) * (X - 1j * Xrev)
+    V = w.reshape(shape) * (X - 1j * Xrev)
     v = jnp.real(jnp.fft.ifft(V, axis=axis))
     _, inv = _perm_indices(N)
-    return jnp.take(v, jnp.asarray(inv), axis=axis)
+    return jnp.take(v, inv, axis=axis)

@@ -1,0 +1,168 @@
+"""HydrostaticFreeSurfaceModel physics tests (reference test group
+hydrostatic_free_surface, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oceananigans_tpu import (
+    Bounded, BuoyancyTracer, Centered, FPlane, Flat, Periodic,
+    RectilinearGrid,
+)
+from oceananigans_tpu.fields import interior, interior_xy
+from oceananigans_tpu.models import (
+    ExplicitFreeSurface, HydrostaticFreeSurfaceModel,
+    SplitExplicitFreeSurface, VectorInvariant,
+)
+from oceananigans_tpu.ops.operators import divergence_ccc
+
+G = 10.0
+
+
+def channel_grid(N=64, Nz=4, H=1.0, L=10.0):
+    return RectilinearGrid(size=(N, Nz), x=(0.0, L), z=(-H, 0.0),
+                           topology=(Periodic, Flat, Bounded))
+
+
+@pytest.mark.parametrize("fs,dt,nfrac", [
+    (ExplicitFreeSurface(gravitational_acceleration=G), 0.25, 1),
+    (SplitExplicitFreeSurface(substeps=40, gravitational_acceleration=G),
+     1.0, 1),
+], ids=["explicit", "split_explicit"])
+def test_gravity_wave_period(fs, dt, nfrac):
+    """Standing shallow-water gravity wave: η = A cos(kx) returns to −η
+    after half a period T/2 = π/(k√(gH))."""
+    L, H = 10.0, 1.0
+    k = 2 * np.pi / L
+    c = np.sqrt(G * H)
+    omega = k * c
+    period = 2 * np.pi / omega
+    grid = channel_grid(N=64, H=H, L=L)
+    model = HydrostaticFreeSurfaceModel(grid=grid, free_surface=fs,
+                                        momentum_advection=None)
+    A = 1e-4
+    state = model.initial_state(eta=lambda x, y: A * jnp.cos(k * x))
+    nsteps = 200
+    dt_step = (period / 2) / nsteps
+    step = jax.jit(lambda s: model.step(s, dt_step))
+    eta0 = np.asarray(interior_xy(grid, state.eta))
+    for _ in range(nsteps):
+        state = step(state)
+    eta1 = np.asarray(interior_xy(grid, state.eta))
+    np.testing.assert_allclose(eta1, -eta0, atol=A * 0.1)
+
+
+@pytest.mark.parametrize("fs", [
+    ExplicitFreeSurface(gravitational_acceleration=G),
+    SplitExplicitFreeSurface(substeps=20, gravitational_acceleration=G),
+], ids=["explicit", "split_explicit"])
+def test_volume_conservation(fs):
+    grid = RectilinearGrid(size=(32, 32, 4), extent=(10.0, 10.0, 1.0),
+                           topology=(Periodic, Periodic, Bounded))
+    model = HydrostaticFreeSurfaceModel(grid=grid, free_surface=fs)
+    state = model.initial_state(
+        eta=lambda x, y: 0.01 * jnp.exp(-((x - 5) ** 2 + (y - 5) ** 2)))
+    vol0 = float(jnp.sum(interior_xy(grid, state.eta)))
+    dt = 0.005 if isinstance(fs, ExplicitFreeSurface) else 0.02
+    step = jax.jit(lambda s: model.step(s, dt))
+    for _ in range(20):
+        state = step(state)
+    vol = float(jnp.sum(interior_xy(grid, state.eta)))
+    assert abs(vol - vol0) < 1e-12
+
+
+def test_geostrophic_balance():
+    """A geostrophically balanced jet (f v = g ∂x η) should stay steady."""
+    f = 1.0
+    L = 10.0
+    grid = RectilinearGrid(size=(64, 64, 4), extent=(L, L, 1.0),
+                           topology=(Periodic, Periodic, Bounded))
+    k = 2 * np.pi / L
+    A = 1e-4
+    eta0 = lambda x, y: A * jnp.sin(k * x)
+    # geostrophic: v = (g/f) ∂x η = (g/f) A k cos(kx)
+    v0 = lambda x, y, z: (G / f) * A * k * jnp.cos(k * x)
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=ExplicitFreeSurface(G),
+        coriolis=FPlane(f=f), momentum_advection=None)
+    state = model.initial_state(eta=eta0, v=v0)
+    dt = 2e-3
+    step = jax.jit(lambda s: model.step(s, dt))
+    for _ in range(100):
+        state = step(state)
+    v1 = np.asarray(interior(grid, state.v))
+    vinit = np.asarray(interior(grid, model.initial_state(eta=eta0,
+                                                          v=v0).v))
+    # balance holds to a few percent of the jet amplitude
+    assert np.max(np.abs(v1 - vinit)) < 0.05 * np.max(np.abs(vinit))
+
+
+def test_w_from_continuity_divergence_free():
+    grid = RectilinearGrid(size=(16, 16, 8), extent=(1.0, 1.0, 1.0),
+                           topology=(Periodic, Periodic, Bounded))
+    model = HydrostaticFreeSurfaceModel(grid=grid)
+    state = model.initial_state(
+        u=lambda x, y, z: jnp.sin(2 * np.pi * x) * jnp.cos(np.pi * z),
+        v=lambda x, y, z: jnp.cos(2 * np.pi * y))
+    div = divergence_ccc(grid, state.u, state.v, state.w)
+    # full 3-D divergence vanishes except in the top cell, where the
+    # free-surface flux divergence is absorbed by ∂t η
+    di = np.asarray(interior(grid, div))
+    assert np.max(np.abs(di[:, :, :-1])) < 1e-12
+
+
+def test_tracer_conservation():
+    grid = RectilinearGrid(size=(16, 16, 8), extent=(1.0, 1.0, 1.0),
+                           topology=(Periodic, Periodic, Bounded))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("c",),
+        free_surface=SplitExplicitFreeSurface(substeps=10))
+    state = model.initial_state(
+        u=lambda x, y, z: 0.1 * jnp.sin(2 * np.pi * x),
+        c=lambda x, y, z: 1.0 + 0.5 * jnp.cos(2 * np.pi * y))
+    from oceananigans_tpu.fields import field_integral
+    c0 = float(field_integral(grid, state.tracers["c"]))
+    step = jax.jit(lambda s: model.step(s, 1e-3))
+    for _ in range(20):
+        state = step(state)
+    c1 = float(field_integral(grid, state.tracers["c"]))
+    assert abs(c1 - c0) / abs(c0) < 1e-12
+
+
+def test_vector_invariant_uniform_flow():
+    """Uniform flow has zero vorticity and uniform KE: VI tendency = 0."""
+    grid = RectilinearGrid(size=(16, 16, 4), extent=(1.0, 1.0, 1.0),
+                           topology=(Periodic, Periodic, Bounded))
+    vi = VectorInvariant()
+    from oceananigans_tpu.fields import set_field, LOC_U, LOC_V
+    u = set_field(grid, 0.3, loc=LOC_U)
+    v = set_field(grid, -0.2, loc=LOC_V)
+    w = jnp.zeros_like(u)
+    gu = vi.u_tendency(grid, u, v, w)
+    gv = vi.v_tendency(grid, u, v, w)
+    assert float(jnp.max(jnp.abs(interior(grid, gu)))) < 1e-13
+    assert float(jnp.max(jnp.abs(interior(grid, gv)))) < 1e-13
+
+
+def test_baroclinic_stratified_adjustment_stable():
+    """A stratified, rotating channel with a buoyancy front runs stably
+    with the split-explicit free surface + vector-invariant advection."""
+    grid = RectilinearGrid(size=(32, 32, 8), extent=(10.0, 10.0, 1.0),
+                           topology=(Periodic, Periodic, Bounded))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("b",), buoyancy=BuoyancyTracer(),
+        coriolis=FPlane(f=1.0),
+        free_surface=SplitExplicitFreeSurface(substeps=20,
+                                              gravitational_acceleration=G),
+        momentum_advection=VectorInvariant(),
+        tracer_advection=Centered(2))
+    state = model.initial_state(
+        b=lambda x, y, z: 0.1 * z + 0.01 * jnp.tanh((y - 5.0) / 1.0))
+    step = jax.jit(lambda s: model.step(s, 0.01))
+    for _ in range(50):
+        state = step(state)
+    assert bool(jnp.all(jnp.isfinite(state.u)))
+    assert bool(jnp.all(jnp.isfinite(state.tracers["b"])))
+    # front drives a thermal-wind shear
+    assert float(jnp.max(jnp.abs(state.u))) > 1e-6
