@@ -66,11 +66,13 @@ class RectilinearGrid(AbstractGrid):
                 raise ValueError(f"missing coordinate spec {name}= for "
                                  f"non-flat axis {axis}")
 
+        halos = (tuple(halo) if isinstance(halo, (tuple, list))
+                 else (halo, halo, halo))
         Ns, Hs, regs, Ls, coords = [], [], [], [], []
         for axis in range(3):
             topo = topology[axis]
             N = 1 if topo == Flat else sizes[axis]
-            H = 0 if topo == Flat else min(halo, N)
+            H = 0 if topo == Flat else min(halos[axis], N)
             F, C, dC, dF, regular, L = generate_coordinate(
                 specs[axis], N, H, topo, dtype)
             Ns.append(int(N))

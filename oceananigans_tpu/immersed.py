@@ -1,0 +1,289 @@
+"""Immersed boundaries: masked topography on any underlying grid.
+
+Reference layer: ``src/ImmersedBoundaries/`` (SURVEY.md §2.7) —
+``ImmersedBoundaryGrid`` (``immersed_boundary_grid.jl:8-14``),
+``GridFittedBottom`` (``grid_fitted_bottom.jl:21``), ``GridFittedBoundary``
+(``grid_fitted_boundary.jl:9``), ``PartialCellBottom``
+(``partial_cell_bottom.jl:11``), ``mask_immersed_field!``
+(``mask_immersed_field.jl``).
+
+TPU-native design: dense boolean masks + ``where`` instead of the
+reference's active-cells gather maps (``active_cells_map.jl:13-30``) — TPUs
+strongly prefer dense masked compute over gather/scatter, and for ocean
+domains (mostly-fluid) the masked FLOPs are cheaper than the data movement
+a packed index list would cost. Solid faces carry zero velocity; tendencies
+are masked; the pressure Poisson problem becomes the masked 7-point
+operator solved by FFT-preconditioned CG (reference
+``conjugate_gradient_poisson_solver.jl:9``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oceananigans_tpu.grids.base import AbstractGrid, Center, Face
+from oceananigans_tpu.ops.operators import dx_c, dx_f, dy_c, dy_f, dz_c, dz_f, shift
+
+__all__ = ["ImmersedBoundaryGrid", "GridFittedBottom", "GridFittedBoundary",
+           "PartialCellBottom", "mask_immersed_field",
+           "ImmersedPoissonSolver", "masked_laplacian"]
+
+X, Y, Z = 0, 1, 2
+
+
+class GridFittedBottom:
+    """Solid below z = bottom_height(x, y) (reference
+    ``grid_fitted_bottom.jl:21``)."""
+
+    def __init__(self, bottom_height):
+        self.bottom_height = bottom_height
+
+    def solid_ccc(self, grid):
+        zc = jnp.broadcast_to(grid.zC, grid.shape)
+        if callable(self.bottom_height):
+            h = self.bottom_height(grid.xC, grid.yC)
+        else:
+            h = jnp.asarray(self.bottom_height)
+            if h.ndim == 2:
+                h = h.reshape(h.shape[0], h.shape[1], 1)
+                full = jnp.full((grid.shape[0], grid.shape[1], 1), jnp.nan,
+                                h.dtype)
+                sx, sy, _ = grid.interior_slices
+                full = full.at[sx, sy, :].set(h)
+                # mirror into halos crudely (edge replicate)
+                h = jnp.nan_to_num(full, nan=jnp.nanmean(h))
+        return zc < h
+
+    def __repr__(self):
+        return f"GridFittedBottom({self.bottom_height!r})"
+
+
+class PartialCellBottom(GridFittedBottom):
+    """Bottom-fitted with partial cell heights (reference
+    ``partial_cell_bottom.jl:11``). The mask matches GridFittedBottom;
+    the partial-cell metric scaling is applied via ``dz_scaling``."""
+
+    def __init__(self, bottom_height, minimum_fractional_cell_height=0.2):
+        super().__init__(bottom_height)
+        self.minimum_fractional_cell_height = minimum_fractional_cell_height
+
+
+class GridFittedBoundary:
+    """Arbitrary 3-D solid mask (reference ``grid_fitted_boundary.jl:9``)."""
+
+    def __init__(self, mask):
+        self.mask = mask
+
+    def solid_ccc(self, grid):
+        if callable(self.mask):
+            x = jnp.broadcast_to(grid.xC, grid.shape)
+            y = jnp.broadcast_to(grid.yC, grid.shape)
+            z = jnp.broadcast_to(grid.zC, grid.shape)
+            return jnp.asarray(self.mask(x, y, z), bool)
+        m = jnp.asarray(self.mask, bool)
+        if m.shape == tuple(grid.N):
+            full = jnp.zeros(grid.shape, bool)
+            sx, sy, sz = grid.interior_slices
+            return full.at[sx, sy, sz].set(m)
+        return m
+
+    def __repr__(self):
+        return "GridFittedBoundary(...)"
+
+
+class ImmersedBoundaryGrid(AbstractGrid):
+    """Wraps an underlying grid with solid/fluid masks at every staggered
+    location (reference ``immersed_boundary_grid.jl:8-14``).
+
+    Metric queries delegate to the underlying grid; masks are plain bool
+    arrays registered as pytree data.
+    """
+
+    def __init__(self, underlying_grid, immersed_boundary):
+        g = underlying_grid
+        solid = immersed_boundary.solid_ccc(g)
+        # halo cells outside the interior are treated as solid continuation
+        # in z for bottoms; x/y halos follow periodic wrap via roll masks
+        s = object.__setattr__
+        s(self, "underlying_grid", g)
+        s(self, "immersed_boundary", immersed_boundary)
+        s(self, "solid_c", solid)
+        # a velocity face is solid if EITHER adjacent cell is solid
+        s(self, "solid_u", solid | shift(solid, -1, X))
+        s(self, "solid_v", solid | shift(solid, -1, Y))
+        s(self, "solid_w", solid | shift(solid, -1, Z))
+
+    # ---- delegation ------------------------------------------------------
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "underlying_grid"),
+                       name)
+
+    def dx(self, *a, **k):
+        return self.underlying_grid.dx(*a, **k)
+
+    def dy(self, *a, **k):
+        return self.underlying_grid.dy(*a, **k)
+
+    def dz(self, *a, **k):
+        return self.underlying_grid.dz(*a, **k)
+
+    def Az(self, *a, **k):
+        return self.underlying_grid.Az(*a, **k)
+
+    @property
+    def shape(self):
+        return self.underlying_grid.shape
+
+    @property
+    def N(self):
+        return self.underlying_grid.N
+
+    @property
+    def H(self):
+        return self.underlying_grid.H
+
+    @property
+    def interior_slices(self):
+        return self.underlying_grid.interior_slices
+
+    def axis_topo(self, axis):
+        return self.underlying_grid.axis_topo(axis)
+
+    def mask_for(self, loc):
+        """Solid mask at a staggered location tuple."""
+        if loc[0] == Face:
+            return self.solid_u
+        if loc[1] == Face:
+            return self.solid_v
+        if loc[2] == Face:
+            return self.solid_w
+        return self.solid_c
+
+    @property
+    def fluid_fraction(self):
+        sx, sy, sz = self.interior_slices
+        sc = self.solid_c[sx, sy, sz]
+        return 1.0 - jnp.mean(sc.astype(jnp.float32))
+
+    def __repr__(self):
+        return (f"ImmersedBoundaryGrid({self.underlying_grid!r}, "
+                f"{self.immersed_boundary!r})")
+
+
+def _ibg_flatten(g):
+    return ((g.underlying_grid, g.solid_c, g.solid_u, g.solid_v, g.solid_w),
+            type(g.immersed_boundary).__name__)
+
+
+def _ibg_unflatten(aux, children):
+    obj = object.__new__(ImmersedBoundaryGrid)
+    s = object.__setattr__
+    s(obj, "underlying_grid", children[0])
+    s(obj, "immersed_boundary", aux)
+    s(obj, "solid_c", children[1])
+    s(obj, "solid_u", children[2])
+    s(obj, "solid_v", children[3])
+    s(obj, "solid_w", children[4])
+    return obj
+
+
+jax.tree_util.register_pytree_node(ImmersedBoundaryGrid, _ibg_flatten,
+                                   _ibg_unflatten)
+
+
+def mask_immersed_field(grid, a, loc, value=0.0):
+    """Zero (or set) the solid-region values of a field (reference
+    ``mask_immersed_field!``)."""
+    if not isinstance(grid, ImmersedBoundaryGrid):
+        return a
+    return jnp.where(grid.mask_for(loc), value, a)
+
+
+# ---------------------------------------------------------------------------
+# Masked Poisson operator + CG solver (reference
+# conjugate_gradient_poisson_solver.jl)
+# ---------------------------------------------------------------------------
+
+def masked_laplacian(grid, p):
+    """∇·(β∇p) with flux zeroed through solid faces: the discrete immersed
+    pressure operator (negative semidefinite)."""
+    g = grid.underlying_grid
+    fluid_u = ~grid.solid_u
+    fluid_v = ~grid.solid_v
+    fluid_w = ~grid.solid_w
+    gx = jnp.where(fluid_u, dx_f(p) / g.dx(Face, Center), 0.0) \
+        * g.Ax(Face, Center, Center)
+    gy = jnp.where(fluid_v, dy_f(p) / g.dy(Face, Center), 0.0) \
+        * g.Ay(Center, Face, Center)
+    gz = jnp.where(fluid_w, dz_f(p) / g.dz(Face), 0.0) * g.Az(Center, Center)
+    lap = (dx_c(gx) + dy_c(gy) + dz_c(gz)) / g.V(Center, Center, Center)
+    return jnp.where(grid.solid_c, 0.0, lap)
+
+
+class ImmersedPoissonSolver:
+    """FFT-preconditioned CG for the masked Poisson problem (reference
+    ``conjugate_gradient_poisson_solver.jl:9``). Operates on interior-shaped
+    RHS like the FFT solver; halos are refilled (periodic wrap / mirror)
+    internally each operator application via roll semantics (the masked
+    operator only reads one ring, and masks are halo-consistent)."""
+
+    def __init__(self, grid, preconditioner=None, maxiter=200, reltol=1e-8):
+        from oceananigans_tpu.solvers.fft_poisson import FFTPoissonSolver
+        self.grid = grid
+        base = grid.underlying_grid
+        self.maxiter = maxiter
+        self.reltol = reltol
+        if preconditioner is None and base.regular:
+            preconditioner = FFTPoissonSolver(base)
+        self.preconditioner = preconditioner
+
+    def solve(self, rhs_interior):
+        from oceananigans_tpu.boundary_conditions import (
+            fill_halo_regions, regularize_field_boundary_conditions,
+        )
+        from oceananigans_tpu.fields import LOC_C, new_field
+
+        grid = self.grid
+        g = grid.underlying_grid
+        sx, sy, sz = g.interior_slices
+        bcs = regularize_field_boundary_conditions(None, g, LOC_C)
+
+        # CG iterates live on interior fluid cells only: the halo region of
+        # every operator output must be zeroed or the (unweighted) CG dot
+        # products pick up halo garbage and the iteration diverges
+        idx = np.zeros(g.shape, bool)
+        idx[sx, sy, sz] = True
+        fluid = jnp.logical_and(~grid.solid_c, idx)
+        rhs = new_field(g, rhs_interior.dtype).at[sx, sy, sz].set(
+            rhs_interior)
+        rhs = jnp.where(fluid, rhs, 0.0)
+        # remove the fluid-mean (compatibility for the singular Neumann op)
+        nf = jnp.maximum(jnp.sum(fluid[sx, sy, sz]), 1)
+        rhs_mean = jnp.sum(rhs[sx, sy, sz]) / nf
+        rhs = jnp.where(fluid, rhs - rhs_mean, 0.0)
+
+        def A(p):
+            p = fill_halo_regions(p, g, bcs, LOC_C)
+            return jnp.where(fluid, masked_laplacian(grid, p), 0.0)
+
+        def M(r):
+            if self.preconditioner is None:
+                return r
+            # FFT-preconditioner on the unmasked problem
+            pr = self.preconditioner.solve(r[sx, sy, sz])
+            out = jnp.zeros_like(r).at[sx, sy, sz].set(pr)
+            return jnp.where(fluid, out, 0.0)
+
+        from oceananigans_tpu.solvers.conjugate_gradient import (
+            conjugate_gradient,
+        )
+        x0 = jnp.zeros_like(rhs)
+        p, it, res = conjugate_gradient(A, rhs, x0, preconditioner=M,
+                                        maxiter=self.maxiter,
+                                        reltol=self.reltol)
+        # gauge: zero fluid mean
+        p_mean = jnp.sum(jnp.where(fluid, p, 0.0)[sx, sy, sz]) / nf
+        p = jnp.where(fluid, p - p_mean, 0.0)
+        return p[sx, sy, sz]

@@ -104,12 +104,17 @@ class NonhydrostaticModel:
                     tracers = tracers + (t,)
 
         # halo requirement check (reference inflate_grid_halo_size,
-        # nonhydrostatic_model.jl:243-257 — we validate rather than rebuild)
+        # nonhydrostatic_model.jl:243-257 — we validate rather than rebuild).
+        # Periodic axes need NO halos: jnp.roll wraps exactly, so stencils of
+        # any width are correct with H=0 there (a TPU-native memory/perf win
+        # over the reference's always-haloed storage).
+        from oceananigans_tpu.grids.base import Periodic as _Periodic
         needed = max(advection_required_halo(advection),
                      closures_mod.closure_required_halo(closure))
         for axis in range(3):
             H = grid.H[axis]
-            if grid.N[axis] > 1 and H < min(needed, grid.N[axis]):
+            if (grid.N[axis] > 1 and grid.axis_topo(axis) != _Periodic
+                    and H < min(needed, grid.N[axis])):
                 raise ValueError(
                     f"grid halo {grid.H} too small for advection/closure "
                     f"requiring {needed}; build the grid with halo={needed}")
@@ -195,10 +200,16 @@ class NonhydrostaticModel:
     # update_state: halo fills (reference update_nonhydrostatic_model_state)
     # ---------------------------------------------------------------------
     def fill_state_halos(self, state):
+        from oceananigans_tpu.immersed import mask_immersed_field
         t = state.clock.time
-        u = fill_halo_regions(state.u, self.grid, self.bcs["u"], LOC_U, t)
-        v = fill_halo_regions(state.v, self.grid, self.bcs["v"], LOC_V, t)
-        w = fill_halo_regions(state.w, self.grid, self.bcs["w"], LOC_W, t)
+        # mask solid regions first (reference mask_immersed_field!,
+        # update_nonhydrostatic_model_state.jl:22-25), then fill halos
+        u = mask_immersed_field(self.grid, state.u, LOC_U)
+        v = mask_immersed_field(self.grid, state.v, LOC_V)
+        w = mask_immersed_field(self.grid, state.w, LOC_W)
+        u = fill_halo_regions(u, self.grid, self.bcs["u"], LOC_U, t)
+        v = fill_halo_regions(v, self.grid, self.bcs["v"], LOC_V, t)
+        w = fill_halo_regions(w, self.grid, self.bcs["w"], LOC_W, t)
         tracers = {
             name: fill_halo_regions(c, self.grid, self.bcs[name], LOC_C, t)
             for name, c in state.tracers.items()

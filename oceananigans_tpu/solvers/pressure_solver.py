@@ -16,6 +16,11 @@ from oceananigans_tpu.solvers.fourier_tridiagonal import (
 
 
 def make_pressure_solver(grid):
+    from oceananigans_tpu.immersed import (
+        ImmersedBoundaryGrid, ImmersedPoissonSolver,
+    )
+    if isinstance(grid, ImmersedBoundaryGrid):
+        return ImmersedPoissonSolver(grid)
     base = getattr(grid, "underlying_grid", grid)
     if base.regular:
         return FFTPoissonSolver(base)

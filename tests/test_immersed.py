@@ -1,0 +1,111 @@
+"""Immersed boundary tests (reference: immersed boundary test group +
+test_conjugate_gradient_poisson_solver.jl)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oceananigans_tpu import (
+    Bounded, BuoyancyTracer, Centered, Flat, Periodic, RectilinearGrid, WENO,
+)
+from oceananigans_tpu.fields import LOC_C, LOC_U, interior, set_field
+from oceananigans_tpu.immersed import (
+    GridFittedBottom, GridFittedBoundary, ImmersedBoundaryGrid,
+    ImmersedPoissonSolver, mask_immersed_field, masked_laplacian,
+)
+from oceananigans_tpu.models import NonhydrostaticModel
+from oceananigans_tpu.ops.operators import divergence_ccc
+
+
+def bumpy_grid(N=32):
+    base = RectilinearGrid(size=(N, N), x=(0.0, 2 * np.pi), z=(0.0, 1.0),
+                           topology=(Periodic, Flat, Bounded))
+    bump = GridFittedBottom(
+        lambda x, y: 0.25 * (1 + jnp.cos(x - np.pi)) / 2 + 0.05)
+    return ImmersedBoundaryGrid(base, bump)
+
+
+def test_masks_consistent():
+    grid = bumpy_grid()
+    solid = np.asarray(grid.solid_c)
+    assert solid.any() and not solid.all()
+    # u-face solid mask includes both adjacent cells
+    su = np.asarray(grid.solid_u)
+    assert su.sum() >= solid.sum()
+    assert 0.5 < float(grid.fluid_fraction) < 1.0
+
+
+def test_mask_immersed_field():
+    grid = bumpy_grid()
+    c = set_field(grid, 5.0, loc=LOC_C)
+    cm = mask_immersed_field(grid, c, LOC_C)
+    ci = np.asarray(cm)
+    assert np.all(ci[np.asarray(grid.solid_c)] == 0.0)
+    assert np.all(ci[~np.asarray(grid.solid_c)] == 5.0)
+
+
+def test_immersed_poisson_solver():
+    """A(p) = rhs must hold in the fluid after the CG solve."""
+    grid = bumpy_grid(N=32)
+    solver = ImmersedPoissonSolver(grid, maxiter=500, reltol=1e-10)
+    g = grid.underlying_grid
+    rng = np.random.default_rng(3)
+    rhs = rng.standard_normal(tuple(g.N))
+    fluid_i = ~np.asarray(interior(g, grid.solid_c))
+    rhs[~fluid_i] = 0.0
+    rhs -= rhs[fluid_i].mean()
+    rhs_j = jnp.asarray(rhs)
+
+    p_int = jax.jit(solver.solve)(rhs_j)
+    # verify: masked laplacian of p equals rhs (fluid interior)
+    from oceananigans_tpu.boundary_conditions import (
+        fill_halo_regions, regularize_field_boundary_conditions,
+    )
+    from oceananigans_tpu.fields import new_field
+    sx, sy, sz = g.interior_slices
+    p = new_field(g).at[sx, sy, sz].set(p_int)
+    bcs = regularize_field_boundary_conditions(None, g, LOC_C)
+    p = fill_halo_regions(p, g, bcs, LOC_C)
+    Ap = np.asarray(interior(g, masked_laplacian(grid, p)))
+    err = np.max(np.abs(Ap[fluid_i] - rhs[fluid_i]))
+    scale = np.max(np.abs(rhs))
+    assert err < 1e-6 * scale
+
+
+def test_flow_over_bump_stable_and_divergence_free():
+    grid = bumpy_grid(N=32)
+    model = NonhydrostaticModel(grid=grid, advection=Centered(2))
+    state = model.initial_state(u=0.5)
+    step = jax.jit(lambda s: model.step(s, 5e-3))
+    for _ in range(20):
+        state = step(state)
+    assert bool(jnp.all(jnp.isfinite(state.u)))
+    # interior solid cells hold zero velocity (halos carry BC ghosts)
+    solid_u_i = np.asarray(interior(grid, grid.solid_u))
+    u_i = np.asarray(interior(grid, state.u))
+    assert np.max(np.abs(u_i[solid_u_i])) == 0.0
+    # fluid divergence is small (CG tolerance)
+    div = np.asarray(interior(grid, divergence_ccc(grid.underlying_grid,
+                                                   state.u, state.v,
+                                                   state.w)))
+    fluid_i = ~np.asarray(interior(grid, grid.solid_c))
+    assert np.max(np.abs(div[fluid_i])) < 1e-6
+    # flow accelerates over the bump crest (continuity): u there > inflow u
+    u = np.asarray(interior(grid, state.u))
+    crest_col = u[16, 0, :]
+    fluid_crest = crest_col[np.abs(crest_col) > 1e-12]
+    assert fluid_crest.max() > 0.55
+
+
+def test_grid_fitted_boundary_sphere():
+    base = RectilinearGrid(size=(16, 16, 16), extent=(1.0, 1.0, 1.0),
+                           topology=(Periodic, Periodic, Periodic))
+    ibg = ImmersedBoundaryGrid(
+        base, GridFittedBoundary(
+            lambda x, y, z: (x - 0.5) ** 2 + (y - 0.5) ** 2
+            + (z + 0.5) ** 2 < 0.04))
+    solid = np.asarray(interior(base, ibg.solid_c))
+    # sphere of radius 0.2 in unit box: ~3.3% of volume
+    frac = solid.mean()
+    assert 0.01 < frac < 0.06
