@@ -66,6 +66,7 @@ class NonhydrostaticState:
     Gv: jnp.ndarray
     Gw: jnp.ndarray
     Gtracers: Dict[str, jnp.ndarray]
+    particles: Optional[Any] = None
 
     @property
     def velocities(self):
@@ -90,8 +91,9 @@ class NonhydrostaticModel:
     def __init__(self, grid, advection=None, tracers=(),
                  buoyancy=None, coriolis=None, closure=None,
                  forcing=None, boundary_conditions=None,
-                 background_fields=None,
+                 background_fields=None, particles=None,
                  timestepper="RungeKutta3"):
+        self.particles = particles
         if advection is None:
             advection = Centered(2)
         if isinstance(tracers, str):
@@ -182,6 +184,8 @@ class NonhydrostaticModel:
             Gu=new_field(g, dtype), Gv=new_field(g, dtype),
             Gw=new_field(g, dtype),
             Gtracers={t: new_field(g, dtype) for t in self.tracer_names},
+            particles=(self.particles.initial
+                       if self.particles is not None else None),
         )
         # construction-time update_state (reference
         # nonhydrostatic_model.jl:236): fill halos, project the initial
@@ -323,10 +327,19 @@ class NonhydrostaticModel:
     def step(self, state, dt):
         """One full time step (pure; jit me)."""
         if self.timestepper == "RungeKutta3":
-            return self.rk3_step(state, dt)
-        if self.timestepper == "QuasiAdamsBashforth2":
-            return self.ab2_step(state, dt)
-        raise ValueError(f"unknown timestepper {self.timestepper!r}")
+            state = self.rk3_step(state, dt)
+        elif self.timestepper == "QuasiAdamsBashforth2":
+            state = self.ab2_step(state, dt)
+        else:
+            raise ValueError(f"unknown timestepper {self.timestepper!r}")
+        # Lagrangian particles advect at the end of the step (reference
+        # quasi_adams_bashforth_2.jl:109)
+        if self.particles is not None and state.particles is not None:
+            parts = self.particles.step(
+                self.grid, state.particles, state.u, state.v, state.w,
+                state.fields(), dt)
+            state = _replace(state, particles=parts)
+        return state
 
     def rk3_step(self, state, dt):
         """3-stage Wray RK3 with per-stage projection (reference

@@ -1,0 +1,6 @@
+from oceananigans_tpu.parallel.distributed import (
+    Partition, Distributed, shard_state, sharded_step_fn,
+)
+from oceananigans_tpu.parallel.halo_exchange import (
+    halo_exchange, halo_exchange_spec,
+)
