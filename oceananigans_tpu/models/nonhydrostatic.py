@@ -92,13 +92,24 @@ class NonhydrostaticModel:
                  buoyancy=None, coriolis=None, closure=None,
                  forcing=None, boundary_conditions=None,
                  background_fields=None, particles=None,
+                 stokes_drift=None, biogeochemistry=None,
                  timestepper="RungeKutta3"):
         self.particles = particles
+        self.stokes_drift = stokes_drift
+        self.biogeochemistry = biogeochemistry
+        # background velocity/tracer *functions* f(x, y, z) for mean-flow
+        # decomposition (reference background_fields.jl; used
+        # nonhydrostatic_model.jl:220)
+        self.background_fields = dict(background_fields or {})
         if advection is None:
             advection = Centered(2)
         if isinstance(tracers, str):
             tracers = (tracers,)
         tracers = tuple(tracers)
+        if biogeochemistry is not None:
+            for t in biogeochemistry.required_tracers:
+                if t not in tracers:
+                    tracers = tracers + (t,)
         buoyancy = regularize_buoyancy(buoyancy)
         if buoyancy is not None:
             for t in buoyancy.required_tracers:
@@ -233,9 +244,35 @@ class NonhydrostaticModel:
         diffusivities = closures_mod.compute_diffusivities(
             self.closure, g, u, v, w, tracers, self.buoyancy)
 
-        Gu = -div_vu(g, self.advection, u, v, w)
-        Gv = -div_vv(g, self.advection, u, v, w)
-        Gw = -div_vw(g, self.advection, u, v, w)
+        if self.background_fields:
+            # mean-flow decomposition: advect (q + q_bg) by (U + U_bg),
+            # minus the background self-advection (assumed balanced;
+            # reference background_fields.jl semantics)
+            from oceananigans_tpu.fields import set_field
+            bg = {}
+            for name, fn in self.background_fields.items():
+                bg[name] = set_field(g, fn, loc=self.locations[name])
+            ub = bg.get("u", jnp.zeros_like(u))
+            vb = bg.get("v", jnp.zeros_like(v))
+            wb = bg.get("w", jnp.zeros_like(w))
+            ut, vt, wt = u + ub, v + vb, w + wb
+            Gu = -(div_vu(g, self.advection, ut, vt, wt)
+                   - div_vu(g, self.advection, ub, vb, wb))
+            Gv = -(div_vv(g, self.advection, ut, vt, wt)
+                   - div_vv(g, self.advection, ub, vb, wb))
+            Gw = -(div_vw(g, self.advection, ut, vt, wt)
+                   - div_vw(g, self.advection, ub, vb, wb))
+        else:
+            bg = {}
+            ut, vt, wt = u, v, w
+            Gu = -div_vu(g, self.advection, u, v, w)
+            Gv = -div_vv(g, self.advection, u, v, w)
+            Gw = -div_vw(g, self.advection, u, v, w)
+
+        if self.stokes_drift is not None:
+            Gu = Gu + self.stokes_drift.x_tendency(g, u, v, w, time)
+            Gv = Gv + self.stokes_drift.y_tendency(g, u, v, w, time)
+            Gw = Gw + self.stokes_drift.z_tendency(g, u, v, w, time)
 
         if self.coriolis is not None:
             Gu = Gu - self.coriolis.x_f_cross_U(g, u, v, w)
@@ -283,15 +320,39 @@ class NonhydrostaticModel:
         Gtracers = {}
         for name in self.tracer_names:
             c = tracers[name]
-            Gc = -div_Uc(g, self.advection, u, v, w, c)
+            # tracers are advected by the TOTAL velocity; a background
+            # tracer contributes its advection by the perturbation flow
+            # (total·total minus background·background)
+            if name in bg:
+                cb = bg[name]
+                ub0 = bg.get("u", jnp.zeros_like(u))
+                vb0 = bg.get("v", jnp.zeros_like(v))
+                wb0 = bg.get("w", jnp.zeros_like(w))
+                Gc = -(div_Uc(g, self.advection, ut, vt, wt, c + cb)
+                       - div_Uc(g, self.advection, ub0, vb0, wb0, cb))
+            else:
+                Gc = -div_Uc(g, self.advection, ut, vt, wt, c)
             Gc = Gc + closures_mod.tracer_flux_divergence(
                 self.closure, g, name, c, tracers, diffusivities,
                 include_implicit=False)
+            bgc = self.biogeochemistry
+            if bgc is not None:
+                reaction = bgc.transition(g, name, time, fields)
+                if reaction is not None:
+                    Gc = Gc + reaction
+                drift = bgc.drift_velocity(name)
+                if drift is not None:
+                    wu, wv, ww = (jnp.zeros_like(c) + d for d in drift)
+                    Gc = Gc - div_Uc(g, self.advection, wu, wv, ww, c)
             f = self.forcings[name]
             if f is not None:
                 Gc = Gc + f(g, time, fields)
             Gc = apply_flux_bcs(Gc, g, self.bcs[name], LOC_C, time)
             Gtracers[name] = Gc
+
+        if self.biogeochemistry is not None:
+            Gtracers = self.biogeochemistry.update_tendencies(
+                g, Gtracers, time, fields)
 
         return Gu, Gv, Gw, Gtracers, diffusivities
 
