@@ -7,6 +7,6 @@ from oceananigans_tpu.models.shallow_water import (
 )
 from oceananigans_tpu.models.hydrostatic import (
     HydrostaticFreeSurfaceModel, HydrostaticState,
-    ExplicitFreeSurface, SplitExplicitFreeSurface, VectorInvariant,
-    PrescribedVelocityFields,
+    ExplicitFreeSurface, SplitExplicitFreeSurface, ImplicitFreeSurface,
+    VectorInvariant, PrescribedVelocityFields,
 )

@@ -55,7 +55,8 @@ from oceananigans_tpu.timesteppers import Clock, ab2_coefficients, tick
 
 __all__ = ["HydrostaticFreeSurfaceModel", "HydrostaticState",
            "ExplicitFreeSurface", "SplitExplicitFreeSurface",
-           "VectorInvariant", "PrescribedVelocityFields"]
+           "ImplicitFreeSurface", "VectorInvariant",
+           "PrescribedVelocityFields"]
 
 X, Y, Z = 0, 1, 2
 
@@ -174,6 +175,39 @@ class SplitExplicitFreeSurface:
     def __repr__(self):
         return (f"SplitExplicitFreeSurface(substeps={len(self.weights)}, "
                 f"g={self.g:g})")
+
+
+class ImplicitFreeSurface:
+    """Backward-Euler barotropic step: solve the 2-D elliptic problem
+
+        [∇·(gH∇) − 1/Δt²] η^{n+1} = RHS = (∇·U* − η^n/Δt)/Δt
+
+    then correct u with −Δt g ∇η^{n+1} (reference
+    ``implicit_free_surface.jl:12`` + ``fft_based_implicit_free_surface_
+    solver.jl:12`` / ``pcg_implicit_free_surface_solver.jl:18``).
+
+    ``solver_method``: "fft" (regular grids; eigenvalue division — the
+    reference's FFTBasedImplicitFreeSurfaceSolver) or "cg"
+    (preconditioned CG, any grid).
+    """
+
+    def __init__(self, gravitational_acceleration=g_Earth,
+                 solver_method="fft", maxiter=200, reltol=1e-9):
+        self.g = float(gravitational_acceleration)
+        self.solver_method = solver_method
+        self.maxiter = maxiter
+        self.reltol = reltol
+
+    def __eq__(self, other):
+        return (type(self) is type(other) and self.g == other.g
+                and self.solver_method == other.solver_method)
+
+    def __hash__(self):
+        return hash(("ImplicitFS", self.g, self.solver_method))
+
+    def __repr__(self):
+        return (f"ImplicitFreeSurface(g={self.g:g}, "
+                f"solver={self.solver_method})")
 
 
 class PrescribedVelocityFields:
@@ -526,6 +560,91 @@ class HydrostaticFreeSurfaceModel:
             substep, init, weights.astype(eta0.dtype))
         return eta_f, U_f, V_f
 
+    def _implicit_fs_eigenvalues(self):
+        """2-D horizontal eigenvalue table for the FFT implicit solver
+        (numpy; embedded as a literal)."""
+        from oceananigans_tpu.solvers.fft_poisson import poisson_eigenvalues
+        g = self.grid
+        lams = []
+        for axis in (X, Y):
+            topo = g.axis_topo(axis)
+            N = g.N[axis]
+            d = (g.Lx / g.Nx, g.Ly / g.Ny)[axis] if topo != "flat" else 1.0
+            lam = poisson_eigenvalues(N, d, topo)
+            shape = [1, 1, 1]
+            shape[axis] = lam.shape[0]
+            lams.append(lam.reshape(shape))
+        return lams[0] + lams[1]
+
+    def _step_free_surface_implicit(self, state, dt, fs):
+        """Solve [∇·(gH∇) − 1/Δt²] η = (∇·U* − ηⁿ/Δt)/Δt, then return
+        (η_new, correction fields)."""
+        from oceananigans_tpu.solvers.transforms import dct2, idct2
+        from oceananigans_tpu.grids.base import Bounded as _B, Periodic as _P
+
+        g = self.grid
+        U, V = self._barotropic_mode(state.u, state.v)
+        divU = self._div_transports(U, V)
+        rhs = (divU - state.eta / dt) / dt
+
+        if fs.solver_method == "fft":
+            H0 = float(g.Lz)    # flat-bottom depth (FFT path requirement)
+            sx, sy, _ = g.interior_slices
+            r = rhs[sx, sy, :]
+            fft_axes = [ax for ax in (X, Y)
+                        if g.axis_topo(ax) == _P and g.N[ax] > 1]
+            dct_axes = [ax for ax in (X, Y)
+                        if g.axis_topo(ax) == _B and g.N[ax] > 1]
+            x = r
+            for ax in dct_axes:
+                x = dct2(x, ax)
+            for ax in fft_axes:
+                x = jnp.fft.fft(x, axis=ax)
+            lam = self._implicit_fs_eigenvalues()  # numpy (Nx,Ny,1)
+            denom = (fs.g * H0 * lam - 1.0 / (dt * dt)).astype(np.float64)
+            x = x / denom
+            for ax in fft_axes:
+                x = jnp.fft.ifft(x, axis=ax)
+            x = jnp.real(x)
+            for ax in dct_axes:
+                x = idct2(x, ax)
+            eta = jnp.zeros_like(state.eta).at[sx, sy, :].set(
+                x.astype(state.eta.dtype))
+        else:
+            eta = self._implicit_fs_cg(state, rhs, dt, fs)
+        return self._fill_eta_halos(eta)
+
+    def _implicit_fs_cg(self, state, rhs, dt, fs):
+        """Preconditioned CG on the 2-D Helmholtz operator (reference
+        ``pcg_implicit_free_surface_solver.jl:18``) — works on any grid
+        (lat-lon, stretched, bathymetry)."""
+        from oceananigans_tpu.solvers.conjugate_gradient import (
+            conjugate_gradient,
+        )
+        g = self.grid
+        H = self._column_depth()
+        H_fc = ix_f(H)
+        H_cf = iy_f(H)
+        sx, sy, _ = g.interior_slices
+        idx = np.zeros((g.shape[0], g.shape[1], 1), bool)
+        idx[sx, sy, :] = True
+        idx_j = jnp.asarray(idx)
+
+        def L(eta):
+            eta = self._fill_eta_halos(eta)
+            gx = fs.g * H_fc * dx_f(eta) / g.dx(Face, Center)
+            gy = fs.g * H_cf * dy_f(eta) / g.dy(Face, Center)
+            div = (dx_c(g.dy(Center, Face) * gx)
+                   + dy_c(g.dx(Center, Face) * gy)) / g.Az(Center, Center)
+            out = div - eta / (dt * dt)
+            return jnp.where(idx_j, out, 0.0)
+
+        b = jnp.where(idx_j, rhs, 0.0)
+        eta0 = jnp.zeros_like(b)
+        eta, _, _ = conjugate_gradient(L, b, eta0, maxiter=fs.maxiter,
+                                       reltol=fs.reltol)
+        return eta
+
     def _barotropic_correct(self, state, U_target, V_target):
         """u ← u + (Ū − ∫u dz)/H (reference
         ``barotropic_split_explicit_corrector.jl``)."""
@@ -563,6 +682,14 @@ class HydrostaticFreeSurfaceModel:
             U, V = self._barotropic_mode(state2.u, state2.v)
             eta = state.eta - dt * self._div_transports(U, V)
             state2 = _replace(state2, eta=eta)
+        elif isinstance(fs, ImplicitFreeSurface):
+            state2 = _replace(state, u=u, v=v, tracers=tracers)
+            state2 = self.fill_state_halos(state2)
+            eta = self._step_free_surface_implicit(state2, dt, fs)
+            u = state2.u - dt * fs.g * dx_f(eta) / g.dx(Face, Center)
+            v = state2.v - dt * fs.g * dy_f(eta) / g.dy(Face, Center)
+            state2 = _replace(state2, u=u, v=v, eta=eta)
+            state2 = self.fill_state_halos(state2)
         else:
             eta_f, U_f, V_f = self._step_free_surface_split(
                 _replace(state, u=u, v=v), Gu_ab2, Gv_ab2, dt, fs)

@@ -53,6 +53,35 @@ def test_gravity_wave_period(fs, dt, nfrac):
     np.testing.assert_allclose(eta1, -eta0, atol=A * 0.1)
 
 
+@pytest.mark.parametrize("method", ["fft", "cg"])
+def test_implicit_free_surface_gravity_wave(method):
+    """Implicit free surface: standing wave with backward-Euler damping
+    stays within ~2% of the analytic half-period reversal at small dt, and
+    FFT and CG solvers agree."""
+    from oceananigans_tpu.models import ImplicitFreeSurface
+    L, H = 10.0, 1.0
+    k = 2 * np.pi / L
+    omega = k * np.sqrt(G * H)
+    period = 2 * np.pi / omega
+    grid = channel_grid(N=64, H=H, L=L)
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid,
+        free_surface=ImplicitFreeSurface(G, solver_method=method),
+        momentum_advection=None)
+    A = 1e-4
+    state = model.initial_state(eta=lambda x, y: A * jnp.cos(k * x))
+    nsteps = 400
+    dt = (period / 2) / nsteps
+    step = jax.jit(lambda s: model.step(s, dt))
+    eta0 = np.asarray(interior_xy(grid, state.eta))
+    vol0 = float(jnp.sum(interior_xy(grid, state.eta)))
+    for _ in range(nsteps):
+        state = step(state)
+    eta1 = np.asarray(interior_xy(grid, state.eta))
+    np.testing.assert_allclose(eta1, -eta0, atol=A * 0.03)
+    assert abs(float(jnp.sum(interior_xy(grid, state.eta))) - vol0) < 1e-12
+
+
 @pytest.mark.parametrize("fs", [
     ExplicitFreeSurface(gravitational_acceleration=G),
     SplitExplicitFreeSurface(substeps=20, gravitational_acceleration=G),
