@@ -284,6 +284,10 @@ class HydrostaticFreeSurfaceModel:
             for t in buoyancy.required_tracers:
                 if t not in tracers:
                     tracers = tracers + (t,)
+        for cl in closures_mod._as_tuple(closure):
+            for t in getattr(cl, "required_tracers", ()):
+                if t not in tracers:
+                    tracers = tracers + (t,)
 
         self.grid = grid
         self.momentum_advection = momentum_advection

@@ -115,6 +115,10 @@ class NonhydrostaticModel:
             for t in buoyancy.required_tracers:
                 if t not in tracers:
                     tracers = tracers + (t,)
+        for cl in closures_mod._as_tuple(closure):
+            for t in getattr(cl, "required_tracers", ()):
+                if t not in tracers:
+                    tracers = tracers + (t,)
 
         # halo requirement check (reference inflate_grid_halo_size,
         # nonhydrostatic_model.jl:243-257 — we validate rather than rebuild).

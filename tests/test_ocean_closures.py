@@ -1,0 +1,173 @@
+"""Ocean closure tests: CATKE, Ri-based, Leith, GM/Redi
+(reference turbulence_closures test group)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oceananigans_tpu import (
+    Bounded, BuoyancyTracer, Centered, Flat, Periodic, RectilinearGrid,
+)
+from oceananigans_tpu.closures_ocean import (
+    CATKEVerticalDiffusivity, IsopycnalSkewSymmetricDiffusivity,
+    LeithEnstrophyDiffusivity, RiBasedVerticalDiffusivity,
+)
+from oceananigans_tpu.fields import field_integral, interior
+from oceananigans_tpu.models import HydrostaticFreeSurfaceModel, NonhydrostaticModel
+from oceananigans_tpu.models import SplitExplicitFreeSurface
+
+
+def column_grid(Nz=32):
+    return RectilinearGrid(size=(Nz,), z=(-100.0, 0.0),
+                           topology=(Flat, Flat, Bounded))
+
+
+def test_ri_based_mixes_unstable_column():
+    """An unstably stratified column must mix toward uniform buoyancy."""
+    grid = column_grid()
+    model = NonhydrostaticModel(
+        grid=grid, advection=None, tracers=("b",),
+        buoyancy=BuoyancyTracer(),
+        closure=RiBasedVerticalDiffusivity(convective_kappa=1.0))
+    # unstable: buoyancy increases downward
+    state = model.initial_state(b=lambda x, y, z: -1e-4 * z)
+    b0 = np.asarray(interior(grid, state.tracers["b"])).ravel()
+    var0 = np.var(b0)
+    step = jax.jit(lambda s: model.step(s, 60.0))
+    for _ in range(200):
+        state = step(state)
+    b1 = np.asarray(interior(grid, state.tracers["b"])).ravel()
+    assert np.var(b1) < 0.2 * var0     # mixed toward uniform
+    np.testing.assert_allclose(b1.mean(), b0.mean(), rtol=1e-10)
+
+
+def test_ri_based_preserves_stable_column():
+    grid = column_grid()
+    model = NonhydrostaticModel(
+        grid=grid, advection=None, tracers=("b",),
+        buoyancy=BuoyancyTracer(),
+        closure=RiBasedVerticalDiffusivity(minimum_kappa=0.0))
+    state = model.initial_state(b=lambda x, y, z: 1e-4 * z)
+    b0 = np.asarray(interior(grid, state.tracers["b"])).ravel()
+    step = jax.jit(lambda s: model.step(s, 60.0))
+    for _ in range(50):
+        state = step(state)
+    b1 = np.asarray(interior(grid, state.tracers["b"])).ravel()
+    # stable, shear-free: Ri -> inf, step -> 0, nothing happens
+    np.testing.assert_allclose(b1, b0, atol=1e-8)
+
+
+def test_catke_free_convection_deepens_mixed_layer():
+    """Surface-cooled column: CATKE must generate TKE and deepen the mixed
+    layer (the canonical CATKE validation)."""
+    from oceananigans_tpu.boundary_conditions import (
+        FieldBoundaryConditions, FluxBC,
+    )
+    grid = column_grid(Nz=32)
+    Qb = 1e-7   # destabilizing surface buoyancy flux
+    model = NonhydrostaticModel(
+        grid=grid, advection=None, tracers=("b",),
+        buoyancy=BuoyancyTracer(),
+        closure=CATKEVerticalDiffusivity(),
+        boundary_conditions={"b": FieldBoundaryConditions(top=FluxBC(Qb))})
+    assert "e" in model.tracer_names
+    N2_0 = 1e-5
+    state = model.initial_state(b=lambda x, y, z: N2_0 * z, e=1e-7)
+    dt = 60.0
+    step = jax.jit(lambda s: model.step(s, dt))
+    for _ in range(300):   # 5 hours
+        state = step(state)
+    b = np.asarray(interior(grid, state.tracers["b"])).ravel()
+    e = np.asarray(interior(grid, state.tracers["e"])).ravel()
+    z = np.asarray(grid.znodes())
+    assert np.all(np.isfinite(b)) and np.all(np.isfinite(e))
+    # TKE was generated near the surface
+    assert e[-5:].max() > 1e-6
+    # mixed layer formed: near-surface stratification much weaker than N2_0
+    dbdz_surface = (b[-1] - b[-6]) / (z[-1] - z[-6])
+    assert dbdz_surface < 0.5 * N2_0
+
+
+def test_leith_dissipates_2d_turbulence():
+    grid = RectilinearGrid(size=(64, 64), x=(0, 2 * np.pi),
+                           y=(0, 2 * np.pi),
+                           topology=(Periodic, Periodic, Flat))
+    model = NonhydrostaticModel(grid=grid, advection=Centered(2),
+                                closure=LeithEnstrophyDiffusivity(C=2.0))
+    state = model.initial_state(
+        u=lambda x, y, z: jnp.sin(3 * x) * jnp.cos(5 * y),
+        v=lambda x, y, z: -jnp.cos(4 * x) * jnp.sin(2 * y))
+    ke0 = float(field_integral(grid, state.u ** 2 + state.v ** 2))
+    step = jax.jit(lambda s: model.step(s, 2e-3))
+    for _ in range(100):
+        state = step(state)
+    ke1 = float(field_integral(grid, state.u ** 2 + state.v ** 2))
+    assert np.isfinite(ke1)
+    assert ke1 < ke0  # Leith viscosity dissipates
+
+
+def test_gm_redi_operator_diffuses_along_isopycnals():
+    """Integrate ∂t c = −∇·F_GM/Redi with a frozen buoyancy field: tracer
+    content is conserved, the front spreads, and — the key isopycnal
+    property — a tracer that is a function of b alone (c = b) feels
+    (almost) no Redi flux while a cross-isopycnal tracer does."""
+    from oceananigans_tpu.boundary_conditions import fill_halo_regions
+    from oceananigans_tpu.fields import set_field
+
+    grid = RectilinearGrid(size=(32, 32), y=(0.0, 1e5), z=(-1000.0, 0.0),
+                           topology=(Flat, Periodic, Bounded))
+    closure = IsopycnalSkewSymmetricDiffusivity(kappa_redi=500.0,
+                                                kappa_gm=500.0,
+                                                maximum_slope=2e-2,
+                                                kappa_z=0.0)
+    # periodic-compatible front (a linear-in-y front would be
+    # discontinuous across the periodic seam)
+    N2, amp = 1e-5, 1e-3
+    b = set_field(grid,
+                  lambda x, y, z: N2 * z + amp * jnp.sin(2 * np.pi * y / 1e5))
+    b = fill_halo_regions(b, grid)
+    c = set_field(grid, lambda x, y, z: jnp.cos(2 * np.pi * y / 1e5))
+    c = fill_halo_regions(c, grid)
+    diff = {"b": b}
+    dt = 3600.0
+
+    @jax.jit
+    def advance(c):
+        Gc = closure.tracer_flux_divergence(grid, "c", c, {"b": b, "c": c},
+                                            diff)
+        c = c + dt * Gc
+        return fill_halo_regions(c, grid)
+
+    c0 = np.asarray(interior(grid, c))
+    cint0 = float(field_integral(grid, c))
+    for _ in range(50):
+        c = advance(c)
+    c1 = np.asarray(interior(grid, c))
+    assert np.all(np.isfinite(c1))
+    # conservative: drift tiny relative to the tracer content scale |c|·V
+    np.testing.assert_allclose(float(field_integral(grid, c)), cint0,
+                               atol=1e-6 * 1e5 * 1000 * 1e-9)
+    assert np.abs(c1 - c0).max() > 1e-3   # front evolves
+
+    # isopycnal invariance: under PURE Redi (κ_GM = 0) a tracer aligned
+    # with isopycnals (c ≡ b) is invariant; GM by design changes b (it
+    # releases available potential energy)
+    redi = IsopycnalSkewSymmetricDiffusivity(kappa_redi=500.0, kappa_gm=0.0,
+                                             maximum_slope=2e-2, kappa_z=0.0)
+    cb = b
+    cb0 = np.asarray(interior(grid, cb))
+
+    @jax.jit
+    def advance_b(cb):
+        Gc = redi.tracer_flux_divergence(grid, "cb", cb,
+                                         {"b": b, "cb": cb}, diff)
+        cb = cb + dt * Gc
+        return fill_halo_regions(cb, grid)
+
+    for _ in range(50):
+        cb = advance_b(cb)
+    cb1 = np.asarray(interior(grid, cb))
+    rel_change_aligned = (np.abs(cb1 - cb0).max()
+                          / np.abs(cb0 - cb0.mean()).max())
+    assert rel_change_aligned < 1e-5   # exact up to wall-taper residue
