@@ -514,6 +514,24 @@ class HydrostaticFreeSurfaceModel:
         return jnp.sum(jnp.where(in_interior, dz, 0.0), axis=Z,
                        keepdims=True)
 
+    def _zero_wall_transports(self, U, V):
+        """Impenetrability of the barotropic transports: zero U/V on the
+        wall faces of Bounded axes (the baroclinic fields get this from
+        their Open BCs; the substepped transports must enforce it too)."""
+        from oceananigans_tpu.grids.base import Bounded as _B
+        g = self.grid
+        if g.axis_topo(X) == _B:
+            i = np.arange(g.shape[0]).reshape(-1, 1, 1)
+            wall = (i == g.Hx) | (i == g.Hx + g.Nx) | (i < g.Hx) \
+                | (i > g.Hx + g.Nx)
+            U = jnp.where(wall, 0.0, U)
+        if g.axis_topo(Y) == _B:
+            j = np.arange(g.shape[1]).reshape(1, -1, 1)
+            wall = (j == g.Hy) | (j == g.Hy + g.Ny) | (j < g.Hy) \
+                | (j > g.Hy + g.Ny)
+            V = jnp.where(wall, 0.0, V)
+        return U, V
+
     def _div_transports(self, U, V):
         """2-D divergence per unit area of depth-integrated transports
         located at (f,c)/(c,f): (δx(Δy U) + δy(Δx V)) / Az."""
@@ -527,12 +545,14 @@ class HydrostaticFreeSurfaceModel:
         velocity!``, step_split_explicit_free_surface.jl:11-47)."""
         g = self.grid
         # η ← η − Δτ ∇·(U, V)
+        U, V = self._zero_wall_transports(U, V)
         eta = eta - dtau * self._div_transports(U, V)
         eta = self._fill_eta_halos(eta)
         H_fc = ix_f(self._column_depth())
         H_cf = iy_f(self._column_depth())
         U = U + dtau * (-fs.g * H_fc * dx_f(eta) / g.dx(Face, Center) + GU)
         V = V + dtau * (-fs.g * H_cf * dy_f(eta) / g.dy(Face, Center) + GV)
+        U, V = self._zero_wall_transports(U, V)
         return eta, U, V
 
     def _step_free_surface_split(self, state, Gu_ab2, Gv_ab2, dt, fs):

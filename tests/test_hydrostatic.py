@@ -174,6 +174,39 @@ def test_vector_invariant_uniform_flow():
     assert float(jnp.max(jnp.abs(interior(grid, gv)))) < 1e-13
 
 
+def test_latlon_sphere_global_gravity_wave():
+    """Global lat-lon ocean: spherical Coriolis + vector-invariant +
+    split-explicit free surface runs stably and conserves volume to
+    machine precision (wall-transport impenetrability)."""
+    from oceananigans_tpu import (
+        HydrostaticSphericalCoriolis, LatitudeLongitudeGrid,
+    )
+    grid = LatitudeLongitudeGrid(size=(60, 40, 6), longitude=(0.0, 360.0),
+                                 latitude=(-60.0, 60.0), z=(-1000.0, 0.0))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("b",), buoyancy=BuoyancyTracer(),
+        coriolis=HydrostaticSphericalCoriolis(),
+        momentum_advection=VectorInvariant(),
+        free_surface=SplitExplicitFreeSurface(substeps=30))
+    state = model.initial_state(
+        b=lambda lam, phi, z: 1e-5 * z + 1e-4 * jnp.exp(-(phi / 20.0) ** 2),
+        eta=lambda lam, phi: 0.1 * jnp.exp(-((lam - 180) / 30) ** 2
+                                           - (phi / 15) ** 2))
+    Az = np.asarray(grid.Az("c", "c"))[grid.Hx:grid.Hx + grid.Nx,
+                                       grid.Hy:grid.Hy + grid.Ny]
+    vol0 = float(jnp.sum(interior_xy(grid, state.eta) * Az))
+    step = jax.jit(lambda s: model.step(s, 600.0))
+    for _ in range(25):
+        state = step(state)
+    vol = float(jnp.sum(interior_xy(grid, state.eta) * Az))
+    eta_scale = float(jnp.sum(jnp.abs(interior_xy(grid, state.eta)) * Az))
+    assert bool(jnp.all(jnp.isfinite(state.u)))
+    assert bool(jnp.all(jnp.isfinite(state.eta)))
+    assert abs(vol - vol0) / eta_scale < 1e-12
+    # the bump radiates gravity waves
+    assert float(jnp.max(jnp.abs(interior_xy(grid, state.eta)))) < 0.1
+
+
 def test_baroclinic_stratified_adjustment_stable():
     """A stratified, rotating channel with a buoyancy front runs stably
     with the split-explicit free surface + vector-invariant advection."""
