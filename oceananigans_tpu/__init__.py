@@ -22,6 +22,13 @@ from oceananigans_tpu.grids import (
     Center, Face,
     RectilinearGrid,
     LatitudeLongitudeGrid,
+    OrthogonalSphericalShellGrid,
+    TripolarGrid,
+    RotatedLatitudeLongitudeGrid,
+)
+from oceananigans_tpu.immersed import (
+    ImmersedBoundaryGrid, GridFittedBottom, GridFittedBoundary,
+    PartialCellBottom,
 )
 from oceananigans_tpu.boundary_conditions import (
     BoundaryCondition,

@@ -273,10 +273,20 @@ def fill_halo_regions(a, grid, bcs=None, loc=(Center, Center, Center),
     """
     if bcs is None:
         bcs = regularize_field_boundary_conditions(None, grid, loc)
+    zipper = getattr(grid, "zipper", False)
     for axis in range(3):
         lbc, rbc = bcs.sides(axis)
         lval = _bc_value(lbc, grid, axis, loc, time) if lbc else None
         rval = _bc_value(rbc, grid, axis, loc, time) if rbc else None
+        if zipper and axis == 1 and a.shape[1] == grid.shape[1]:
+            # tripolar north fold: south side gets the ordinary bounded
+            # fill, the north halo is the Zipper fold (reference
+            # fill_halo_regions_zipper.jl); horizontal velocities flip sign
+            a = _fill_axis(a, grid, axis, loc[axis], lbc, None, lval, None)
+            from oceananigans_tpu.grids.orthogonal import fill_zipper_north
+            sign = -1.0 if (loc[0] == Face or loc[1] == Face) else 1.0
+            a = fill_zipper_north(a, grid, loc, sign)
+            continue
         a = _fill_axis(a, grid, axis, loc[axis], lbc, rbc, lval, rval)
     return a
 

@@ -28,9 +28,15 @@ from oceananigans_tpu.grids.base import (
 )
 from oceananigans_tpu.grids.rectilinear import RectilinearGrid
 from oceananigans_tpu.grids.latlon import LatitudeLongitudeGrid
+from oceananigans_tpu.grids.orthogonal import (
+    OrthogonalSphericalShellGrid, TripolarGrid,
+    RotatedLatitudeLongitudeGrid,
+)
 
 __all__ = [
     "Periodic", "Bounded", "Flat", "Center", "Face",
     "AbstractGrid", "RectilinearGrid", "LatitudeLongitudeGrid",
+    "OrthogonalSphericalShellGrid", "TripolarGrid",
+    "RotatedLatitudeLongitudeGrid",
     "total_length",
 ]

@@ -67,6 +67,18 @@ class FFTPoissonSolver:
                 self.fft_axes.append(axis)
             elif topo == Bounded:
                 self.dct_axes.append(axis)
+        # the first periodic axis uses a REAL transform: the input is real,
+        # so its spectrum is Hermitian — rfft halves the data every
+        # downstream transform touches (big HBM-bandwidth win on TPU)
+        self.rfft_axis = self.fft_axes[0] if self.fft_axes else None
+        self.cfft_axes = self.fft_axes[1:]
+        if self.rfft_axis is not None:
+            ax = self.rfft_axis
+            n_half = grid.N[ax] // 2 + 1
+            sl = [slice(None)] * 3
+            sl[ax] = slice(0, n_half)
+            lams = [lam[tuple(sl)] if i == ax else lam
+                    for i, lam in enumerate(lams)]
         lam_sum = lams[0] + lams[1] + lams[2]
         # reciprocal with the k=0 (mean) mode zeroed; kept as a numpy
         # constant so it embeds as a literal (never a device-array capture)
@@ -79,11 +91,16 @@ class FFTPoissonSolver:
         x = rhs
         for axis in self.dct_axes:
             x = dct2(x, axis)
-        for axis in self.fft_axes:
+        if self.rfft_axis is not None:
+            n_full = x.shape[self.rfft_axis]
+            x = jnp.fft.rfft(x, axis=self.rfft_axis)
+        for axis in self.cfft_axes:
             x = jnp.fft.fft(x, axis=axis)
         x = x * self.inv_lam.astype(x.real.dtype)
-        for axis in self.fft_axes:
+        for axis in self.cfft_axes:
             x = jnp.fft.ifft(x, axis=axis)
+        if self.rfft_axis is not None:
+            x = jnp.fft.irfft(x, n=n_full, axis=self.rfft_axis)
         x = jnp.real(x)
         for axis in self.dct_axes:
             x = idct2(x, axis)
