@@ -294,12 +294,22 @@ def TripolarGrid(size, southernmost_latitude=-80.0, z=(-1000.0, 0.0),
         psi = np.arcsinh(np.tan(np.deg2rad((90.0 - P) / 2)) / a)
         x = a * np.sin(np.deg2rad(L)) * np.cosh(psi)
         y = a * np.cos(np.deg2rad(L)) * np.sinh(psi)
+        # exact zeros of sin at multiples of 180° so the hemisphere-
+        # boundary columns land on the x = 0 branch deterministically
+        x = np.where(np.mod(np.abs(L), 180.0) == 0.0, 0.0, x)
+        # NOTE: atan (half-range), not atan2 — the ±90° hemisphere shift
+        # below supplies the branch (Murray's formulation). At x = 0 the
+        # consistent atan limit is −90° for both boundary columns.
         with np.errstate(divide="ignore", invalid="ignore"):
-            lam_g = -180.0 / np.pi * np.arctan2(y, x)
+            lam_g = np.where(
+                x == 0, -90.0,
+                -180.0 / np.pi * np.arctan(y / np.where(x == 0, 1.0, x)))
         phi_g = 90.0 - 360.0 / np.pi * np.arctan(np.sqrt(x * x + y * y))
-        # place the singularities at first_pole_longitude and +180°
-        ii = np.arange(L.shape[0]).reshape(-1, 1)
-        lam_g = lam_g + np.where(ii < L.shape[0] // 2, -90.0, 90.0)
+        # hemisphere shift decided by the NOMINAL longitude (halo columns
+        # included), placing the singularities at first_pole_longitude
+        # and first_pole_longitude + 180°
+        lam_nom = np.mod(L, 360.0)
+        lam_g = lam_g + np.where(lam_nom < 180.0, -90.0, 90.0)
         lam_g = lam_g + first_pole_longitude + 90.0
         lam_g = np.mod(lam_g, 360.0)
         return lam_g, phi_g
