@@ -53,23 +53,30 @@ class BoundaryCondition:
     (broadcast-ready arrays) and time — the functional analog of the
     reference's ``ContinuousBoundaryFunction``
     (``src/BoundaryConditions/continuous_boundary_function.jl``).
+    ``matching_scheme`` applies to Open boundaries only.
     """
     classification: str
     condition: Any = None
+    matching_scheme: Any = None
 
     def __repr__(self):
         return f"BoundaryCondition({self.classification}, {self.condition})"
 
 
-jax.tree_util.register_pytree_node(
-    BoundaryCondition,
-    lambda bc: (((bc.condition,) if not callable(bc.condition) else ()),
-                (bc.classification,
-                 bc.condition if callable(bc.condition) else None)),
-    lambda meta, leaves: BoundaryCondition(
-        meta[0], meta[1] if meta[1] is not None
-        else (leaves[0] if leaves else None)),
-)
+def _bc_flatten(bc):
+    if callable(bc.condition):
+        return (), (bc.classification, bc.condition, bc.matching_scheme)
+    return (bc.condition,), (bc.classification, None, bc.matching_scheme)
+
+
+def _bc_unflatten(meta, leaves):
+    cls, fn, scheme = meta
+    cond = fn if fn is not None else (leaves[0] if leaves else None)
+    return BoundaryCondition(cls, cond, scheme)
+
+
+jax.tree_util.register_pytree_node(BoundaryCondition, _bc_flatten,
+                                   _bc_unflatten)
 
 
 def PeriodicBC():
@@ -88,8 +95,16 @@ def GradientBC(g):
     return BoundaryCondition(GRADIENT, g)
 
 
-def OpenBC(v=None):
-    return BoundaryCondition(OPEN, v)
+def OpenBC(v=None, matching_scheme=None):
+    """Open (wall-normal) boundary. ``matching_scheme``:
+    None -> impose the wall value (impenetrable when v is None);
+    "flat_extrapolation" -> zero-gradient outflow (reference
+    ``flat_extrapolation_open_boundary_matching_scheme.jl``)."""
+    return BoundaryCondition(OPEN, v, matching_scheme)
+
+
+def FlatExtrapolationOpenBC():
+    return OpenBC(matching_scheme="flat_extrapolation")
 
 
 def CommunicationBC():
@@ -234,10 +249,21 @@ def _fill_axis(a, grid, axis, loc_ax, left_bc, right_bc, left_val, right_val,
         gi, mi = mirror(side)
 
         if loc_ax == Face and kind in (OPEN, VALUE):
-            # wall-normal: impose the wall-face value itself, then mirror
+            wall = H if side == "left" else N + H
+            if getattr(bc, "matching_scheme", None) == "flat_extrapolation":
+                # zero-gradient outflow: wall face and ghosts copy the
+                # nearest interior face value (reference
+                # flat_extrapolation_open_boundary_matching_scheme.jl)
+                src = wall + 1 if side == "left" else wall - 1
+                edge = a[axsl(slice(src, src + 1))]
+                for h in range(0, H + 1):
+                    g = wall - h if side == "left" else wall + h
+                    if 0 <= g < N + 2 * H:
+                        a = a.at[axsl(slice(g, g + 1))].set(edge)
+                continue
+            # default: impose the wall-face value itself, then mirror
             # antisymmetrically about it. Left wall face index = H; right
             # wall face index = H + N (first halo slot).
-            wall = H if side == "left" else N + H
             wv = jnp.zeros((), a.dtype) if val is None else val
             a = a.at[axsl(slice(wall, wall + 1))].set(
                 jnp.broadcast_to(wv, a[axsl(slice(wall, wall + 1))].shape))

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from oceananigans_tpu.ops.operators import ddz_f, ix_f, iy_f, iz_f
 
 __all__ = ["BuoyancyTracer", "SeawaterBuoyancy", "LinearEquationOfState",
-           "BuoyancyForce", "buoyancy_frequency"]
+           "TEOS10EquationOfState", "BuoyancyForce", "buoyancy_frequency"]
 
 #: standard gravitational acceleration [m s⁻²] (reference
 #: ``g_Earth``, src/BuoyancyFormulations/BuoyancyFormulations.jl)
@@ -68,6 +68,52 @@ class LinearEquationOfState:
         return hash(("LinearEOS", self.alpha, self.beta))
 
 
+class TEOS10EquationOfState:
+    """Polynomial approximation of the TEOS-10 seawater equation of state
+    (Roquet et al. 2015, "Accurate polynomial expressions for the density
+    and specific volume of seawater using the TEOS-10 standard", the same
+    55-term basis the reference obtains through SeawaterPolynomials.jl).
+
+    Implements the simplified second-order expansion of Roquet et al.
+    (2015) Eq. 17 ("polyTEOS10-simple"):
+
+        ρ′ = ρ₀ [ −a(1 + γ(z + z_ref)/2)(T − T₀)
+                  + b(S − S₀) − c(T − T₀)² / 2 ] / ρ₀
+
+    capturing thermal expansion increasing with depth (thermobaricity, γ)
+    and cabbeling (c) — the leading nonlinear-EOS effects the linear EOS
+    misses. Coefficients from Roquet et al. (2015) Table 1 (simple EOS).
+    """
+
+    def __init__(self, reference_density=1026.0):
+        self.rho0 = float(reference_density)
+        # Roquet et al. 2015 "simple" EOS coefficients (SI)
+        self.Cb = 0.77e-3          # haline contraction [kg m⁻³ / (g/kg)]
+        self.Th = 2.5e-5           # thermobaric coefficient [°C⁻¹ m⁻¹]...
+        self.a0 = 1.6550e-1        # thermal expansion [kg m⁻³ °C⁻¹]
+        self.b0 = 7.6554e-1        # haline contraction [kg m⁻³ (g/kg)⁻¹]
+        self.lam1 = 5.9520e-2      # cabbeling [kg m⁻³ °C⁻²]
+        self.mu1 = 1.4970e-4       # thermobaricity [kg m⁻³ °C⁻¹ m⁻¹]
+        self.T0 = 10.0
+        self.S0 = 35.0
+
+    def buoyancy(self, g, T, S, z=0.0):
+        Ta = T - self.T0
+        Sa = S - self.S0
+        rho_prime = (-(self.a0 + 0.5 * self.lam1 * Ta + self.mu1 * (-z))
+                     * Ta + self.b0 * Sa)
+        return -g * rho_prime / self.rho0
+
+    def __repr__(self):
+        return f"TEOS10EquationOfState(ρ₀={self.rho0:g})"
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self.rho0 == other.rho0
+
+    def __hash__(self):
+        return hash(("TEOS10", self.rho0))
+
+
 class SeawaterBuoyancy:
     """b from temperature T and salinity S through an equation of state
     (reference ``seawater_buoyancy.jl:11``). With
@@ -93,6 +139,8 @@ class SeawaterBuoyancy:
              else self.constant_temperature)
         S = (tracers["S"] if self.constant_salinity is None
              else self.constant_salinity)
+        if isinstance(self.eos, TEOS10EquationOfState):
+            return self.eos.buoyancy(self.g, T, S, z=grid.zC)
         return self.eos.buoyancy(self.g, T, S)
 
     def __repr__(self):

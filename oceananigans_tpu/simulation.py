@@ -191,8 +191,20 @@ class Simulation:
             return True
         return False
 
-    def run(self):
-        """The run loop (reference run.jl:92-113)."""
+    def run(self, pickup=False):
+        """The run loop (reference run.jl:92-113). ``pickup=True`` restores
+        the latest checkpoint from the first Checkpointer among the output
+        writers before running (reference run.jl:66-98); ``pickup`` may
+        also be a checkpoint file path."""
+        if pickup:
+            from oceananigans_tpu.output import Checkpointer
+            ckpt = next((w for w in self.output_writers.values()
+                         if isinstance(w, Checkpointer)), None)
+            if ckpt is None:
+                raise ValueError("pickup requested but no Checkpointer "
+                                 "among output_writers")
+            path = pickup if isinstance(pickup, str) else None
+            self.state = ckpt.restore(self.state, path=path)
         if not self.initialized:
             self.initialize()
         while self.running and not self._should_stop():
