@@ -4,3 +4,6 @@ from oceananigans_tpu.parallel.distributed import (
 from oceananigans_tpu.parallel.halo_exchange import (
     halo_exchange, halo_exchange_spec,
 )
+from oceananigans_tpu.parallel.distributed_fft import (
+    DistributedFFTPoissonSolver,
+)

@@ -101,6 +101,28 @@ def test_halo_exchange_matches_fill():
                                a_np[px - 1, nxl - Hx:, 0, :])
 
 
+def test_distributed_pencil_fft_matches_serial():
+    """The explicit all_to_all pencil FFT solve equals the serial FFT
+    solve (reference test_distributed_poisson_solvers.jl)."""
+    from oceananigans_tpu.parallel import DistributedFFTPoissonSolver
+    from oceananigans_tpu.solvers.fft_poisson import FFTPoissonSolver
+
+    grid = RectilinearGrid(size=(32, 16, 8), extent=(1.0, 1.0, 1.0),
+                           topology=(Periodic, Periodic, Bounded), halo=1)
+    dist = Distributed(Partition(4, 2))
+    rng = np.random.default_rng(1)
+    rhs = rng.standard_normal(tuple(grid.N))
+    rhs -= rhs.mean()
+    rhs_j = jnp.asarray(rhs)
+
+    serial = FFTPoissonSolver(grid).solve(rhs_j)
+    dsolver = DistributedFFTPoissonSolver(grid, dist.mesh)
+    rhs_sharded = jax.device_put(rhs_j, dist.field_sharding())
+    distributed = jax.jit(dsolver.solve)(rhs_sharded)
+    np.testing.assert_allclose(np.asarray(distributed),
+                               np.asarray(serial), atol=1e-11)
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
