@@ -93,7 +93,7 @@ class NonhydrostaticModel:
                  forcing=None, boundary_conditions=None,
                  background_fields=None, particles=None,
                  stokes_drift=None, biogeochemistry=None,
-                 timestepper="RungeKutta3"):
+                 fused_kernels="auto", timestepper="RungeKutta3"):
         self.particles = particles
         self.stokes_drift = stokes_drift
         self.biogeochemistry = biogeochemistry
@@ -164,6 +164,19 @@ class NonhydrostaticModel:
         }
 
         self.pressure_solver = make_pressure_solver(grid)
+
+        # fused Pallas tendency kernel: on TPU when the config matches
+        # (regular rectilinear + Centered(2) + halos >= 1); "auto" also
+        # requires no background fields (they change the advection term)
+        from oceananigans_tpu.ops.pallas_kernels import pallas_available
+        applicable = (pallas_available(grid, advection)
+                      and not self.background_fields)
+        if fused_kernels == "auto":
+            import jax as _jax
+            self.fused_kernels = (applicable
+                                  and _jax.default_backend() == "tpu")
+        else:
+            self.fused_kernels = bool(fused_kernels) and applicable
 
     # -- pytree protocol: grid is a child, config is aux ------------------
     def tree_flatten(self):
@@ -266,6 +279,13 @@ class NonhydrostaticModel:
                    - div_vv(g, self.advection, ub, vb, wb))
             Gw = -(div_vw(g, self.advection, ut, vt, wt)
                    - div_vw(g, self.advection, ub, vb, wb))
+        elif self.fused_kernels:
+            from oceananigans_tpu.ops.pallas_kernels import (
+                centered2_momentum_tendency,
+            )
+            bg = {}
+            ut, vt, wt = u, v, w
+            Gu, Gv, Gw = centered2_momentum_tendency(g, u, v, w)
         else:
             bg = {}
             ut, vt, wt = u, v, w
