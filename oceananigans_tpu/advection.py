@@ -172,18 +172,22 @@ class AdvectionScheme:
 
 class Centered(AdvectionScheme):
     """Even-order centered reconstruction (reference
-    ``centered_reconstruction.jl``; orders 2-6 of the reference's 2-12)."""
+    ``centered_reconstruction.jl``; orders 2-12, generated exactly)."""
 
     symmetric = True
 
     def __init__(self, order: int = 2):
-        if order not in _CENTERED:
-            raise ValueError(f"Centered order must be one of "
-                             f"{sorted(_CENTERED)}, got {order}")
+        if order % 2 or not 2 <= order <= 12:
+            raise ValueError(f"Centered order must be even in 2..12, "
+                             f"got {order}")
         self.order = order
+        from oceananigans_tpu.ops.reconstruction_coefficients import (
+            face_reconstruction_coefficients,
+        )
+        self._stencil = face_reconstruction_coefficients(order, "centered")
 
     def reconstruct(self, a, axis, o):
-        return _apply_stencil(a, axis, _CENTERED[self.order], o)
+        return _apply_stencil(a, axis, self._stencil, o)
 
     def __repr__(self):
         return f"Centered(order={self.order})"
@@ -191,18 +195,21 @@ class Centered(AdvectionScheme):
 
 class UpwindBiased(AdvectionScheme):
     """Odd-order upwind-biased reconstruction (reference
-    ``upwind_biased_reconstruction.jl``; orders 1-5 of the reference's
-    1-11)."""
+    ``upwind_biased_reconstruction.jl``; orders 1-11, generated exactly)."""
 
     def __init__(self, order: int = 3):
-        if order not in _UPWIND_LEFT:
-            raise ValueError(f"UpwindBiased order must be one of "
-                             f"{sorted(_UPWIND_LEFT)}, got {order}")
+        if order % 2 == 0 or not 1 <= order <= 11:
+            raise ValueError(f"UpwindBiased order must be odd in 1..11, "
+                             f"got {order}")
         self.order = order
+        from oceananigans_tpu.ops.reconstruction_coefficients import (
+            face_reconstruction_coefficients,
+        )
+        self._left = face_reconstruction_coefficients(order, "left")
 
     def biased(self, a, axis, o):
-        left = _apply_stencil(a, axis, _UPWIND_LEFT[self.order], o)
-        right = _apply_stencil(a, axis, _mirror(_UPWIND_LEFT[self.order]), o)
+        left = _apply_stencil(a, axis, self._left, o)
+        right = _apply_stencil(a, axis, _mirror(self._left), o)
         return left, right
 
     def __repr__(self):
@@ -210,20 +217,49 @@ class UpwindBiased(AdvectionScheme):
 
 
 class WENO(AdvectionScheme):
-    """WENO-Z reconstruction (Borges et al. 2008), orders 3/5/7 (reference
-    ``weno_reconstruction.jl:7``, ``weno_interpolants.jl``; the reference
-    reaches order 11).
+    """WENO-Z reconstruction (Borges et al. 2008), orders 3-11 (reference
+    ``weno_reconstruction.jl:7``, ``weno_interpolants.jl``). Sub-stencil
+    coefficients, ideal weights, and Jiang-Shu smoothness quadratic forms
+    are generated exactly for every order
+    (ops/reconstruction_coefficients.py); orders 3/5/7 keep the classic
+    hand-derived indicator forms (cheaper: sums of few squares).
 
     All sub-stencil values, smoothness indicators, and nonlinear weights are
     branch-free array expressions; XLA fuses the whole thing into one pass.
     """
 
     def __init__(self, order: int = 5, epsilon: float = 1e-8):
-        if order not in _WENO_Q:
-            raise ValueError(f"WENO order must be one of {sorted(_WENO_Q)}, "
-                             f"got {order}")
+        if order % 2 == 0 or not 3 <= order <= 11:
+            raise ValueError(f"WENO order must be odd in 3..11, got {order}")
         self.order = order
         self.epsilon = epsilon
+        if order in _WENO_Q:
+            self._qs = _WENO_Q[order]
+            self._gammas = _WENO_GAMMA[order]
+            self._beta_forms = None
+        else:
+            from oceananigans_tpu.ops.reconstruction_coefficients import (
+                weno_beta_forms, weno_ideal_weights, weno_substencils,
+            )
+            self._qs = weno_substencils(order)
+            self._gammas = weno_ideal_weights(order)
+            self._beta_forms = weno_beta_forms(order)
+
+    def _betas_from_forms(self, s):
+        """β_r = sᵀ M_r s over the sub-stencil values (generated path)."""
+        k = (self.order + 1) // 2
+        betas = []
+        for r, M in enumerate(self._beta_forms):
+            offs = [(-1 - r) + j for j in range(k)]
+            vals = [s[n] for n in offs]
+            b = 0.0
+            for m in range(k):
+                b = b + M[m, m] * vals[m] * vals[m]
+                for n in range(m + 1, k):
+                    if abs(M[m, n]) > 1e-14:
+                        b = b + 2.0 * M[m, n] * vals[m] * vals[n]
+            betas.append(b)
+        return tuple(betas)
 
     def _onesided(self, shifts, axis, o, reflect):
         order = self.order
@@ -231,9 +267,12 @@ class WENO(AdvectionScheme):
             s = {n: shifts[-1 - n] for n in shifts}
         else:
             s = shifts
-        qs = [_apply_stencil_shifted(s, q) for q in _WENO_Q[order]]
-        betas = _WENO_BETAS[order](s)
-        gammas = _WENO_GAMMA[order]
+        qs = [_apply_stencil_shifted(s, q) for q in self._qs]
+        if self._beta_forms is None:
+            betas = _WENO_BETAS[order](s)
+        else:
+            betas = self._betas_from_forms(s)
+        gammas = self._gammas
         eps = self.epsilon
         tau = abs(betas[0] - betas[-1])
         alphas = [g * (1.0 + (tau / (b + eps)) ** 2)
@@ -303,6 +342,32 @@ def required_halo(scheme) -> int:
     if scheme is None:
         return 1
     return scheme.required_halo
+
+
+def adapt_advection_order(scheme, grid):
+    """Shrink the scheme order per axis so stencils fit small grids
+    (reference ``adapt_advection_order.jl``; used
+    ``nonhydrostatic_model.jl:175-178``). Returns the scheme unchanged when
+    every axis fits, else a FluxFormAdvection of per-axis clamped orders."""
+    if scheme is None or isinstance(scheme, FluxFormAdvection):
+        return scheme
+
+    def clamp(s, N):
+        if N <= 1 or s.required_halo <= N:
+            return s
+        if isinstance(s, Centered):
+            return Centered(max(2, 2 * N - (2 * N) % 2))
+        order = max(1, min(s.order, 2 * N - 1))
+        if order % 2 == 0:
+            order -= 1
+        if isinstance(s, WENO):
+            return WENO(max(3, order)) if order >= 3 else UpwindBiased(1)
+        return UpwindBiased(order)
+
+    per_axis = [clamp(scheme, grid.N[ax]) for ax in range(3)]
+    if all(p == scheme for p in per_axis):
+        return scheme
+    return FluxFormAdvection(*per_axis)
 
 
 def _scheme_for(scheme, axis):

@@ -122,19 +122,24 @@ class NonhydrostaticModel:
 
         # halo requirement check (reference inflate_grid_halo_size,
         # nonhydrostatic_model.jl:243-257 — we validate rather than rebuild).
-        # Periodic axes need NO halos: jnp.roll wraps exactly, so stencils of
-        # any width are correct with H=0 there (a TPU-native memory/perf win
-        # over the reference's always-haloed storage).
+        # Periodic axes may run with NO halos at all: jnp.roll wraps exactly
+        # with H=0 (a TPU-native memory/perf win over the reference's
+        # always-haloed storage). But 0 < H < needed is INVALID on periodic
+        # axes too: rolls then wrap through partially-stale halo cells.
         from oceananigans_tpu.grids.base import Periodic as _Periodic
         needed = max(advection_required_halo(advection),
                      closures_mod.closure_required_halo(closure))
         for axis in range(3):
             H = grid.H[axis]
-            if (grid.N[axis] > 1 and grid.axis_topo(axis) != _Periodic
-                    and H < min(needed, grid.N[axis])):
+            if grid.N[axis] <= 1:
+                continue
+            if grid.axis_topo(axis) == _Periodic and H == 0:
+                continue
+            if H < min(needed, grid.N[axis]):
                 raise ValueError(
                     f"grid halo {grid.H} too small for advection/closure "
-                    f"requiring {needed}; build the grid with halo={needed}")
+                    f"requiring {needed}; build the grid with halo={needed} "
+                    f"(or halo=0 on periodic axes)")
 
         self.grid = grid
         self.advection = advection

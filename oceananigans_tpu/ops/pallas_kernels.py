@@ -3,17 +3,17 @@
 The whole-array XLA path materializes many intermediates per tendency
 (each shifted flux product risks its own HBM round trip when fusion
 breaks); this kernel computes the full momentum tendency in ONE pass:
-read u, v, w once (tile + 1-ring halo, DMA'd HBM→VMEM), write Gu, Gv, Gw
-once — the hand-fused equivalent of the reference's per-point
-``compute_Gu!`` kernels (``nonhydrostatic_tendency_kernel_functions.jl:
-47-78``) scheduled for the TPU memory hierarchy.
+read u, v, w once, write Gu, Gv, Gw once — the hand-fused equivalent of
+the reference's per-point ``compute_Gu!`` kernels
+(``nonhydrostatic_tendency_kernel_functions.jl:47-78``) scheduled for the
+TPU memory hierarchy.
 
-Implemented: fused Centered(2) momentum-advection tendency on a regular
-rectilinear grid (the benchmark configuration). Tiles span (TX, TY) in the
-horizontal with the full z-column; inputs stay in ANY/HBM space and each
-program DMAs its (TX+2, TY+2, nz) window into VMEM scratch, so the
-overlapping halo reads never round-trip through extra HBM buffers.
-Requires halo >= 1 on non-flat axes (halos pre-filled by the caller).
+Layout notes: fields are (x, y, z) with z in the lane dimension, so DMA
+windows slice ONLY the leading x axis (Mosaic requires lane/sublane-
+aligned slices); each program owns a (TX, ny, nz) slab, reads a
+(TX+2, ny, nz) window, and handles y/z shifts with in-VMEM rolls (the
+wrap rows land in halo slots that the caller's next halo fill overwrites).
+Requires halo >= 1 on non-flat axes; halos pre-filled by the caller.
 """
 
 from __future__ import annotations
@@ -44,130 +44,142 @@ def pallas_available(grid, advection) -> bool:
     return all(n > 1 for n in grid.N)
 
 
-def _zm(a):
-    """a[k-1] along z (wraps; z halo rows absorb the wrap junk)."""
-    return jnp.roll(a, 1, axis=2)
-
-
-def _zp(a):
-    """a[k+1] along z."""
-    return jnp.roll(a, -1, axis=2)
-
-
 def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, gw_ref,
-            u_w, v_w, w_w, sems, *, TX, TY, inv_dx, inv_dy, inv_dz):
+            u_s, v_s, w_s, sems, *, TX, inv_dx, inv_dy, inv_dz):
     i = pl.program_id(0)
-    j = pl.program_id(1)
     x0 = i * TX
-    y0 = j * TY
 
     cps = []
-    for src, dst, s in ((u_hbm, u_w, 0), (v_hbm, v_w, 1), (w_hbm, w_w, 2)):
-        cp = pltpu.make_async_copy(
-            src.at[pl.ds(x0, TX + 2), pl.ds(y0, TY + 2), :],
-            dst, sems.at[s])
+    for src, dst, s in ((u_hbm, u_s, 0), (v_hbm, v_s, 1), (w_hbm, w_s, 2)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(x0, TX + 2)], dst,
+                                   sems.at[s])
         cp.start()
         cps.append(cp)
     for cp in cps:
         cp.wait()
 
-    u = u_w[:]
-    v = v_w[:]
-    w = w_w[:]
+    u = u_s[:]
+    v = v_s[:]
+    w = w_s[:]
 
-    P = slice(1, TX + 1)    # output cells in window x-coords
-    Q = slice(1, TY + 1)
-    u_c = u[P, Q]
-    v_c = v[P, Q]
-    w_c = w[P, Q]
+    def ym(a):    # a[j-1] (wraps into halo rows — junk there is fine)
+        return pltpu.roll(a, 1, 1)
+
+    def yp(a):    # a[j+1]  (pltpu.roll takes non-negative shifts)
+        return pltpu.roll(a, a.shape[1] - 1, 1)
+
+    def zm(a):
+        return pltpu.roll(a, 1, 2)
+
+    def zp(a):
+        return pltpu.roll(a, a.shape[2] - 1, 2)
+
+    P = slice(1, TX + 1)    # output x-cells within the window
+    u_c = u[P]
+    v_c = v[P]
+    w_c = w[P]
+    u_xm = u[0:TX]
+    u_xp = u[2:TX + 2]
+    v_xm = v[0:TX]
+    w_xm = w[0:TX]
 
     # ---------------- Gu at (f,c,c) ----------------
-    fxx_r = 0.25 * (u_c + u[2:TX + 2, Q]) ** 2
-    fxx_l = 0.25 * (u[0:TX, Q] + u_c) ** 2
+    fxx_r = 0.25 * (u_c + u_xp) ** 2
+    fxx_l = 0.25 * (u_xm + u_c) ** 2
     gu = -(fxx_r - fxx_l) * inv_dx
-    # Fxy at (f,f): ℑx_f(v) ℑy_f(u), y-faces q = 1..TY+1
-    QF = slice(1, TY + 2)
-    vbar = 0.5 * (v[0:TX, QF] + v[P, QF])
-    ubar = 0.5 * (u[P, 0:TY + 1] + u[P, QF])
-    fxy = vbar * ubar
-    gu = gu - (fxy[:, 1:] - fxy[:, :-1]) * inv_dy
+    # Fxy at (f,f,c): ℑx_f(v) ℑy_f(u); y-divergence dy_c: F[j+1]-F[j]
+    vbar = 0.5 * (v_xm + v_c)
+    fxy = vbar * 0.5 * (ym(u_c) + u_c)
+    gu = gu - (yp(fxy) - fxy) * inv_dy
     # Fxz at (f,c,f): ℑx_f(w) ℑz_f(u)
-    wbar = 0.5 * (w[0:TX, Q] + w_c)
-    fxz = wbar * 0.5 * (_zm(u_c) + u_c)
-    gu = gu - (_zp(fxz) - fxz) * inv_dz
+    wbar = 0.5 * (w_xm + w_c)
+    fxz = wbar * 0.5 * (zm(u_c) + u_c)
+    gu = gu - (zp(fxz) - fxz) * inv_dz
     gu_ref[:] = gu
 
     # ---------------- Gv at (c,f,c) ----------------
-    fyy_r = 0.25 * (v_c + v[P, 2:TY + 2]) ** 2
-    fyy_l = 0.25 * (v[P, 0:TY] + v_c) ** 2
+    fyy_r = 0.25 * (v_c + yp(v_c)) ** 2
+    fyy_l = 0.25 * (ym(v_c) + v_c) ** 2
     gv = -(fyy_r - fyy_l) * inv_dy
-    PF = slice(1, TX + 2)
-    ubar_v = 0.5 * (u[PF, 0:TY] + u[PF, Q])
-    vbar_v = 0.5 * (v[0:TX + 1, Q] + v[PF, Q])
-    fyx = ubar_v * vbar_v
-    gv = gv - (fyx[1:, :] - fyx[:-1, :]) * inv_dx
-    wbar_v = 0.5 * (w[P, 0:TY] + w_c)
-    fyz = wbar_v * 0.5 * (_zm(v_c) + v_c)
-    gv = gv - (_zp(fyz) - fyz) * inv_dz
+    # Fyx at (f,f,c) for x-faces p=1..TX+1: ℑy_f(u) ℑx_f(v)
+    ubar = 0.5 * (ym(u[0:TX + 1]) + u[0:TX + 1])
+    # careful: x-face p needs u[p]; faces p = 1..TX+1 -> u[1:TX+2]
+    ubar = 0.5 * (ym(u[1:TX + 2]) + u[1:TX + 2])
+    vxbar = 0.5 * (v[0:TX + 1] + v[1:TX + 2])
+    fyx = ubar * vxbar
+    gv = gv - (fyx[1:] - fyx[:-1]) * inv_dx
+    wbar_v = 0.5 * (ym(w_c) + w_c)
+    fyz = wbar_v * 0.5 * (zm(v_c) + v_c)
+    gv = gv - (zp(fyz) - fyz) * inv_dz
     gv_ref[:] = gv
 
     # ---------------- Gw at (c,c,f) ----------------
-    fzz_r = 0.25 * (w_c + _zp(w_c)) ** 2
-    fzz_l = 0.25 * (_zm(w_c) + w_c) ** 2
+    fzz_r = 0.25 * (w_c + zp(w_c)) ** 2
+    fzz_l = 0.25 * (zm(w_c) + w_c) ** 2
     gw = -(fzz_r - fzz_l) * inv_dz
-    ubar_w = 0.5 * (_zm(u[PF, Q]) + u[PF, Q])
-    wxbar = 0.5 * (w[0:TX + 1, Q] + w[PF, Q])
+    ubar_w = 0.5 * (zm(u[1:TX + 2]) + u[1:TX + 2])
+    wxbar = 0.5 * (w[0:TX + 1] + w[1:TX + 2])
     fzx = ubar_w * wxbar
-    gw = gw - (fzx[1:, :] - fzx[:-1, :]) * inv_dx
-    vbar_w = 0.5 * (_zm(v[P, QF]) + v[P, QF])
-    wybar = 0.5 * (w[P, 0:TY + 1] + w[P, QF])
+    gw = gw - (fzx[1:] - fzx[:-1]) * inv_dx
+    vbar_w = 0.5 * (zm(v_c) + v_c)
+    wybar = 0.5 * (ym(w_c) + w_c)
     fzy = vbar_w * wybar
-    gw = gw - (fzy[:, 1:] - fzy[:, :-1]) * inv_dy
+    gw = gw - (yp(fzy) - fzy) * inv_dy
     gw_ref[:] = gw
 
 
-def centered2_momentum_tendency(grid, u, v, w, tile=(8, 128),
-                                interpret=False):
+def centered2_momentum_tendency(grid, u, v, w, tile_x=4, interpret=False):
     """(Gu, Gv, Gw) = -div(𝐯 ⊗ 𝐯) with Centered(2) fluxes on a regular
     rectilinear grid, fused in one Pallas pass. Inputs are full
-    halo-extended arrays with halos already filled. Output halo rows/cols
-    are garbage (overwritten by the caller's next halo fill)."""
-    nx, ny, nz = u.shape
-    TX, TY = tile
+    halo-extended arrays with halos already filled. Output halo rows are
+    junk (overwritten by the caller's next halo fill)."""
+    nx, ny0, nz0 = u.shape
+    # Mosaic DMA slices must be aligned to the (sublane=8, lane=128) tiling
+    # of the last two dims: pad y and z up (the pad rows are junk the
+    # stencil rolls wrap through; outputs are cropped back)
+    ny = -(-ny0 // 8) * 8
+    nz = -(-nz0 // 128) * 128
+    if (ny, nz) != (ny0, nz0):
+        pad = ((0, 0), (0, ny - ny0), (0, nz - nz0))
+        u = jnp.pad(u, pad)
+        v = jnp.pad(v, pad)
+        w = jnp.pad(w, pad)
+    TX = tile_x
     while TX > 1 and (nx - 2) % TX:
         TX //= 2
-    while TY > 1 and (ny - 2) % TY:
-        TY //= 2
     gx = (nx - 2) // TX
-    gy = (ny - 2) // TY
     inv_dx = float(grid.Nx / grid.Lx) if grid.N[0] > 1 else 0.0
     inv_dy = float(grid.Ny / grid.Ly) if grid.N[1] > 1 else 0.0
     inv_dz = float(grid.Nz / grid.Lz) if grid.N[2] > 1 else 0.0
 
-    kern = partial(_kernel, TX=TX, TY=TY, inv_dx=inv_dx, inv_dy=inv_dy,
+    kern = partial(_kernel, TX=TX, inv_dx=inv_dx, inv_dy=inv_dy,
                    inv_dz=inv_dz)
-    out_shape = [jax.ShapeDtypeStruct((gx * TX, gy * TY, nz), u.dtype)] * 3
-    out_spec = pl.BlockSpec((TX, TY, nz), index_map=lambda i, j: (i, j, 0),
+    out_shape = [jax.ShapeDtypeStruct((gx * TX, ny, nz), u.dtype)] * 3
+    out_spec = pl.BlockSpec((TX, ny, nz), index_map=lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    vmem_bytes = (3 * (TX + 2) + 3 * TX) * ny * nz * u.dtype.itemsize
     gu, gv, gw = pl.pallas_call(
         kern,
-        grid=(gx, gy),
+        grid=(gx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
         out_specs=[out_spec] * 3,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((TX + 2, TY + 2, nz), u.dtype),
-            pltpu.VMEM((TX + 2, TY + 2, nz), u.dtype),
-            pltpu.VMEM((TX + 2, TY + 2, nz), u.dtype),
+            pltpu.VMEM((TX + 2, ny, nz), u.dtype),
+            pltpu.VMEM((TX + 2, ny, nz), u.dtype),
+            pltpu.VMEM((TX + 2, ny, nz), u.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * vmem_bytes, 128 * 1024 * 1024)),
         interpret=interpret,
     )(u, v, w)
 
-    # embed the interior result back into halo-extended arrays (halo ring
-    # zeroed; the caller refills halos before any consumer reads them)
+    # embed the interior result back into the halo-extended x-range and
+    # crop the alignment padding (the x halo ring is junk; the caller
+    # refills halos before any consumer)
     def embed(g):
-        full = jnp.zeros((nx, ny, nz), u.dtype)
-        return full.at[1:1 + gx * TX, 1:1 + gy * TY, :].set(g)
+        full = jnp.zeros((nx, ny0, nz0), u.dtype)
+        return full.at[1:1 + gx * TX].set(g[:, :ny0, :nz0])
 
     return embed(gu), embed(gv), embed(gw)

@@ -19,7 +19,8 @@ SCHEMES = [Centered(2), Centered(4), Centered(6),
            WENO(3), WENO(5), WENO(7)]
 
 
-def periodic_1d_grid(N, halo=4):
+def periodic_1d_grid(N, halo=0):
+    # halo=0 on a periodic axis: rolls wrap exactly, valid for ANY order
     return RectilinearGrid(size=(N,), x=(0.0, 2 * np.pi),
                            topology=(Periodic, Flat, Flat), halo=halo)
 
@@ -42,9 +43,11 @@ def test_constancy_preservation(scheme):
 @pytest.mark.parametrize("scheme,order", [
     (Centered(2), 2), (Centered(4), 4), (Centered(6), 6),
     (UpwindBiased(3), 3), (UpwindBiased(5), 5),
+    (UpwindBiased(7), 7), (UpwindBiased(9), 8.5), (Centered(8), 8),
+    (Centered(10), 8.5),
     # WENO3's L-inf rate degrades to ~1 at critical points of the profile
     # (well-known k=2 WENO property); 5/7 keep near-design order with WENO-Z.
-    (WENO(3), 1.3), (WENO(5), 5), (WENO(7), 6),
+    (WENO(3), 1.3), (WENO(5), 5), (WENO(7), 6), (WENO(9), 6.5),
 ])
 def test_convergence_order(scheme, order):
     """div(u c) for u = 1, c = sin(x) should converge at the scheme's order
