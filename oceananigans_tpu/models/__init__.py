@@ -8,5 +8,5 @@ from oceananigans_tpu.models.shallow_water import (
 from oceananigans_tpu.models.hydrostatic import (
     HydrostaticFreeSurfaceModel, HydrostaticState,
     ExplicitFreeSurface, SplitExplicitFreeSurface, ImplicitFreeSurface,
-    VectorInvariant, PrescribedVelocityFields,
+    VectorInvariant, PrescribedVelocityFields, ZCoordinate, ZStar,
 )

@@ -56,7 +56,7 @@ from oceananigans_tpu.timesteppers import Clock, ab2_coefficients, tick
 __all__ = ["HydrostaticFreeSurfaceModel", "HydrostaticState",
            "ExplicitFreeSurface", "SplitExplicitFreeSurface",
            "ImplicitFreeSurface", "VectorInvariant",
-           "PrescribedVelocityFields"]
+           "PrescribedVelocityFields", "ZCoordinate", "ZStar"]
 
 X, Y, Z = 0, 1, 2
 
@@ -210,6 +210,94 @@ class ImplicitFreeSurface:
                 f"solver={self.solver_method})")
 
 
+class ZCoordinate:
+    """Static vertical coordinate (default)."""
+
+    def __repr__(self):
+        return "ZCoordinate()"
+
+    def __eq__(self, other):
+        return type(self) is type(other)
+
+    def __hash__(self):
+        return hash("ZCoordinate")
+
+
+class ZStar:
+    """Free-surface-following vertical coordinate (reference ``ZStar``,
+    ``HydrostaticFreeSurfaceModels.jl:26-27`` + ``z_star_vertical_
+    spacing.jl``): vertical spacings scale with the column stretching
+    σ = (H + η)/H, and prognostic fields are rescaled by σⁿ/σⁿ⁺¹ after the
+    free-surface update so ∫ σ q dV is exactly conserved."""
+
+    def __repr__(self):
+        return "ZStar()"
+
+    def __eq__(self, other):
+        return type(self) is type(other)
+
+    def __hash__(self):
+        return hash("ZStar")
+
+
+class _ScaledZGrid:
+    """Ephemeral grid view whose vertical spacings are scaled by a
+    per-column factor σ(x, y) — the reference's mutable vertical
+    discretization (``MutableVerticalDiscretization``,
+    ``src/Grids/vertical_discretization.jl:32``) expressed functionally.
+    Built inside the jitted step; never stored."""
+
+    def __init__(self, base, sigma):
+        object.__setattr__(self, "base", base)
+        object.__setattr__(self, "sigma", sigma)
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "base"), name)
+
+    def dx(self, *a, **k):
+        return self.base.dx(*a, **k)
+
+    def dy(self, *a, **k):
+        return self.base.dy(*a, **k)
+
+    def dz(self, lz=Center):
+        return self.sigma * self.base.dz(lz)
+
+    def Az(self, *a, **k):
+        return self.base.Az(*a, **k)
+
+    def Ax(self, lx, ly, lz):
+        return self.dy(ly, lx) * self.dz(lz)
+
+    def Ay(self, lx, ly, lz):
+        return self.dx(lx, ly) * self.dz(lz)
+
+    def V(self, lx, ly, lz):
+        return self.Az(lx, ly) * self.dz(lz)
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+    @property
+    def N(self):
+        return self.base.N
+
+    @property
+    def H(self):
+        return self.base.H
+
+    @property
+    def interior_slices(self):
+        return self.base.interior_slices
+
+    def axis_topo(self, axis):
+        return self.base.axis_topo(axis)
+
+    def interior(self, a):
+        return self.base.interior(a)
+
+
 class PrescribedVelocityFields:
     """Diagnostic-velocity mode: tracers advected by fixed analytic
     velocities (reference ``prescribed_hydrostatic_velocity_fields.jl``)."""
@@ -266,7 +354,9 @@ class HydrostaticFreeSurfaceModel:
 
     def __init__(self, grid, momentum_advection=None, tracer_advection=None,
                  free_surface=None, tracers=(), buoyancy=None, coriolis=None,
-                 closure=None, forcing=None, boundary_conditions=None):
+                 closure=None, forcing=None, boundary_conditions=None,
+                 vertical_coordinate=None):
+        self.vertical_coordinate = vertical_coordinate or ZCoordinate()
         if momentum_advection is None:
             momentum_advection = VectorInvariant()
         if tracer_advection is None:
@@ -384,10 +474,30 @@ class HydrostaticFreeSurfaceModel:
         eta = self._fill_eta_halos(state.eta)
         return _replace(state, u=u, v=v, tracers=tracers, eta=eta)
 
-    def compute_w(self, state):
+    def _sigma(self, eta):
+        """z-star column stretching σ = (H + η)/H."""
+        H = self._column_depth_static()
+        return 1.0 + eta / H
+
+    def _column_depth_static(self):
+        g = self.grid
+        dz = jnp.broadcast_to(g.dz(Center), g.shape)
+        k = jnp.arange(g.shape[Z]).reshape(1, 1, -1)
+        in_interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
+        return jnp.sum(jnp.where(in_interior, dz, 0.0), axis=Z,
+                       keepdims=True)
+
+    def _active_grid(self, state):
+        """The grid the dynamics see: σ-scaled under ZStar."""
+        if isinstance(self.vertical_coordinate, ZStar):
+            return _ScaledZGrid(self.grid, self._sigma(state.eta))
+        return self.grid
+
+    def compute_w(self, state, g=None):
         """Diagnose w from continuity: w(zF_k) = −∫_bottom^k ∇ₕ·𝐮 dz
         (reference ``compute_w_from_continuity.jl``)."""
-        g = self.grid
+        if g is None:
+            g = self._active_grid(state)
         hdiv = div_xy_cc(g, state.u, state.v)
         dz = jnp.broadcast_to(g.dz(Center), g.shape)
         k = jnp.arange(g.shape[Z]).reshape(1, 1, -1)
@@ -396,6 +506,17 @@ class HydrostaticFreeSurfaceModel:
         csum = jnp.cumsum(contrib, axis=Z)
         # w at face k (bottom face of cell k) = −sum over cells k' < k
         w = -shift(csum, -1, Z)
+        if isinstance(self.vertical_coordinate, ZStar):
+            # dia-surface velocity ω: subtract the grid motion so ω = 0 at
+            # the moving surface (∂tσ·h(k) term; ∂tσ = −∇·U/H and the full
+            # column sum of the scaled divergence is exactly H ∂tσ)
+            total = jnp.sum(contrib, axis=Z, keepdims=True)
+            dz0 = jnp.broadcast_to(self.grid.dz(Center), self.grid.shape)
+            h_below = shift(jnp.cumsum(
+                jnp.where(in_interior, dz0, 0.0), axis=Z), -1, Z)
+            h_below = jnp.where(k == 0, 0.0, h_below)
+            H = self._column_depth_static()
+            w = w + (h_below / H) * total
         w = jnp.where(k == 0, 0.0, w)
         w = fill_halo_regions(w, g, self.bcs["w"], LOC_W, state.clock.time)
         return _replace(state, w=w)
@@ -406,10 +527,11 @@ class HydrostaticFreeSurfaceModel:
         return state
 
     # ------------------------------------------------------------------
-    def hydrostatic_pressure_anomaly(self, state):
+    def hydrostatic_pressure_anomaly(self, state, g=None):
         """p′(z) = −∫_z^0 b dz′ at centers (∂z p′ = b, p′(top) = 0);
         reference ``update_hydrostatic_pressure.jl``."""
-        g = self.grid
+        if g is None:
+            g = self.grid
         if self.buoyancy is None:
             return None
         b = self.buoyancy.buoyancy_ccc(g, state.tracers)
@@ -425,8 +547,9 @@ class HydrostaticFreeSurfaceModel:
         p = -(above + 0.5 * contrib)
         return p
 
-    def compute_tendencies(self, state):
-        g = self.grid
+    def compute_tendencies(self, state, g=None):
+        if g is None:
+            g = self._active_grid(state)
         u, v, w = state.u, state.v, state.w
         tracers = state.tracers
         time = state.clock.time
@@ -450,7 +573,7 @@ class HydrostaticFreeSurfaceModel:
             Gu = Gu - self.coriolis.x_f_cross_U(g, u, v, w)
             Gv = Gv - self.coriolis.y_f_cross_U(g, u, v, w)
 
-        p_anom = self.hydrostatic_pressure_anomaly(state)
+        p_anom = self.hydrostatic_pressure_anomaly(state, g)
         if p_anom is not None:
             Gu = Gu - dx_f(p_anom) / g.dx(Face, Center)
             Gv = Gv - dy_f(p_anom) / g.dy(Face, Center)
@@ -687,16 +810,36 @@ class HydrostaticFreeSurfaceModel:
         Gu, Gv, Gt, diffusivities = self.compute_tendencies(state)
         c_now, c_prev = ab2_coefficients(state.clock.iteration, chi)
 
+        zstar = isinstance(self.vertical_coordinate, ZStar)
+        if zstar:
+            # store σ-WEIGHTED tendencies: the AB2 memory term Gⁿ⁻¹ was
+            # computed on the σⁿ⁻¹ grid, and only σ-weighted tendencies
+            # telescope exactly across grid updates (conservation)
+            sigma_n = self._sigma(state.eta)
+            Gu = Gu * ix_f(sigma_n)
+            Gv = Gv * iy_f(sigma_n)
+            Gt = {name: Gc * sigma_n for name, Gc in Gt.items()}
+
         Gu_ab2 = c_now * Gu + c_prev * state.Gu
         Gv_ab2 = c_now * Gv + c_prev * state.Gv
 
-        u = state.u + dt * Gu_ab2
-        v = state.v + dt * Gv_ab2
-        tracers = {
-            name: state.tracers[name]
-            + dt * (c_now * Gt[name] + c_prev * state.Gtracers[name])
-            for name in self.tracer_names
-        }
+        if zstar:
+            u = state.u + dt * Gu_ab2 / ix_f(sigma_n)
+            v = state.v + dt * Gv_ab2 / iy_f(sigma_n)
+            tracers = {
+                name: state.tracers[name]
+                + dt * (c_now * Gt[name]
+                        + c_prev * state.Gtracers[name]) / sigma_n
+                for name in self.tracer_names
+            }
+        else:
+            u = state.u + dt * Gu_ab2
+            v = state.v + dt * Gv_ab2
+            tracers = {
+                name: state.tracers[name]
+                + dt * (c_now * Gt[name] + c_prev * state.Gtracers[name])
+                for name in self.tracer_names
+            }
 
         fs = self.free_surface
         if isinstance(fs, ExplicitFreeSurface):
@@ -720,6 +863,17 @@ class HydrostaticFreeSurfaceModel:
             state2 = _replace(state, u=u, v=v, tracers=tracers, eta=eta_f)
             state2 = self.fill_state_halos(state2)
             state2 = self._barotropic_correct(state2, U_f, V_f)
+
+        # z-star grid update (reference z_star_vertical_spacing.jl): the
+        # water columns stretched from σⁿ to σⁿ⁺¹; rescale prognostic
+        # fields so ∫ σ q dV is conserved exactly
+        if zstar:
+            sigma_np1 = self._sigma(state2.eta)
+            ratio = sigma_n / sigma_np1
+            u2 = state2.u * ix_f(ratio)
+            v2 = state2.v * iy_f(ratio)
+            tr2 = {name: c * ratio for name, c in state2.tracers.items()}
+            state2 = _replace(state2, u=u2, v=v2, tracers=tr2)
 
         state2 = _replace(state2, Gu=Gu, Gv=Gv, Gtracers=Gt)
         state2 = self._implicit_diffusion(state2, diffusivities, dt)

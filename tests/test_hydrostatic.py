@@ -207,6 +207,39 @@ def test_latlon_sphere_global_gravity_wave():
     assert float(jnp.max(jnp.abs(interior_xy(grid, state.eta)))) < 0.1
 
 
+def test_zstar_tracer_conservation():
+    """z-star coordinate: with a sloshing free surface the σ-weighted
+    tracer content is exactly conserved and the run stays stable."""
+    from oceananigans_tpu.models import ZStar
+    grid = RectilinearGrid(size=(32, 4), x=(0.0, 10.0), z=(-1.0, 0.0),
+                           topology=(Periodic, Flat, Bounded))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("c",),
+        free_surface=SplitExplicitFreeSurface(substeps=30,
+                                              gravitational_acceleration=G),
+        momentum_advection=None, vertical_coordinate=ZStar())
+    A = 0.05   # large amplitude: 5% of depth so σ matters
+    state = model.initial_state(
+        eta=lambda x, y: A * jnp.cos(2 * np.pi * x / 10.0),
+        c=lambda x, y, z: 1.0 + 0.5 * jnp.sin(2 * np.pi * x / 10.0))
+
+    def sigma_content(s):
+        sigma = model._sigma(s.eta)
+        dz = jnp.broadcast_to(grid.dz("c"), grid.shape)
+        sx, sy, sz = grid.interior_slices
+        return float(jnp.sum((s.tracers["c"] * sigma * dz)[sx, sy, sz]))
+
+    c0 = sigma_content(state)
+    step = jax.jit(lambda s: model.step(s, 0.005))
+    for _ in range(100):
+        state = step(state)
+    c1 = sigma_content(state)
+    assert bool(jnp.all(jnp.isfinite(state.tracers["c"])))
+    np.testing.assert_allclose(c1, c0, rtol=1e-12)
+    # the free surface is actually moving (sigma != 1)
+    assert float(jnp.max(jnp.abs(interior_xy(grid, state.eta)))) > 0.2 * A
+
+
 def test_baroclinic_stratified_adjustment_stable():
     """A stratified, rotating channel with a buoyancy front runs stably
     with the split-explicit free surface + vector-invariant advection."""
