@@ -33,10 +33,10 @@ def main():
     inner = int(os.environ.get("BENCH_INNER", "10"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
-    # halo 1 everywhere: the fused Pallas tendency kernel reads a 1-ring
+    # periodic axes run halo-free (roll wraps exactly); bounded z needs 1
     grid = RectilinearGrid(size=(N, N, N), extent=(1.0, 1.0, 1.0),
                            topology=(Periodic, Periodic, Bounded),
-                           halo=(1, 1, 1), dtype="float32")
+                           halo=(0, 0, 1), dtype="float32")
     # reference-default benchmark config: AB2 stepping (one pressure solve
     # per step, like the published numbers), second-order centered advection
     model = NonhydrostaticModel(grid=grid,

@@ -16,7 +16,9 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from oceananigans_tpu.fields import LOC_C, location_coords
 
@@ -121,6 +123,38 @@ class MultipleForcings:
         self.forcings = tuple(forcings)
 
 
+class FieldTimeSeriesForcing:
+    """Forcing interpolated in time from a stored time series — the
+    reference's FieldTimeSeries-as-forcing path
+    (``src/OutputReaders/field_time_series_indexing.jl``; auto-updated in
+    the model loop). Interpolation is traced (searchsorted + blend), so it
+    lives inside the jitted step with no host round trips.
+
+    ``fts`` is an :class:`~oceananigans_tpu.output.FieldTimeSeries` or any
+    object with ``times`` (T,) and ``data`` (T, nx, ny, nz); data must be
+    interior-shaped for the forced field's grid.
+    """
+
+    def __init__(self, fts):
+        self.times = jnp.asarray(np.asarray(fts.times))
+        self.data = jnp.asarray(np.asarray(fts.data))
+
+    def __call__(self, grid, loc, time, fields):
+        t = jnp.clip(time, self.times[0], self.times[-1])
+        i = jnp.clip(jnp.searchsorted(self.times, t, side="right") - 1,
+                     0, self.times.shape[0] - 2)
+        t0 = self.times[i]
+        t1 = self.times[i + 1]
+        f = (t - t0) / jnp.maximum(t1 - t0, 1e-30)
+        d0 = jax.lax.dynamic_index_in_dim(self.data, i, 0, keepdims=False)
+        d1 = jax.lax.dynamic_index_in_dim(self.data, i + 1, 0,
+                                          keepdims=False)
+        val = (1.0 - f) * d0 + f * d1
+        sx, sy, sz = grid.interior_slices
+        out = jnp.zeros(grid.shape, val.dtype)
+        return out.at[sx, sy, sz].set(val)
+
+
 def materialize_forcing(forcing, name, loc):
     """Normalize a user forcing spec to ``(grid, time, fields) -> array``.
 
@@ -140,8 +174,12 @@ def materialize_forcing(forcing, name, loc):
     if isinstance(forcing, Relaxation):
         return lambda grid, time, fields: forcing(grid, loc, time, fields,
                                                   field_name=name)
-    if isinstance(forcing, (ContinuousForcing, DiscreteForcing)):
+    if isinstance(forcing, (ContinuousForcing, DiscreteForcing,
+                            FieldTimeSeriesForcing)):
         return lambda grid, time, fields: forcing(grid, loc, time, fields)
+    if hasattr(forcing, "times") and hasattr(forcing, "data"):
+        fts = FieldTimeSeriesForcing(forcing)
+        return lambda grid, time, fields: fts(grid, loc, time, fields)
     if callable(forcing):
         cf = ContinuousForcing(forcing)
         return lambda grid, time, fields: cf(grid, loc, time, fields)

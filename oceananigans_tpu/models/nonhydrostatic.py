@@ -170,16 +170,14 @@ class NonhydrostaticModel:
 
         self.pressure_solver = make_pressure_solver(grid)
 
-        # fused Pallas tendency kernel: on TPU when the config matches
-        # (regular rectilinear + Centered(2) + halos >= 1); "auto" also
-        # requires no background fields (they change the advection term)
+        # fused Pallas tendency kernel (opt-in; validated bitwise against
+        # the XLA path on TPU at 64³ but the axon-tunnel AOT helper fails
+        # to compile it at 256³, so "auto" currently means off)
         from oceananigans_tpu.ops.pallas_kernels import pallas_available
         applicable = (pallas_available(grid, advection)
                       and not self.background_fields)
         if fused_kernels == "auto":
-            import jax as _jax
-            self.fused_kernels = (applicable
-                                  and _jax.default_backend() == "tpu")
+            self.fused_kernels = False
         else:
             self.fused_kernels = bool(fused_kernels) and applicable
 
@@ -436,9 +434,16 @@ class NonhydrostaticModel:
         ``runge_kutta_3.jl:56-132``)."""
         Gu_prev, Gv_prev, Gw_prev = state.Gu, state.Gv, state.Gw
         Gt_prev = state.Gtracers
+        t0 = state.clock.time
+        stage_frac = 0.0
         for stage, (gamma, zeta) in enumerate(RK3_STAGES):
+            # evaluate time-dependent forcing/BCs at the stage time
+            stage_clock = dataclasses.replace(
+                state.clock, time=t0 + stage_frac * dt)
+            state = _replace(state, clock=stage_clock)
             state = self.fill_state_halos(state)
             Gu, Gv, Gw, Gt, diffusivities = self.compute_tendencies(state)
+            stage_frac += gamma + zeta
             stage_dt = dt * (gamma + zeta)
             u = state.u + dt * (gamma * Gu + zeta * Gu_prev)
             v = state.v + dt * (gamma * Gv + zeta * Gv_prev)
@@ -454,7 +459,9 @@ class NonhydrostaticModel:
             state = self._pressure_correct(state, stage_dt)
             Gu_prev, Gv_prev, Gw_prev, Gt_prev = Gu, Gv, Gw, Gt
         state = _replace(state, Gu=Gu_prev, Gv=Gv_prev, Gw=Gw_prev,
-                         Gtracers=Gt_prev, clock=tick(state.clock, dt))
+                         Gtracers=Gt_prev,
+                         clock=tick(dataclasses.replace(state.clock,
+                                                        time=t0), dt))
         return self.fill_state_halos(state)
 
     def ab2_step(self, state, dt, chi=0.1):

@@ -108,6 +108,76 @@ class HDF5Writer:
 JLD2Writer = HDF5Writer
 
 
+class NetCDFWriter:
+    """CF-style netCDF-4 output (reference ``netcdf_writer.jl:7`` +
+    ``ext/OceananigansNCDatasetsExt.jl``).
+
+    netCDF-4 is an HDF5 profile: this writer produces a file with proper
+    dimension scales (time, x/y/z per staggering) attached to each
+    variable plus CF attributes, readable by netCDF4/xarray/ncdump.
+    """
+
+    def __init__(self, outputs, filename, schedule, array_type=np.float32,
+                 overwrite_existing=True, global_attributes=None):
+        self.outputs = outputs
+        self.filename = str(filename)
+        self.schedule = schedule
+        self.array_type = array_type
+        self.global_attributes = dict(global_attributes or {})
+        if overwrite_existing and os.path.exists(self.filename):
+            os.remove(self.filename)
+        os.makedirs(os.path.dirname(os.path.abspath(self.filename)),
+                    exist_ok=True)
+        self._initialized = False
+
+    def _init_file(self, sim, shapes):
+        g = sim.model.grid
+        with h5py.File(self.filename, "a") as f:
+            for key, val in self.global_attributes.items():
+                f.attrs[key] = val
+            f.attrs["Conventions"] = "CF-1.8"
+            f.attrs["source"] = "oceananigans_tpu"
+            t = f.create_dataset("time", shape=(0,), maxshape=(None,),
+                                 dtype=np.float64)
+            t.attrs["units"] = "seconds"
+            t.attrs["long_name"] = "model time"
+            t.make_scale("time")
+            coords = {}
+            for name, arr, units in (
+                    ("x", np.asarray(g.xnodes()).ravel(), "m"),
+                    ("y", np.asarray(g.ynodes()).ravel(), "m"),
+                    ("z", np.asarray(g.znodes()).ravel(), "m")):
+                d = f.create_dataset(name, data=arr)
+                d.attrs["units"] = units
+                d.make_scale(name)
+                coords[name] = d
+            for name, shape in shapes.items():
+                ds = f.create_dataset(name, shape=(0, *shape),
+                                      maxshape=(None, *shape),
+                                      dtype=self.array_type,
+                                      chunks=(1, *shape))
+                ds.dims[0].attach_scale(f["time"])
+                for di, ax in zip(range(1, 4), ("x", "y", "z")):
+                    if di - 1 < len(shape) and shape[di - 1] == len(
+                            coords[ax]):
+                        ds.dims[di].attach_scale(coords[ax])
+        self._initialized = True
+
+    def write(self, sim):
+        data = {name: _fetch(sim.model, sim.state, out)
+                for name, out in self.outputs.items()}
+        if not self._initialized:
+            self._init_file(sim, {k: v.shape for k, v in data.items()})
+        with h5py.File(self.filename, "a") as f:
+            n = f["time"].shape[0]
+            f["time"].resize((n + 1,))
+            f["time"][n] = float(sim.state.clock.time)
+            for name, arr in data.items():
+                ds = f[name]
+                ds.resize((n + 1, *arr.shape))
+                ds[n] = arr.astype(self.array_type)
+
+
 class WindowedTimeAverage:
     """Wraps an output so a writer receives its trailing time average
     (reference ``windowed_time_average.jl:152``). Used with an

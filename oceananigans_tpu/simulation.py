@@ -137,6 +137,14 @@ class Simulation:
         for w in self.output_writers.values():
             yield w.schedule
 
+    def _inside_averaging_window(self):
+        from oceananigans_tpu.utils.schedules import AveragedTimeInterval
+        for w in self.output_writers.values():
+            if isinstance(w.schedule, AveragedTimeInterval):
+                if w.schedule.averaging(self.state.clock):
+                    return True
+        return False
+
     def _aligned_steps(self):
         """(n_steps, dt): how many dt-steps until the next schedule
         actuation / stop time (reference aligned_time_step, run.jl:24-57),
@@ -210,6 +218,8 @@ class Simulation:
         while self.running and not self._should_stop():
             t0 = _time.monotonic()
             n, dt = self._aligned_steps()
+            if self._inside_averaging_window():
+                n = 1   # per-step accumulation inside averaging windows
             if self.stop_iteration is not None:
                 n = min(n, self.stop_iteration
                         - int(self.state.clock.iteration))
@@ -225,6 +235,17 @@ class Simulation:
                 if cb.schedule.actuates(self.state.clock):
                     cb(self)
             for w in self.output_writers.values():
+                # windowed time averages accumulate while inside their
+                # averaging window (reference windowed_time_average.jl:152)
+                from oceananigans_tpu.output import WindowedTimeAverage
+                from oceananigans_tpu.utils.schedules import (
+                    AveragedTimeInterval,
+                )
+                if isinstance(w.schedule, AveragedTimeInterval) and \
+                        w.schedule.averaging(self.state.clock):
+                    for out in getattr(w, "outputs", {}).values():
+                        if isinstance(out, WindowedTimeAverage):
+                            out.accumulate(self.model, self.state)
                 if w.schedule.actuates(self.state.clock):
                     w.write(self)
         return self.state
