@@ -59,7 +59,7 @@ from oceananigans_tpu.buoyancy import (
 from oceananigans_tpu.closures import (
     ScalarDiffusivity, VerticalScalarDiffusivity,
     HorizontalScalarDiffusivity, ScalarBiharmonicDiffusivity,
-    SmagorinskyLilly, AnisotropicMinimumDissipation,
+    SmagorinskyLilly, DynamicSmagorinsky, AnisotropicMinimumDissipation,
     ConvectiveAdjustmentVerticalDiffusivity,
     ExplicitTimeDiscretization, VerticallyImplicitTimeDiscretization,
 )

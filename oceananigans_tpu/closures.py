@@ -24,14 +24,14 @@ import jax.numpy as jnp
 from oceananigans_tpu.grids.base import Center, Face
 from oceananigans_tpu.ops.operators import (
     dx_c, dx_f, dy_c, dy_f, dz_c, dz_f,
-    ix_c, ix_f, iy_c, iy_f, iz_c, iz_f,
+    ix_c, ix_f, iy_c, iy_f, iz_c, iz_f, shift,
 )
 from oceananigans_tpu.solvers.tridiagonal import tridiagonal_solve
 
 __all__ = [
     "ScalarDiffusivity", "VerticalScalarDiffusivity",
     "HorizontalScalarDiffusivity", "ScalarBiharmonicDiffusivity",
-    "SmagorinskyLilly", "AnisotropicMinimumDissipation",
+    "SmagorinskyLilly", "DynamicSmagorinsky", "AnisotropicMinimumDissipation",
     "ConvectiveAdjustmentVerticalDiffusivity",
     "ExplicitTimeDiscretization", "VerticallyImplicitTimeDiscretization",
     "compute_diffusivities", "momentum_flux_divergences",
@@ -343,6 +343,95 @@ class SmagorinskyLilly(AbstractClosure):
 
     def __repr__(self):
         return f"SmagorinskyLilly(C={self.C}, Cb={self.Cb}, Pr={self.Pr})"
+
+
+def _box_filter_ccc(a):
+    """Top-hat 2Δ test filter at centers (trapezoidal 3-point per axis)."""
+    fx = 0.25 * (shift(a, -1, X) + 2.0 * a + shift(a, 1, X))
+    fy = 0.25 * (shift(fx, -1, Y) + 2.0 * fx + shift(fx, 1, Y))
+    return 0.25 * (shift(fy, -1, Z) + 2.0 * fy + shift(fy, 1, Z))
+
+
+class DynamicSmagorinsky(AbstractClosure):
+    """Scale-invariant dynamic Smagorinsky: the coefficient follows from
+    the Germano identity with a 2Δ test filter, averaged over horizontal
+    planes (reference ``Smagorinskys/dynamic_coefficient.jl``,
+    `DynamicCoefficient` with `LagrangianAveraging`/directional averaging —
+    here plane averaging, the classic Germano-Lilly form):
+
+        c_s² = ⟨L_ij M_ij⟩ / ⟨M_ij M_ij⟩,   ν_e = c_s² Δ² √(2 S_ij S_ij)
+    """
+
+    def __init__(self, Pr=1.0, averaging_dims=(0, 1)):
+        self.Pr = Pr
+        self.averaging_dims = tuple(averaging_dims)
+
+    def _collocated_strain(self, grid, u, v, w):
+        dxs = grid.dx(Center, Center)
+        dys = grid.dy(Center, Center)
+        dzs = grid.dz(Center)
+        ux = dx_c(u) / dxs
+        vy = dy_c(v) / dys
+        wz = dz_c(w) / dzs
+        uy = ix_c(iy_c(dy_f(u))) / dys
+        vx = iy_c(ix_c(dx_f(v))) / dxs
+        uz = ix_c(iz_c(dz_f(u))) / dzs
+        wx = iz_c(ix_c(dx_f(w))) / dxs
+        vz = iy_c(iz_c(dz_f(v))) / dzs
+        wy = iz_c(iy_c(dy_f(w))) / dys
+        S = {(0, 0): ux, (1, 1): vy, (2, 2): wz,
+             (0, 1): 0.5 * (uy + vx), (0, 2): 0.5 * (uz + wx),
+             (1, 2): 0.5 * (vz + wy)}
+        Smag = jnp.sqrt(2.0 * (S[(0, 0)] ** 2 + S[(1, 1)] ** 2
+                               + S[(2, 2)] ** 2
+                               + 2 * (S[(0, 1)] ** 2 + S[(0, 2)] ** 2
+                                      + S[(1, 2)] ** 2)))
+        return S, Smag
+
+    def compute_diffusivities(self, grid, u, v, w, tracers, buoyancy):
+        uc = ix_c(u)
+        vc = iy_c(v)
+        wc = iz_c(w)
+        S, Smag = self._collocated_strain(grid, u, v, w)
+        delta2 = (grid.dx(Center, Center) * grid.dy(Center, Center)
+                  * grid.dz(Center)) ** (2.0 / 3.0)
+        vel = {0: uc, 1: vc, 2: wc}
+        LM = 0.0
+        MM = 0.0
+        for (i, j), Sij in S.items():
+            mult = 1.0 if i == j else 2.0   # symmetric off-diagonals
+            Lij = (_box_filter_ccc(vel[i] * vel[j])
+                   - _box_filter_ccc(vel[i]) * _box_filter_ccc(vel[j]))
+            # test-filter scale = 2Δ -> factor 4 on the filtered-scale term
+            Mij = 2.0 * delta2 * (_box_filter_ccc(Smag * Sij)
+                                  - 4.0 * _box_filter_ccc(Smag)
+                                  * _box_filter_ccc(Sij))
+            LM = LM + mult * Lij * Mij
+            MM = MM + mult * Mij * Mij
+        dims = self.averaging_dims
+        LM_avg = jnp.mean(LM, axis=dims, keepdims=True)
+        MM_avg = jnp.mean(MM, axis=dims, keepdims=True)
+        cs2 = jnp.clip(-LM_avg / jnp.maximum(MM_avg, 1e-30), 0.0, 0.25)
+        nu_e = cs2 * delta2 * Smag
+        return {"nu_e": nu_e, "cs2": cs2}
+
+    def momentum_flux_divergences(self, grid, u, v, w, tracers,
+                                  diffusivities, include_implicit=True):
+        return _laplacian_momentum_divs(grid, diffusivities["nu_e"], u, v, w)
+
+    def tracer_flux_divergence(self, grid, name, c, tracers, diffusivities,
+                               include_implicit=True):
+        Pr = _kappa_for(self.Pr, name)
+        return _laplacian_tracer_div(grid, diffusivities["nu_e"] / Pr, c)
+
+    def vertical_nu(self, grid, diffusivities):
+        return 0.0
+
+    def vertical_kappa(self, grid, diffusivities, name):
+        return 0.0
+
+    def __repr__(self):
+        return f"DynamicSmagorinsky(Pr={self.Pr})"
 
 
 class AnisotropicMinimumDissipation(AbstractClosure):

@@ -26,7 +26,8 @@ from oceananigans_tpu.ops.operators import (
 )
 
 __all__ = ["CATKEVerticalDiffusivity", "RiBasedVerticalDiffusivity",
-           "LeithEnstrophyDiffusivity", "IsopycnalSkewSymmetricDiffusivity"]
+           "LeithEnstrophyDiffusivity", "IsopycnalSkewSymmetricDiffusivity",
+           "TKEDissipationVerticalDiffusivity"]
 
 
 def _shear_squared_ccf(grid, u, v):
@@ -223,6 +224,108 @@ class CATKEVerticalDiffusivity(AbstractClosure):
 
     def __repr__(self):
         return f"CATKEVerticalDiffusivity(C_D={self.C_D})"
+
+
+class TKEDissipationVerticalDiffusivity(AbstractClosure):
+    """k-ε vertical closure: two prognostic tracers — TKE ``e`` and its
+    dissipation rate ``eps`` (reference
+    ``TKEDissipationVerticalDiffusivities/`` k-epsilon implementation).
+
+    ν = C_μ e²/ε, κ = ν/σ; e and ε evolve by shear production P,
+    buoyancy flux B, and dissipation:
+        ∂t e = P + B − ε + transport
+        ∂t ε = (ε/e)(C₁ P + C₃ B − C₂ ε) + transport
+    with the standard Launder-Spalding constants.
+    """
+
+    time_discretization = VerticallyImplicitTimeDiscretization
+    required_tracers = ("e", "eps")
+
+    def __init__(self, C_mu=0.09, C1=1.44, C2=1.92, C3_stable=-0.65,
+                 C3_unstable=1.44, sigma_k=1.0, sigma_e=1.3, Pr_t=1.0,
+                 minimum_tke=1e-9, minimum_eps=1e-12,
+                 minimum_kappa=1e-5, maximum_kappa=1.0):
+        self.C_mu = float(C_mu)
+        self.C1 = float(C1)
+        self.C2 = float(C2)
+        self.C3_stable = float(C3_stable)
+        self.C3_unstable = float(C3_unstable)
+        self.sigma_k = float(sigma_k)
+        self.sigma_e = float(sigma_e)
+        self.Pr_t = float(Pr_t)
+        self.minimum_tke = float(minimum_tke)
+        self.minimum_eps = float(minimum_eps)
+        self.minimum_kappa = float(minimum_kappa)
+        self.maximum_kappa = float(maximum_kappa)
+
+    def compute_diffusivities(self, grid, u, v, w, tracers, buoyancy):
+        from oceananigans_tpu.buoyancy import buoyancy_frequency
+        e = jnp.maximum(iz_f(tracers["e"]), self.minimum_tke)
+        eps = jnp.maximum(iz_f(tracers["eps"]), self.minimum_eps)
+        nu = jnp.clip(self.C_mu * e * e / eps, self.minimum_kappa,
+                      self.maximum_kappa)
+        N2 = (buoyancy_frequency(grid, buoyancy, tracers)
+              if buoyancy is not None else jnp.zeros_like(e))
+        S2 = _shear_squared_ccf(grid, u, v)
+        return {"nu_z_ccf": nu,
+                "kappa_z_ccf": jnp.clip(nu / self.Pr_t, self.minimum_kappa,
+                                        self.maximum_kappa),
+                "e_ccf": e, "eps_ccf": eps, "N2_ccf": N2,
+                "P_ccf": nu * S2,
+                "B_ccf": -(nu / self.Pr_t) * N2}
+
+    def momentum_flux_divergences(self, grid, u, v, w, tracers,
+                                  diffusivities, include_implicit=True):
+        if not include_implicit:
+            return 0.0, 0.0, 0.0
+        nu = diffusivities["nu_z_ccf"]
+        fxz = ix_f(nu) * dz_f(u) / grid.dz(Face)
+        fyz = iy_f(nu) * dz_f(v) / grid.dz(Face)
+        zero = jnp.zeros_like(u)
+        return (_div_u_fluxes(grid, zero, zero, fxz),
+                _div_v_fluxes(grid, zero, zero, fyz),
+                jnp.zeros_like(w))
+
+    def _interior_faces_mask(self, grid):
+        k = jnp.arange(grid.shape[2]).reshape(1, 1, -1)
+        return (k > grid.Hz) & (k < grid.Hz + grid.Nz)
+
+    def tracer_flux_divergence(self, grid, name, c, tracers, diffusivities,
+                               include_implicit=True):
+        mask = self._interior_faces_mask(grid)
+        if name == "e":
+            P = diffusivities["P_ccf"]
+            B = diffusivities["B_ccf"]
+            eps = diffusivities["eps_ccf"]
+            src = jnp.where(mask, P + B - eps, 0.0)
+            return iz_c(src)
+        if name == "eps":
+            e = diffusivities["e_ccf"]
+            eps = diffusivities["eps_ccf"]
+            P = diffusivities["P_ccf"]
+            B = diffusivities["B_ccf"]
+            C3 = jnp.where(B > 0, self.C3_unstable, self.C3_stable)
+            src = (eps / e) * (self.C1 * P + C3 * B - self.C2 * eps)
+            return iz_c(jnp.where(mask, src, 0.0))
+        if not include_implicit:
+            return jnp.zeros_like(c)
+        kz = diffusivities["kappa_z_ccf"]
+        fz = kz * dz_f(c) / grid.dz(Face)
+        zero = jnp.zeros_like(c)
+        return _div_c_fluxes(grid, zero, zero, fz)
+
+    def vertical_nu(self, grid, diffusivities):
+        return diffusivities["nu_z_ccf"]
+
+    def vertical_kappa(self, grid, diffusivities, name):
+        if name == "e":
+            return diffusivities["nu_z_ccf"] / self.sigma_k
+        if name == "eps":
+            return diffusivities["nu_z_ccf"] / self.sigma_e
+        return diffusivities["kappa_z_ccf"]
+
+    def __repr__(self):
+        return f"TKEDissipationVerticalDiffusivity(Cμ={self.C_mu})"
 
 
 class LeithEnstrophyDiffusivity(AbstractClosure):

@@ -82,6 +82,41 @@ def test_rotated_latlon_grid():
     assert phi.max() < 45.0
 
 
+def test_tripolar_hydrostatic_model():
+    """Full pipeline: hydrostatic dynamics on the tripolar grid run stably
+    across the north fold and conserve volume to machine precision
+    (reference distributed-tripolar test group)."""
+    import jax
+    from oceananigans_tpu import BuoyancyTracer
+    from oceananigans_tpu.models import (
+        HydrostaticFreeSurfaceModel, SplitExplicitFreeSurface,
+        VectorInvariant,
+    )
+    from oceananigans_tpu.fields import interior_xy
+
+    grid = TripolarGrid(size=(48, 24, 4), southernmost_latitude=-75.0,
+                        z=(-1000.0, 0.0))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("b",), buoyancy=BuoyancyTracer(),
+        momentum_advection=VectorInvariant(),
+        free_surface=SplitExplicitFreeSurface(substeps=40))
+    state = model.initial_state(
+        b=lambda lam, phi, z: 1e-5 * z,
+        eta=lambda lam, phi: 0.1 * jnp.exp(-((lam - 200) / 40) ** 2
+                                           - ((phi - 10) / 20) ** 2))
+    Az = np.asarray(grid.Az("c", "c"))[grid.Hx:grid.Hx + grid.Nx,
+                                       grid.Hy:grid.Hy + grid.Ny]
+    vol0 = float(jnp.sum(interior_xy(grid, state.eta) * Az))
+    step = jax.jit(lambda s: model.step(s, 300.0))
+    for _ in range(20):
+        state = step(state)
+    assert bool(jnp.all(jnp.isfinite(state.u)))
+    assert bool(jnp.all(jnp.isfinite(state.eta)))
+    eta_sc = float(jnp.sum(jnp.abs(interior_xy(grid, state.eta)) * Az))
+    vol = float(jnp.sum(interior_xy(grid, state.eta) * Az))
+    assert abs(vol - vol0) / eta_sc < 1e-12
+
+
 def test_tripolar_tracer_field_set():
     g = TripolarGrid(size=(16, 8, 2))
     c = set_field(g, lambda lam, phi, z: jnp.sin(jnp.deg2rad(phi)))
