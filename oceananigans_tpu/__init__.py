@@ -25,6 +25,7 @@ from oceananigans_tpu.grids import (
     OrthogonalSphericalShellGrid,
     TripolarGrid,
     RotatedLatitudeLongitudeGrid,
+    conformal_cubed_sphere_panel,
 )
 from oceananigans_tpu.immersed import (
     ImmersedBoundaryGrid, GridFittedBottom, GridFittedBoundary,

@@ -32,6 +32,9 @@ from oceananigans_tpu.grids.orthogonal import (
     OrthogonalSphericalShellGrid, TripolarGrid,
     RotatedLatitudeLongitudeGrid,
 )
+from oceananigans_tpu.grids.cubed_sphere import (
+    conformal_cubed_sphere_panel, conformal_cubed_sphere_mapping,
+)
 
 __all__ = [
     "Periodic", "Bounded", "Flat", "Center", "Face",
