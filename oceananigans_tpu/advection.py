@@ -51,20 +51,6 @@ X, Y, Z = 0, 1, 2
 # first above.
 # ---------------------------------------------------------------------------
 
-_CENTERED = {
-    2: {-1: 1 / 2, 0: 1 / 2},
-    4: {-2: -1 / 12, -1: 7 / 12, 0: 7 / 12, 1: -1 / 12},
-    6: {-3: 1 / 60, -2: -8 / 60, -1: 37 / 60, 0: 37 / 60, 1: -8 / 60,
-        2: 1 / 60},
-}
-
-_UPWIND_LEFT = {
-    1: {-1: 1.0},
-    3: {-2: -1 / 6, -1: 5 / 6, 0: 2 / 6},
-    5: {-3: 2 / 60, -2: -13 / 60, -1: 47 / 60, 0: 27 / 60, 1: -3 / 60},
-}
-
-
 def _mirror(stencil):
     """Right-biased mirror: reflect offsets about the target face
     (cell ``n`` below the face <-> cell ``n`` above: n -> -1 - n)."""
