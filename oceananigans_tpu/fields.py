@@ -121,6 +121,32 @@ def field_integral(grid, a, loc=LOC_C):
 # used by Lagrangian particles and FieldTimeSeries.
 # ---------------------------------------------------------------------------
 
+def regrid_z(src_grid, dst_grid, a, loc=LOC_C):
+    """Conservative vertical regridding between two grids sharing the
+    horizontal layout (reference ``src/Fields/regridding_fields.jl``):
+    destination cells receive the thickness-weighted overlap average of
+    source cells, conserving ∫ a dz per column exactly."""
+    import numpy as np
+    zsf = np.asarray(src_grid.zF).reshape(-1)
+    zdf = np.asarray(dst_grid.zF).reshape(-1)
+    Hs, Ns = src_grid.Hz, src_grid.Nz
+    Hd, Nd = dst_grid.Hz, dst_grid.Nz
+    src_edges = np.append(zsf[Hs:Hs + Ns], zsf[Hs + Ns])
+    dst_edges = np.append(zdf[Hd:Hd + Nd], zdf[Hd + Nd])
+    # overlap weight matrix (Nd, Ns), host-side numpy constant
+    W = np.zeros((Nd, Ns))
+    for k in range(Nd):
+        lo, hi = dst_edges[k], dst_edges[k + 1]
+        ov = (np.minimum(hi, src_edges[1:])
+              - np.maximum(lo, src_edges[:-1])).clip(min=0.0)
+        W[k] = ov / max(hi - lo, 1e-30)
+    ai = interior(src_grid, a)
+    out = jnp.einsum("ks,ijs->ijk", jnp.asarray(W, ai.dtype), ai)
+    res = new_field(dst_grid, a.dtype)
+    sx, sy, sz = dst_grid.interior_slices
+    return res.at[sx, sy, sz].set(out)
+
+
 def _fractional_index(xs, x):
     """Continuous index of ``x`` in sorted 1-D coords ``xs`` (halo incl.)."""
     i = jnp.clip(jnp.searchsorted(xs, x, side="right") - 1, 0, xs.size - 2)

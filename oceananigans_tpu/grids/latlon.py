@@ -62,8 +62,12 @@ class LatitudeLongitudeGrid(AbstractGrid):
         # 1-D metric factors (float64 on host, cast at the end)
         dx_lam_C = radius * deg * dlamC          # R Δλ at centers  (i)
         dx_lam_F = radius * deg * dlamF          # R Δλ at faces    (i)
-        cos_C = np.cos(deg * phiC)               # cos φ at centers (j)
-        cos_F = np.cos(deg * phiF)               # cos φ at faces   (j)
+        # |cos φ| mirrors halo rows beyond the poles (φ > 90° ghosts of a
+        # pole-reaching grid), floored so pole-row divisions stay finite
+        # (reference: polar_boundary_condition.jl handles the pole rows)
+        cos_floor = 1e-4
+        cos_C = np.maximum(np.abs(np.cos(deg * phiC)), cos_floor)
+        cos_F = np.maximum(np.abs(np.cos(deg * phiF)), cos_floor)
         dy_C = radius * deg * dphiC              # R Δφ at centers  (j)
         dy_F = radius * deg * dphiF              # R Δφ at faces    (j)
         # Δ(sinφ) factors for exact spherical areas Az = R² Δλ Δsinφ
@@ -76,6 +80,11 @@ class LatitudeLongitudeGrid(AbstractGrid):
         dsin_F = np.empty_like(sinC)             # at faces: sinφC[j]-sinφC[j-1]
         dsin_F[1:] = sinC[1:] - sinC[:-1]
         dsin_F[0] = dsin_F[1]
+        # polar halo rows: keep areas positive (ghosts over the pole)
+        floor_C = cos_floor * deg * np.abs(dphiC)
+        floor_F = cos_floor * deg * np.abs(dphiF)
+        dsin_C = np.maximum(np.abs(dsin_C), floor_C)
+        dsin_F = np.maximum(np.abs(dsin_F), floor_F)
 
         s = object.__setattr__
         s(self, "Nx", int(Nx)); s(self, "Ny", int(Ny)); s(self, "Nz", int(Nz))

@@ -121,3 +121,46 @@ def test_min_spacing():
     g = RectilinearGrid(size=(8, 8, 8), extent=(1, 2, 4))
     assert np.isclose(float(g.min_spacing(0)), 1 / 8)
     assert np.isclose(float(g.min_spacing(2)), 4 / 8)
+
+
+def test_pole_to_pole_latlon_grid():
+    """A lat-lon grid reaching both poles has positive metrics everywhere
+    (|cos φ| mirror + floor in the polar halo rows) and a hydrostatic
+    model runs on it without NaNs (reference polar_boundary_condition.jl
+    capability)."""
+    import jax
+    import jax.numpy as jnp
+    from oceananigans_tpu import LatitudeLongitudeGrid
+    from oceananigans_tpu.models import (
+        HydrostaticFreeSurfaceModel, SplitExplicitFreeSurface,
+    )
+    g = LatitudeLongitudeGrid(size=(16, 12, 2), longitude=(0.0, 360.0),
+                              latitude=(-90.0, 90.0), z=(-100.0, 0.0))
+    dxf = np.asarray(jnp.broadcast_to(g.dx("c", "f"), g.shape))
+    assert dxf.min() > 0
+    m = HydrostaticFreeSurfaceModel(
+        grid=g, momentum_advection=None,
+        free_surface=SplitExplicitFreeSurface(substeps=60))
+    s = m.initial_state(
+        eta=lambda lam, phi: 0.1 * jnp.exp(-(phi / 30) ** 2))
+    step = jax.jit(lambda st: m.step(st, 60.0))
+    for _ in range(20):
+        s = step(s)
+    assert bool(jnp.all(jnp.isfinite(s.eta)))
+    assert bool(jnp.all(jnp.isfinite(s.u)))
+
+
+def test_conservative_vertical_regrid():
+    """regrid_z conserves column integrals exactly (reference
+    regridding_fields.jl)."""
+    import jax.numpy as jnp
+    from oceananigans_tpu.fields import interior, regrid_z, set_field
+    src = RectilinearGrid(size=(4, 16), x=(0, 1), z=(-1, 0),
+                          topology=(Periodic, Flat, Bounded))
+    dst = RectilinearGrid(size=(4, 5), x=(0, 1), z=(-1, 0),
+                          topology=(Periodic, Flat, Bounded))
+    a = set_field(src, lambda x, y, z: z ** 2 + 0.3 * jnp.sin(2 * np.pi * x))
+    b = regrid_z(src, dst, a)
+    Is = np.asarray(interior(src, a)).sum(axis=2) * (1 / 16)
+    Id = np.asarray(interior(dst, b)).sum(axis=2) * (1 / 5)
+    np.testing.assert_allclose(Is, Id, atol=1e-14)
