@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from oceananigans_tpu.advection import cell_advection_timescale
 from oceananigans_tpu.fields import interior
-from oceananigans_tpu.grids.base import Center, Face
+from oceananigans_tpu.grids.base import Face
 
 __all__ = ["AdvectiveCFL", "DiffusiveCFL", "CFL", "StateChecker"]
 

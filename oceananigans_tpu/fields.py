@@ -14,14 +14,14 @@ Locations of the standard C-grid variables:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from oceananigans_tpu.config import config
-from oceananigans_tpu.grids.base import AXIS_NAMES, Bounded, Center, Face
+from oceananigans_tpu.grids.base import AXIS_NAMES, Center, Face
 
 LOC_U = (Face, Center, Center)
 LOC_V = (Center, Face, Center)

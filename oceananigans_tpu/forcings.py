@@ -14,13 +14,13 @@ forcings receive broadcast-ready staggered coordinates.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from oceananigans_tpu.fields import LOC_C, location_coords
+from oceananigans_tpu.fields import location_coords
 
 __all__ = ["Forcing", "ContinuousForcing", "DiscreteForcing", "Relaxation",
            "GaussianMask", "LinearTarget", "MultipleForcings",

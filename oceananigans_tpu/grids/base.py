@@ -7,8 +7,7 @@ Reference: ``src/Grids/Grids.jl:46-108`` (topologies/locations),
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

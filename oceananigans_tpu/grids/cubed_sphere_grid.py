@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from oceananigans_tpu.config import config
-from oceananigans_tpu.grids.base import Bounded, Center, Face
+from oceananigans_tpu.grids.base import Face
 from oceananigans_tpu.grids.cubed_sphere import (
     conformal_cubed_sphere_mapping,
 )

@@ -15,7 +15,7 @@ import numpy as np
 
 from oceananigans_tpu.config import config
 from oceananigans_tpu.grids.base import (
-    AbstractGrid, Bounded, Center, Face, Flat, Periodic,
+    AbstractGrid, Bounded, Center, Flat, Periodic,
     broadcastable, generate_coordinate, register_grid,
 )
 

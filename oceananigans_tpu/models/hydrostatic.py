@@ -23,8 +23,7 @@ TPU-native design notes:
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +35,7 @@ from oceananigans_tpu.advection import (
     required_halo as advection_required_halo,
 )
 from oceananigans_tpu.boundary_conditions import (
-    FieldBoundaryConditions, apply_flux_bcs, fill_halo_regions,
+    apply_flux_bcs, fill_halo_regions,
     regularize_field_boundary_conditions,
 )
 from oceananigans_tpu.buoyancy import g_Earth, regularize_buoyancy
@@ -47,8 +46,8 @@ from oceananigans_tpu.forcings import materialize_forcing
 from oceananigans_tpu.grids.base import Center, Face
 from oceananigans_tpu.models.nonhydrostatic import _ModelAux
 from oceananigans_tpu.ops.operators import (
-    ddx_f, ddy_f, div_xy_cc, dx_f, dy_f, dz_f, dx_c, dy_c,
-    ix_c, ix_f, iy_c, iy_f, iz_c, iz_f, shift,
+    div_xy_cc, dx_f, dy_f, dz_f, dx_c, dy_c,
+    ix_c, ix_f, iy_c, iy_f, iz_c, shift,
     vorticity_z_ff,
 )
 from oceananigans_tpu.timesteppers import Clock, ab2_coefficients, tick

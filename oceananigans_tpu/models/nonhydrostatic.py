@@ -18,7 +18,7 @@ step is a ``where`` on the iteration counter.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,13 +29,13 @@ from oceananigans_tpu.advection import (
     required_halo as advection_required_halo,
 )
 from oceananigans_tpu.boundary_conditions import (
-    FieldBoundaryConditions, apply_flux_bcs, fill_halo_regions,
+    apply_flux_bcs, fill_halo_regions,
     regularize_field_boundary_conditions,
 )
 from oceananigans_tpu.buoyancy import regularize_buoyancy
 from oceananigans_tpu.fields import LOC_C, LOC_U, LOC_V, LOC_W, new_field, set_field
 from oceananigans_tpu.forcings import materialize_forcing
-from oceananigans_tpu.grids.base import Center, Face
+from oceananigans_tpu.grids.base import Center
 from oceananigans_tpu.ops.operators import (
     ddx_f, ddy_f, ddz_f, divergence_ccc, dx_f, dy_f, dz_f,
 )

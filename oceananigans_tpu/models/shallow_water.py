@@ -25,8 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from oceananigans_tpu.advection import (
-    Centered, div_Uc, required_halo as advection_required_halo, _face_value,
-    _scheme_for,
+    Centered, div_Uc, _face_value, _scheme_for,
 )
 from oceananigans_tpu.boundary_conditions import (
     apply_flux_bcs, fill_halo_regions, regularize_field_boundary_conditions,

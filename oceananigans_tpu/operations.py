@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from oceananigans_tpu.fields import LOC_C, LOC_U, LOC_V, LOC_W, interior
+from oceananigans_tpu.fields import LOC_C, interior
 from oceananigans_tpu.grids.base import Center, Face
 from oceananigans_tpu.ops.operators import (
     ddx_c, ddx_f, ddy_c, ddy_f, ddz_c, ddz_f,

@@ -17,13 +17,13 @@ from __future__ import annotations
 import glob
 import os
 import re
-from typing import Callable, Dict, Optional
+from typing import Optional
 
 import h5py
 import jax.numpy as jnp
 import numpy as np
 
-from oceananigans_tpu.fields import LOC_C, interior
+from oceananigans_tpu.fields import interior
 from oceananigans_tpu.utils.schedules import (
     AveragedTimeInterval, IterationInterval, TimeInterval,
 )

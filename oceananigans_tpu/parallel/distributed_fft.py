@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from oceananigans_tpu.grids.base import Bounded, Flat, Periodic
 from oceananigans_tpu.solvers.fft_poisson import poisson_eigenvalues

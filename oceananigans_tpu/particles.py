@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from oceananigans_tpu.fields import LOC_C, LOC_U, LOC_V, LOC_W, interpolate
-from oceananigans_tpu.grids.base import Bounded, Flat, Periodic
+from oceananigans_tpu.grids.base import Flat, Periodic
 
 __all__ = ["LagrangianParticles"]
 

@@ -16,14 +16,14 @@ from __future__ import annotations
 
 import math
 import time as _time
-from typing import Callable, Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from oceananigans_tpu.utils.schedules import (
-    AbstractSchedule, IterationInterval, TimeInterval,
+    IterationInterval, TimeInterval,
 )
 from oceananigans_tpu.utils.pretty import prettytime
 

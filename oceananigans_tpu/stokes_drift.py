@@ -10,9 +10,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from oceananigans_tpu.grids.base import Center, Face
+from oceananigans_tpu.grids.base import Face
 from oceananigans_tpu.ops.operators import (
-    ddz_f, dz_f, ix_c, ix_f, iy_c, iy_f, iz_c, iz_f,
+    dz_f, ix_c, ix_f, iy_c, iy_f, iz_c, iz_f,
 )
 
 __all__ = ["UniformStokesDrift"]
