@@ -62,12 +62,37 @@ class GridFittedBottom:
 
 class PartialCellBottom(GridFittedBottom):
     """Bottom-fitted with partial cell heights (reference
-    ``partial_cell_bottom.jl:11``). The mask matches GridFittedBottom;
-    the partial-cell metric scaling is applied via ``dz_scaling``."""
+    ``partial_cell_bottom.jl:11``): a cell is solid only when the bottom
+    covers more than (1 − ε_min) of it; the bottom-adjacent fluid cell's
+    height shrinks to the actual water fraction (``dz_fraction``)."""
 
     def __init__(self, bottom_height, minimum_fractional_cell_height=0.2):
         super().__init__(bottom_height)
-        self.minimum_fractional_cell_height = minimum_fractional_cell_height
+        self.minimum_fractional_cell_height = float(
+            minimum_fractional_cell_height)
+
+    def solid_ccc(self, grid):
+        # solid when the water fraction is below the minimum
+        frac = self._water_fraction(grid)
+        return frac < self.minimum_fractional_cell_height
+
+    def _bottom(self, grid):
+        if callable(self.bottom_height):
+            return self.bottom_height(grid.xC, grid.yC)
+        return jnp.asarray(self.bottom_height)
+
+    def _water_fraction(self, grid):
+        """Fraction of each cell above the bottom, in [0, 1]."""
+        zf = jnp.broadcast_to(grid.zF, grid.shape)
+        dz = jnp.broadcast_to(grid.dz(Center), grid.shape)
+        h = self._bottom(grid)
+        z_top = zf + dz        # top face of each cell (zF is bottom face)
+        return jnp.clip((z_top - h) / dz, 0.0, 1.0)
+
+    def dz_fraction(self, grid, solid):
+        frac = self._water_fraction(grid)
+        frac = jnp.clip(frac, self.minimum_fractional_cell_height, 1.0)
+        return jnp.where(solid, 1.0, frac)
 
 
 class GridFittedBoundary:
@@ -98,14 +123,21 @@ class ImmersedBoundaryGrid(AbstractGrid):
     location (reference ``immersed_boundary_grid.jl:8-14``).
 
     Metric queries delegate to the underlying grid; masks are plain bool
-    arrays registered as pytree data.
+    arrays registered as pytree data. With a :class:`PartialCellBottom`
+    the bottom-adjacent cell heights shrink to the actual water-column
+    fraction (reference ``partial_cell_bottom.jl:11``), so gentle slopes
+    are represented without staircase error.
     """
 
     def __init__(self, underlying_grid, immersed_boundary):
+        from oceananigans_tpu.boundary_conditions import fill_halo_regions
         g = underlying_grid
         solid = immersed_boundary.solid_ccc(g)
-        # halo cells outside the interior are treated as solid continuation
-        # in z for bottoms; x/y halos follow periodic wrap via roll masks
+        # the mask must be HALO-CONSISTENT (periodic images identical at
+        # the seams, mirrors at walls) or the masked Poisson operator loses
+        # symmetry across periodic boundaries; fill with the default
+        # center-located halo rules and re-threshold
+        solid = fill_halo_regions(solid.astype(g.xC.dtype), g) > 0.5
         s = object.__setattr__
         s(self, "underlying_grid", g)
         s(self, "immersed_boundary", immersed_boundary)
@@ -114,6 +146,24 @@ class ImmersedBoundaryGrid(AbstractGrid):
         s(self, "solid_u", solid | shift(solid, -1, X))
         s(self, "solid_v", solid | shift(solid, -1, Y))
         s(self, "solid_w", solid | shift(solid, -1, Z))
+        # partial-cell dz scaling σ(x,y,z) ∈ [ε, 1] for PartialCellBottom
+        if isinstance(immersed_boundary, PartialCellBottom):
+            sigma = immersed_boundary.dz_fraction(g, solid)
+            s(self, "dz_sigma", fill_halo_regions(sigma, g))
+        else:
+            s(self, "dz_sigma", None)
+
+    # ---- partial-cell-aware vertical metrics -----------------------------
+    def dz(self, lz=Center):
+        base = self.underlying_grid.dz(lz)
+        if self.dz_sigma is None:
+            return base
+        if lz == Center:
+            return self.dz_sigma * base
+        # face spacing = center-to-center distance: average of the two
+        # adjacent (scaled) half-cells
+        dzc = self.dz_sigma * self.underlying_grid.dz(Center)
+        return 0.5 * (dzc + shift(dzc, -1, Z))
 
     # ---- delegation ------------------------------------------------------
     def __getattr__(self, name):
@@ -125,9 +175,6 @@ class ImmersedBoundaryGrid(AbstractGrid):
 
     def dy(self, *a, **k):
         return self.underlying_grid.dy(*a, **k)
-
-    def dz(self, *a, **k):
-        return self.underlying_grid.dz(*a, **k)
 
     def Az(self, *a, **k):
         return self.underlying_grid.Az(*a, **k)
@@ -173,19 +220,24 @@ class ImmersedBoundaryGrid(AbstractGrid):
 
 
 def _ibg_flatten(g):
-    return ((g.underlying_grid, g.solid_c, g.solid_u, g.solid_v, g.solid_w),
-            type(g.immersed_boundary).__name__)
+    leaves = [g.underlying_grid, g.solid_c, g.solid_u, g.solid_v, g.solid_w]
+    has_sigma = g.dz_sigma is not None
+    if has_sigma:
+        leaves.append(g.dz_sigma)
+    return tuple(leaves), (type(g.immersed_boundary).__name__, has_sigma)
 
 
 def _ibg_unflatten(aux, children):
+    name, has_sigma = aux
     obj = object.__new__(ImmersedBoundaryGrid)
     s = object.__setattr__
     s(obj, "underlying_grid", children[0])
-    s(obj, "immersed_boundary", aux)
+    s(obj, "immersed_boundary", name)
     s(obj, "solid_c", children[1])
     s(obj, "solid_u", children[2])
     s(obj, "solid_v", children[3])
     s(obj, "solid_w", children[4])
+    s(obj, "dz_sigma", children[5] if has_sigma else None)
     return obj
 
 
@@ -208,8 +260,10 @@ def mask_immersed_field(grid, a, loc, value=0.0):
 
 def masked_laplacian(grid, p):
     """∇·(β∇p) with flux zeroed through solid faces: the discrete immersed
-    pressure operator (negative semidefinite)."""
-    g = grid.underlying_grid
+    pressure operator (negative semidefinite). Metrics come from the
+    immersed grid itself so partial-cell dz scaling stays consistent with
+    the divergence the model computes."""
+    g = grid
     fluid_u = ~grid.solid_u
     fluid_v = ~grid.solid_v
     fluid_w = ~grid.solid_w
@@ -229,15 +283,22 @@ class ImmersedPoissonSolver:
     internally each operator application via roll semantics (the masked
     operator only reads one ring, and masks are halo-consistent)."""
 
-    def __init__(self, grid, preconditioner=None, maxiter=200, reltol=1e-8):
+    def __init__(self, grid, preconditioner=None, maxiter=None,
+                 reltol=1e-8):
         from oceananigans_tpu.solvers.fft_poisson import FFTPoissonSolver
         self.grid = grid
         base = grid.underlying_grid
-        self.maxiter = maxiter
         self.reltol = reltol
-        if preconditioner is None and base.regular:
+        # the FFT preconditioner approximates the UNSCALED Laplacian; with
+        # partial-cell dz scaling it is inconsistent with the operator and
+        # CG diverges — run plain CG there (more iterations, still robust)
+        scaled = getattr(grid, "dz_sigma", None) is not None
+        if preconditioner is None and base.regular and not scaled:
             preconditioner = FFTPoissonSolver(base)
         self.preconditioner = preconditioner
+        if maxiter is None:
+            maxiter = 600 if self.preconditioner is None else 200
+        self.maxiter = maxiter
 
     def solve(self, rhs_interior):
         from oceananigans_tpu.boundary_conditions import (
@@ -251,36 +312,60 @@ class ImmersedPoissonSolver:
         bcs = regularize_field_boundary_conditions(None, g, LOC_C)
 
         # CG iterates live on interior fluid cells only: the halo region of
-        # every operator output must be zeroed or the (unweighted) CG dot
-        # products pick up halo garbage and the iteration diverges
+        # every operator output must be zeroed or the CG dot products pick
+        # up halo garbage and the iteration diverges
         idx = np.zeros(g.shape, bool)
         idx[sx, sy, sz] = True
         fluid = jnp.logical_and(~grid.solid_c, idx)
+
+        # CG needs a SYMMETRIC operator in the plain inner product. The
+        # Laplacian L = V⁻¹·G (G = the flux-difference assembly) is only
+        # symmetric when V is uniform; solve the volume-weighted system
+        # G p = V·rhs instead, which is symmetric for any (partial-cell /
+        # stretched) volumes.
+        Vw = jnp.broadcast_to(grid.V(Center, Center, Center), g.shape)
         rhs = new_field(g, rhs_interior.dtype).at[sx, sy, sz].set(
             rhs_interior)
-        rhs = jnp.where(fluid, rhs, 0.0)
-        # remove the fluid-mean (compatibility for the singular Neumann op)
+        b = jnp.where(fluid, rhs * Vw, 0.0)
+        # compatibility: project out the nullspace (constants on fluid)
         nf = jnp.maximum(jnp.sum(fluid[sx, sy, sz]), 1)
-        rhs_mean = jnp.sum(rhs[sx, sy, sz]) / nf
-        rhs = jnp.where(fluid, rhs - rhs_mean, 0.0)
+        b_mean = jnp.sum(b[sx, sy, sz]) / nf
+        b = jnp.where(fluid, b - b_mean, 0.0)
 
         def A(p):
             p = fill_halo_regions(p, g, bcs, LOC_C)
-            return jnp.where(fluid, masked_laplacian(grid, p), 0.0)
+            return jnp.where(fluid, Vw * masked_laplacian(grid, p), 0.0)
 
-        def M(r):
-            if self.preconditioner is None:
-                return r
-            # FFT-preconditioner on the unmasked problem
-            pr = self.preconditioner.solve(r[sx, sy, sz])
-            out = jnp.zeros_like(r).at[sx, sy, sz].set(pr)
-            return jnp.where(fluid, out, 0.0)
+        if self.preconditioner is not None:
+            def M(r):
+                # FFT inverse of the uniform-volume operator: exact when V
+                # is uniform (then G = V₀·L and M ∝ L⁻¹)
+                pr = self.preconditioner.solve(r[sx, sy, sz] / Vw[sx, sy,
+                                                                  sz])
+                out = jnp.zeros_like(r).at[sx, sy, sz].set(pr)
+                return jnp.where(fluid, out, 0.0)
+        else:
+            # Jacobi: diagonal of G (symmetric, handles partial cells)
+            cx = jnp.where(~grid.solid_u,
+                           grid.Ax(Face, Center, Center)
+                           / g.dx(Face, Center), 0.0)
+            cy = jnp.where(~grid.solid_v,
+                           grid.Ay(Center, Face, Center)
+                           / g.dy(Face, Center), 0.0)
+            cz = jnp.where(~grid.solid_w,
+                           grid.Az(Center, Center) / grid.dz(Face), 0.0)
+            diag = -(cx + shift(cx, 1, X) + cy + shift(cy, 1, Y)
+                     + cz + shift(cz, 1, Z))
+            diag = jnp.where(fluid & (diag < 0), diag, -1.0)
+
+            def M(r):
+                return jnp.where(fluid, r / diag, 0.0)
 
         from oceananigans_tpu.solvers.conjugate_gradient import (
             conjugate_gradient,
         )
-        x0 = jnp.zeros_like(rhs)
-        p, it, res = conjugate_gradient(A, rhs, x0, preconditioner=M,
+        x0 = jnp.zeros_like(b)
+        p, it, res = conjugate_gradient(A, b, x0, preconditioner=M,
                                         maxiter=self.maxiter,
                                         reltol=self.reltol)
         # gauge: zero fluid mean

@@ -396,9 +396,20 @@ class NonhydrostaticModel:
         sx, sy, sz = g.interior_slices
         p = p.at[sx, sy, sz].set(phi_int)
         p = fill_halo_regions(p, g, self.pressure_bcs, LOC_C)
-        u = state.u - dt * ddx_f(g, p, Center)
-        v = state.v - dt * ddy_f(g, p, Center)
-        w = state.w - dt * ddz_f(g, p)
+        gx = ddx_f(g, p, Center)
+        gy = ddy_f(g, p, Center)
+        gz = ddz_f(g, p)
+        from oceananigans_tpu.immersed import ImmersedBoundaryGrid
+        if isinstance(g, ImmersedBoundaryGrid):
+            # the masked Poisson operator has zero flux through solid
+            # faces; the correction must not update them either or the
+            # discrete projection identity div(u − Δt∇p) = 0 breaks
+            gx = jnp.where(g.solid_u, 0.0, gx)
+            gy = jnp.where(g.solid_v, 0.0, gy)
+            gz = jnp.where(g.solid_w, 0.0, gz)
+        u = state.u - dt * gx
+        v = state.v - dt * gy
+        w = state.w - dt * gz
         return _replace(state, u=u, v=v, w=w, pressure=p)
 
     def _implicit_diffusion(self, state, diffusivities, dt):

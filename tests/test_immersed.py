@@ -109,3 +109,42 @@ def test_grid_fitted_boundary_sphere():
     # sphere of radius 0.2 in unit box: ~3.3% of volume
     frac = solid.mean()
     assert 0.01 < frac < 0.06
+
+
+def test_partial_cell_bottom():
+    """PartialCellBottom: bottom-adjacent cell heights shrink to the water
+    fraction, so a sloping bottom's column depths are captured much more
+    accurately than the staircase GridFittedBottom."""
+    from oceananigans_tpu.immersed import PartialCellBottom
+
+    base = RectilinearGrid(size=(16, 16), x=(0.0, 1.0), z=(-1.0, 0.0),
+                           topology=(Periodic, Flat, Bounded))
+    bottom = lambda x, y: -1.0 + 0.43 * x   # gentle slope
+    pc = ImmersedBoundaryGrid(base, PartialCellBottom(bottom))
+    gf = ImmersedBoundaryGrid(base, GridFittedBottom(bottom))
+
+    # column depth = sum of INTERIOR fluid-cell dz
+    def depth(grid):
+        dz = jnp.broadcast_to(grid.dz("c"), grid.shape)
+        fluid = ~grid.solid_c
+        sx, sy, sz = grid.interior_slices
+        contrib = jnp.where(fluid, dz, 0.0)[sx, sy, sz]
+        return np.asarray(jnp.sum(contrib, axis=2)).ravel()
+
+    x = np.asarray(base.xnodes())
+    true_depth = -np.asarray([bottom(xi, 0) for xi in x])
+    err_pc = np.abs(depth(pc) - true_depth).max()
+    err_gf = np.abs(depth(gf) - true_depth).max()
+    # partial cells substantially more accurate; the residual equals the
+    # minimum_fractional_cell_height floor (0.2 dz)
+    assert err_pc < 0.45 * err_gf
+    assert err_pc <= 0.2 * (1.0 / 16) + 1e-12
+
+    # and a model runs stably on it
+    import jax
+    model = NonhydrostaticModel(grid=pc, advection=Centered(2))
+    state = model.initial_state(u=0.2)
+    step = jax.jit(lambda s: model.step(s, 5e-3))
+    for _ in range(10):
+        state = step(state)
+    assert bool(jnp.all(jnp.isfinite(state.u)))
