@@ -149,6 +149,151 @@ class ConformalCubedSphereGrid:
                 f"N={self.N_panel}, Nz={self.panel_grid.Nz})")
 
 
+def _tangent(p, x, y, axis, h=1e-6):
+    """Unit tangent of panel p's grid direction at panel coords (x, y)."""
+    if axis == 0:
+        d = _panel_xyz(p, np.atleast_1d(x + h), np.atleast_1d(y)) \
+            - _panel_xyz(p, np.atleast_1d(x - h), np.atleast_1d(y))
+    else:
+        d = _panel_xyz(p, np.atleast_1d(x), np.atleast_1d(y + h)) \
+            - _panel_xyz(p, np.atleast_1d(x), np.atleast_1d(y - h))
+    d = d[0]
+    return d / np.linalg.norm(d)
+
+
+@lru_cache(None)
+def _velocity_maps(N: int, H: int):
+    """Numerically-derived gather maps for the staggered velocity halo
+    exchange: for every halo slot of every panel side, which neighbor
+    panel/component/index supplies it and with which sign (the
+    velocity-component rotation across rotated panel edges).
+
+    Maps are exact because the conformal panels share their staggered
+    point lattices along edges (verified to ~1e-15 in tests)."""
+    d = 2.0 / N
+    Hx = Hy = H
+
+    def coords(comp, i, j):
+        """Panel coords of staggered point (array indices i, j)."""
+        if comp == "u":
+            return -1.0 + (i - Hx) * d, -1.0 + (j - Hy + 0.5) * d
+        return -1.0 + (i - Hx + 0.5) * d, -1.0 + (j - Hy) * d
+
+    # source tables: interior staggered points of every panel
+    src_pts = {}
+    src_idx = {}
+    for comp in ("u", "v"):
+        if comp == "u":
+            ii = np.arange(Hx, Hx + N + 1)      # x-faces incl shared edge
+            jj = np.arange(Hy, Hy + N)
+        else:
+            ii = np.arange(Hx, Hx + N)
+            jj = np.arange(Hy, Hy + N + 1)
+        I, J = np.meshgrid(ii, jj, indexing="ij")
+        x, y = coords(comp, I.ravel().astype(float),
+                      J.ravel().astype(float))
+        src_idx[comp] = (I.ravel(), J.ravel())
+        src_pts[comp] = {p: _panel_xyz(p, x, y) for p in range(6)}
+
+    conn = _connectivity(N)
+    maps = {}
+    for p in range(6):
+        for side in _SIDES:
+            q = conn[(p, side)][0]
+            for comp in ("u", "v"):
+                # halo slots of this side (transverse range: interior)
+                if side in ("west", "east"):
+                    if side == "west":
+                        ih = np.arange(0, Hx)
+                    else:
+                        ih = np.arange(Hx + N + (1 if comp == "u" else 0),
+                                       2 * Hx + N + (1 if comp == "u"
+                                                     else 0))
+                        ih = ih[ih < 2 * Hx + N + 1]
+                    jh = np.arange(Hy, Hy + N + (1 if comp == "v" else 0))
+                else:
+                    ih = np.arange(Hx, Hx + N + (1 if comp == "u" else 0))
+                    if side == "south":
+                        jh = np.arange(0, Hy)
+                    else:
+                        jh = np.arange(Hy + N + (1 if comp == "v" else 0),
+                                       2 * Hy + N + (1 if comp == "v"
+                                                     else 0))
+                        jh = jh[jh < 2 * Hy + N + 1]
+                I, J = np.meshgrid(ih, jh, indexing="ij")
+                I = I.ravel()
+                J = J.ravel()
+                # clip to the actual array extent: u is (N+1+2H, N+2H),
+                # v is (N+2H, N+1+2H)
+                ni = 2 * Hx + N + (1 if comp == "u" else 0)
+                nj = 2 * Hy + N + (1 if comp == "v" else 0)
+                keep = (I < ni) & (J < nj)
+                I, J = I[keep], J[keep]
+                if I.size == 0:
+                    continue
+                x, y = coords(comp, I.astype(float), J.astype(float))
+                P = _panel_xyz(p, x, y)
+                # match against neighbor's u and v tables
+                out_comp = np.empty(I.size, dtype="U1")
+                out_i = np.zeros(I.size, np.int32)
+                out_j = np.zeros(I.size, np.int32)
+                out_s = np.zeros(I.size)
+                for m in range(I.size):
+                    best = None
+                    for sc in ("u", "v"):
+                        dist = np.linalg.norm(src_pts[sc][q] - P[m],
+                                              axis=1)
+                        k = int(np.argmin(dist))
+                        if best is None or dist[k] < best[0]:
+                            best = (dist[k], sc, k)
+                    dist_k, sc, k = best
+                    # tolerance: staggered points from different panels'
+                    # corner series agree to the conformal-fit residual
+                    # (~1e-7), far below the grid spacing
+                    if dist_k > 1e-5:
+                        raise RuntimeError(
+                            f"no staggered match p{p} {side} {comp} "
+                            f"(dist {dist_k:.2e})")
+                    iq = int(src_idx[sc][0][k])
+                    jq = int(src_idx[sc][1][k])
+                    # sign: project the source component's tangent onto the
+                    # receiving component's tangent
+                    t_dst = _tangent(p, x[m], y[m], 0 if comp == "u" else 1)
+                    xs, ys = coords(sc, float(iq), float(jq))
+                    t_src = _tangent(q, xs, ys, 0 if sc == "u" else 1)
+                    s = float(np.round(t_dst @ t_src))
+                    if s == 0.0:
+                        raise RuntimeError("non-orthogonal edge rotation")
+                    out_comp[m] = sc
+                    out_i[m] = iq
+                    out_j[m] = jq
+                    out_s[m] = s
+                maps[(p, side, comp)] = (q, I, J, out_comp, out_i, out_j,
+                                         out_s)
+    return maps
+
+
+def cubed_sphere_velocity_exchange(u, v, grid: ConformalCubedSphereGrid):
+    """Fill the x/y halos of stacked (6, nx, ny, nz) u (x-face) and v
+    (y-face) velocity components, applying the cross-edge component
+    rotation (reference: the rotated connectivity of
+    ``cubed_sphere_connectivity.jl`` applied to velocity fields)."""
+    g = grid.panel_grid
+    maps = _velocity_maps(grid.N_panel, g.Hx)
+    out_u, out_v = u, v
+    for (p, side, comp), (q, I, J, scomp, iq, jq, sgn) in maps.items():
+        is_u = scomp == "u"
+        src_u = u[q][iq, jq, :]
+        src_v = v[q][iq, jq, :]
+        vals = jnp.where(jnp.asarray(is_u)[:, None], src_u, src_v)
+        vals = vals * jnp.asarray(sgn)[:, None]
+        if comp == "u":
+            out_u = out_u.at[p, I, J, :].set(vals)
+        else:
+            out_v = out_v.at[p, I, J, :].set(vals)
+    return out_u, out_v
+
+
 def cubed_sphere_halo_exchange(a, grid: ConformalCubedSphereGrid,
                                width=None):
     """Fill the x/y halos of a stacked (6, nx, ny, nz) CENTER-located

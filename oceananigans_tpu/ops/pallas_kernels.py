@@ -128,7 +128,8 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, gw_ref,
     gw_ref[:] = gw
 
 
-def centered2_momentum_tendency(grid, u, v, w, tile_x=4, interpret=False):
+def centered2_momentum_tendency(grid, u, v, w, tile_x=None,
+                                interpret=False):
     """(Gu, Gv, Gw) = -div(𝐯 ⊗ 𝐯) with Centered(2) fluxes on a regular
     rectilinear grid, fused in one Pallas pass. Inputs are full
     halo-extended arrays with halos already filled. Output halo rows are
@@ -139,6 +140,15 @@ def centered2_momentum_tendency(grid, u, v, w, tile_x=4, interpret=False):
     # stencil rolls wrap through; outputs are cropped back)
     ny = -(-ny0 // 8) * 8
     nz = -(-nz0 // 128) * 128
+    if tile_x is None:
+        # pick the largest tile whose scratch + output blocks fit in a
+        # conservative VMEM budget (~8 MB; the 256-cubed default lands on
+        # TX=2, which the axon AOT helper compiles)
+        budget = 8 * 1024 * 1024
+        tile_x = 8
+        while tile_x > 1 and (3 * (tile_x + 2) + 3 * tile_x) \
+                * ny * nz * u.dtype.itemsize > budget:
+            tile_x //= 2
     if (ny, nz) != (ny0, nz0):
         pad = ((0, 0), (0, ny - ny0), (0, nz - nz0))
         u = jnp.pad(u, pad)

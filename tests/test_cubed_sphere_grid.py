@@ -68,3 +68,67 @@ def test_panels_tile_the_sphere():
     Az = np.asarray(g.Az("c", "c"))[sx, sy, 0]
     np.testing.assert_allclose(6 * Az.sum(), 4 * np.pi * g.radius ** 2,
                                rtol=0.01)
+
+
+def test_velocity_halo_exchange_solid_body_rotation():
+    """Staggered velocity exchange with cross-edge component rotation:
+    a solid-body-rotation vector field V = ω × P projected onto each
+    panel's local (u, v) tangents must be reproduced in the halos
+    (reference: rotated velocity connectivity of
+    ``cubed_sphere_connectivity.jl``)."""
+    from oceananigans_tpu.grids.cubed_sphere_grid import (
+        _tangent,
+        _velocity_maps,
+        cubed_sphere_velocity_exchange,
+    )
+
+    N, H = 8, 2
+    grid = ConformalCubedSphereGrid((N, 1), z=(-1.0, 0.0), radius=1.0,
+                                    halo=H)
+    omega = np.array([0.3, -0.5, 0.8])
+    d = 2.0 / N
+
+    def field(comp, ni, nj, with_halo):
+        off = H if with_halo else 0
+        ii = np.arange(ni) - off
+        jj = np.arange(nj) - off
+        if comp == "u":
+            x, y = -1.0 + ii * d, -1.0 + (jj + 0.5) * d
+        else:
+            x, y = -1.0 + (ii + 0.5) * d, -1.0 + jj * d
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        ax = 0 if comp == "u" else 1
+        arrs = []
+        for p in range(6):
+            P = _panel_xyz(p, X.ravel(), Y.ravel()).reshape(*X.shape, 3)
+            V = np.cross(omega, P)
+            T = np.zeros_like(P)
+            for k in range(X.shape[0]):
+                for l in range(X.shape[1]):
+                    T[k, l] = _tangent(p, X[k, l], Y[k, l], ax)
+            arrs.append((V * T).sum(-1))
+        return np.stack(arrs)
+
+    ni_u, nj_u = N + 1 + 2 * H, N + 2 * H
+    ni_v, nj_v = N + 2 * H, N + 1 + 2 * H
+    u = np.zeros((6, ni_u, nj_u, 1))
+    v = np.zeros((6, ni_v, nj_v, 1))
+    u[:, H:H + N + 1, H:H + N, 0] = field("u", N + 1, N, False)
+    v[:, H:H + N, H:H + N + 1, 0] = field("v", N, N + 1, False)
+
+    uf, vf = cubed_sphere_velocity_exchange(jnp.asarray(u),
+                                            jnp.asarray(v), grid)
+    uf, vf = np.asarray(uf), np.asarray(vf)
+    ut = field("u", ni_u, nj_u, True)
+    vt = field("v", ni_v, nj_v, True)
+
+    err = 0.0
+    nfilled = 0
+    for (p, side, comp), (q, I, J, *_rest) in _velocity_maps(N, H).items():
+        got = (uf if comp == "u" else vf)[p, I, J, 0]
+        want = (ut if comp == "u" else vt)[p, I, J]
+        nfilled += I.size
+        if I.size:
+            err = max(err, np.abs(got - want).max())
+    assert nfilled > 0
+    assert err < 1e-7
