@@ -168,6 +168,11 @@ def _velocity_maps(N: int, H: int):
     panel/component/index supplies it and with which sign (the
     velocity-component rotation across rotated panel edges).
 
+    Arrays follow the framework's CO-SHAPED field convention
+    (``AbstractGrid.shape``): every field is (N+2H, N+2H, nz) and a
+    face field's meaningful faces are i in [H, H+N] (the shared panel
+    edge face at H+N is interior-owned, never overwritten here).
+
     Maps are exact because the conformal panels share their staggered
     point lattices along edges (verified to ~1e-15 in tests)."""
     d = 2.0 / N
@@ -223,10 +228,10 @@ def _velocity_maps(N: int, H: int):
                 I, J = np.meshgrid(ih, jh, indexing="ij")
                 I = I.ravel()
                 J = J.ravel()
-                # clip to the actual array extent: u is (N+1+2H, N+2H),
-                # v is (N+2H, N+1+2H)
-                ni = 2 * Hx + N + (1 if comp == "u" else 0)
-                nj = 2 * Hy + N + (1 if comp == "v" else 0)
+                # clip to the co-shaped array extent (N+2H per axis);
+                # east/north slots for the face-normal component start
+                # past the interior-owned edge face at H+N
+                ni = nj = 2 * Hx + N
                 keep = (I < ni) & (J < nj)
                 I, J = I[keep], J[keep]
                 if I.size == 0:
@@ -273,6 +278,273 @@ def _velocity_maps(N: int, H: int):
     return maps
 
 
+@lru_cache(None)
+def corner_circulation_tables(N: int, H: int):
+    """Exact 3-segment circulation stencils for the vertical vorticity at
+    the 8 cube-corner vertices (each panel's 4 corners are cube corners).
+
+    The standard 4-segment C-grid circulation is wrong there: the vertex
+    is 3-valent, so the loop through the four surrounding "cell centers"
+    references a fictitious quadrant and double-samples one edge.
+    Instead we integrate around the spherical TRIANGLE through the three
+    REAL adjacent cell centers; each leg crosses one emanating edge at a
+    staggered velocity point, whose slot/sign is found numerically (the
+    same position-matching used for the velocity halo exchange).
+
+    Returns (corners, comp, ii, jj, w, area):
+      corners: list of 4 (ci, cj) vertex indices,
+      comp[c]: (6, 3) 0=u/1=v slot of each leg's sample,
+      ii/jj[c]: (6, 3) array indices,
+      w[c]: (6, 3) signed UNIT-SPHERE leg lengths,
+      area[c]: (6,) unit-sphere triangle areas.
+    ζ_corner = Σ_k w_k · vel_k / (area · radius)."""
+    d = 2.0 / N
+
+    def cc_xy(i, j):
+        return -1.0 + (i - H + 0.5) * d, -1.0 + (j - H + 0.5) * d
+
+    def slot_xy(comp, i, j):
+        if comp == 0:    # u at (f, c)
+            return -1.0 + (i - H) * d, -1.0 + (j - H + 0.5) * d
+        return -1.0 + (i - H + 0.5) * d, -1.0 + (j - H) * d
+
+    def tri_area(A, B, C):
+        # l'Huilier on the unit sphere
+        def side(P, Q):
+            return np.arccos(np.clip(np.dot(P, Q), -1.0, 1.0))
+        a_, b_, c_ = side(B, C), side(C, A), side(A, B)
+        s = 0.5 * (a_ + b_ + c_)
+        t = np.sqrt(max(np.tan(s / 2) * np.tan((s - a_) / 2)
+                        * np.tan((s - b_) / 2) * np.tan((s - c_) / 2), 0.0))
+        return 4.0 * np.arctan(t)
+
+    corners = [(H, H), (H + N, H), (H, H + N), (H + N, H + N)]
+    comp_t, ii_t, jj_t, w_t, area_t = [], [], [], [], []
+    for (ci, cj) in corners:
+        di = 1 if ci == H else -1
+        dj = 1 if cj == H else -1
+        # the three real cell centers around the vertex: own + the two
+        # edge-strip cells (their extension positions match the true
+        # neighbor centers)
+        own = (ci - (0 if di > 0 else 1), cj - (0 if dj > 0 else 1))
+        cx = (own[0] - di, own[1])
+        cy = (own[0], own[1] - dj)
+        # candidate staggered slots adjacent to the vertex
+        cands = [(0, ci, cj - (0 if dj > 0 else 1)),
+                 (0, ci, cj - (1 if dj > 0 else 0)),
+                 (1, ci - (0 if di > 0 else 1), cj),
+                 (1, ci - (1 if di > 0 else 0), cj)]
+        comp_p = np.zeros((6, 6), np.int32)
+        ii_p = np.zeros((6, 6), np.int32)
+        jj_p = np.zeros((6, 6), np.int32)
+        w_p = np.zeros((6, 6))
+        area_p = np.zeros(6)
+        def at(p, xy):
+            return _panel_xyz(p, np.atleast_1d(xy[0]),
+                              np.atleast_1d(xy[1]))[0]
+
+        for p in range(6):
+            P = {c: at(p, cc_xy(*c)) for c in (own, cx, cy)}
+            # counterclockwise (w.r.t. outward normal) vertex order
+            order = [own, cx, cy]
+            n = P[own] / np.linalg.norm(P[own])
+            if np.dot(np.cross(P[cx] - P[own], P[cy] - P[own]), n) < 0:
+                order = [own, cy, cx]
+            area_p[p] = tri_area(*(P[c] for c in order))
+            for k in range(3):
+                A, B = P[order[k]], P[order[(k + 1) % 3]]
+                mid = 0.5 * (A + B)
+                mid /= np.linalg.norm(mid)
+                leg = B - A
+                leg = leg / np.linalg.norm(leg)
+                # among the slots at this leg's crossing point, pick the
+                # component whose direction is ALONG the leg (two slots
+                # can alias the same physical point with different
+                # component directions; only the leg-normal one carries
+                # the circulation contribution)
+                best = None
+                for (sc, si, sj) in cands:
+                    sp = at(p, slot_xy(sc, si, sj))
+                    if np.linalg.norm(sp - mid) > 0.45 * d:
+                        continue
+                    t = _tangent(p, *slot_xy(sc, si, sj), sc)
+                    al = abs(np.dot(t, leg))
+                    if best is None or al > best[0]:
+                        best = (al, sc, si, sj, t)
+                if best is None or best[0] < 0.95:
+                    raise RuntimeError(
+                        f"corner leg sample ambiguous (align "
+                        f"{0 if best is None else best[0]:.3f})")
+                _, sc, si, sj, t = best
+                s = 1.0 if np.dot(t, leg) > 0 else -1.0
+                L = np.arccos(np.clip(np.dot(A / np.linalg.norm(A),
+                                             B / np.linalg.norm(B)),
+                                      -1.0, 1.0))
+                # ONE-point quadrature at the staggered sample is O(1)
+                # wrong for zeta: the sample sits off the leg's true
+                # edge-crossing radius and the circulation is a small
+                # residual. Interpolate the edge-normal velocity to the
+                # exact chord/edge crossing from the TWO samples along
+                # the emanating edge.
+                vx, vy = -1.0 + (ci - H) * d, -1.0 + (cj - H) * d
+                Pv = at(p, (vx, vy))
+                # second sample: one step farther from the vertex along
+                # the same edge line
+                opts = ([(sc, si, sj + 1), (sc, si, sj - 1)]
+                        if sc == 0 else
+                        [(sc, si + 1, sj), (sc, si - 1, sj)])
+                def arcd(Q, R):
+                    return np.arccos(np.clip(
+                        np.dot(Q / np.linalg.norm(Q),
+                               R / np.linalg.norm(R)), -1.0, 1.0))
+                P0 = at(p, slot_xy(sc, si, sj))
+                cand2 = max(opts,
+                            key=lambda o: arcd(at(p, slot_xy(*o)), Pv))
+                P1 = at(p, slot_xy(*cand2))
+                # chord/edge crossing: nearest point of the edge sample
+                # line to the chord (both curves are smooth; minimize
+                # pointwise distance)
+                ts = np.linspace(0.0, 1.0, 801)
+                chord = (1 - ts)[:, None] * A + ts[:, None] * B
+                chord /= np.linalg.norm(chord, axis=1, keepdims=True)
+                rs = np.linspace(0.0, 3.0, 1201)
+                e0 = np.array(slot_xy(sc, si, sj))
+                e1 = np.array(slot_xy(*cand2))
+                exy = e0[None, :] + (e1 - e0)[None, :] * (
+                    (rs - 0.5) / 1.0)[:, None] / 1.0
+                E = _panel_xyz(p, exy[:, 0], exy[:, 1])
+                E /= np.linalg.norm(E, axis=1, keepdims=True)
+                dm = np.linalg.norm(chord[:, None, :] - E[None, :, :],
+                                    axis=2)
+                ic, ie = np.unravel_index(np.argmin(dm), dm.shape)
+                X = E[ie]
+                s0 = arcd(P0, Pv)
+                s1 = arcd(P1, Pv)
+                sxd = arcd(X, Pv)
+                c1 = (sxd - s0) / (s1 - s0)
+                c0 = 1.0 - c1
+                comp_p[p, 2 * k] = sc
+                ii_p[p, 2 * k] = si
+                jj_p[p, 2 * k] = sj
+                w_p[p, 2 * k] = s * L * c0
+                comp_p[p, 2 * k + 1] = cand2[0]
+                ii_p[p, 2 * k + 1] = cand2[1]
+                jj_p[p, 2 * k + 1] = cand2[2]
+                w_p[p, 2 * k + 1] = s * L * c1
+        comp_t.append(comp_p)
+        ii_t.append(ii_p)
+        jj_t.append(jj_p)
+        w_t.append(w_p)
+        area_t.append(area_p)
+    return corners, comp_t, ii_t, jj_t, w_t, area_t
+
+
+@lru_cache(None)
+def _edge_face_maps(N: int, H: int):
+    """Match every panel's EDGE faces (the face-normal component slots
+    lying ON each panel boundary) to the neighbor panel's matching edge
+    faces, with the component-rotation sign. Used to make fluxes through
+    shared faces single-valued (exact global conservation)."""
+    d = 2.0 / N
+
+    def slot_xy(comp, i, j):
+        if comp == 0:
+            return -1.0 + (i - H) * d, -1.0 + (j - H + 0.5) * d
+        return -1.0 + (i - H + 0.5) * d, -1.0 + (j - H) * d
+
+    conn = _connectivity(N)
+    # neighbor candidate table: all edge-face slots of every panel
+    cand = {}
+    for q in range(6):
+        slots = []
+        for i in (H, H + N):
+            for j in range(H, H + N):
+                slots.append((0, i, j))
+        for j in (H, H + N):
+            for i in range(H, H + N):
+                slots.append((1, i, j))
+        xy = np.array([slot_xy(*s) for s in slots])
+        cand[q] = (slots, _panel_xyz(q, xy[:, 0], xy[:, 1]))
+
+    maps = []
+    for p in range(6):
+        for side in _SIDES:
+            q = conn[(p, side)][0]
+            if side == "west":
+                own = [(0, H, j) for j in range(H, H + N)]
+            elif side == "east":
+                own = [(0, H + N, j) for j in range(H, H + N)]
+            elif side == "south":
+                own = [(1, i, H) for i in range(H, H + N)]
+            else:
+                own = [(1, i, H + N) for i in range(H, H + N)]
+            oc = np.array([o[0] for o in own])
+            oi = np.array([o[1] for o in own])
+            oj = np.array([o[2] for o in own])
+            xy = np.array([slot_xy(*o) for o in own])
+            P = _panel_xyz(p, xy[:, 0], xy[:, 1])
+            qslots, qpts = cand[q]
+            nc = np.zeros(len(own), np.int32)
+            ni = np.zeros(len(own), np.int32)
+            nj = np.zeros(len(own), np.int32)
+            sg = np.zeros(len(own))
+            for m in range(len(own)):
+                dist = np.linalg.norm(qpts - P[m], axis=1)
+                k = int(np.argmin(dist))
+                if dist[k] > 1e-5:
+                    raise RuntimeError(
+                        f"edge-face match failed p{p} {side} ({dist[k]:.1e})")
+                sc, si, sj = qslots[k]
+                t_own = _tangent(p, *slot_xy(*own[m]), own[m][0])
+                t_src = _tangent(q, *slot_xy(sc, si, sj), sc)
+                s = float(np.round(np.dot(t_own, t_src)))
+                if s == 0.0:
+                    raise RuntimeError("edge-face rotation not ±1")
+                nc[m], ni[m], nj[m], sg[m] = sc, si, sj, s
+            maps.append((p, oc, oi, oj, q, nc, ni, nj, sg))
+    return maps
+
+
+def cubed_sphere_sync_edge_fluxes(Fx, Fy, grid):
+    """Make the x/y fluxes through shared panel-edge faces single-valued:
+    both panels' values are replaced by the (rotation-consistent) mean,
+    so the flux leaving one panel is EXACTLY the flux entering its
+    neighbor — global conservation to machine precision (the reference
+    achieves this by sharing face fluxes in its multi-region fill)."""
+    g = grid.panel_grid
+    maps = _edge_face_maps(grid.N_panel, g.Hx)
+    out_x, out_y = Fx, Fy
+    for (p, oc, oi, oj, q, nc, ni, nj, sg) in maps:
+        own_u = Fx[p, oi, oj, :]
+        own_v = Fy[p, oi, oj, :]
+        own = jnp.where(jnp.asarray(oc == 0)[:, None], own_u, own_v)
+        oth_u = Fx[q, ni, nj, :]
+        oth_v = Fy[q, ni, nj, :]
+        oth = jnp.where(jnp.asarray(nc == 0)[:, None], oth_u, oth_v)
+        mean = 0.5 * (own + jnp.asarray(sg)[:, None] * oth)
+        is_u = oc == 0
+        out_x = out_x.at[p, oi[is_u], oj[is_u], :].set(mean[is_u])
+        out_y = out_y.at[p, oi[~is_u], oj[~is_u], :].set(mean[~is_u])
+    return out_x, out_y
+
+
+def cubed_sphere_corner_vorticity(zeta, u, v, grid):
+    """Overwrite the 4 cube-corner points of a stacked (6,nx,ny,nz)
+    vorticity field with the exact 3-segment circulation."""
+    g = grid.panel_grid
+    corners, comp_t, ii_t, jj_t, w_t, area_t = corner_circulation_tables(
+        grid.N_panel, g.Hx)
+    pp = np.arange(6)[:, None]
+    for c, (ci, cj) in enumerate(corners):
+        uu = u[pp, ii_t[c], jj_t[c], :]          # (6, 3, nz)
+        vv = v[pp, ii_t[c], jj_t[c], :]
+        vel = jnp.where(jnp.asarray(comp_t[c] == 0)[..., None], uu, vv)
+        val = (vel * jnp.asarray(w_t[c])[..., None]).sum(axis=1) \
+            / (jnp.asarray(area_t[c])[:, None] * g.radius)
+        zeta = zeta.at[:, ci, cj, :].set(val.astype(zeta.dtype))
+    return zeta
+
+
 def cubed_sphere_velocity_exchange(u, v, grid: ConformalCubedSphereGrid):
     """Fill the x/y halos of stacked (6, nx, ny, nz) u (x-face) and v
     (y-face) velocity components, applying the cross-edge component
@@ -294,8 +566,27 @@ def cubed_sphere_velocity_exchange(u, v, grid: ConformalCubedSphereGrid):
     return out_u, out_v
 
 
+def _fill_halo_corners(a, H, N):
+    """Fill the H×H corner halo blocks of a stacked (6, nx, ny, nz)
+    field. Every panel corner is a 3-valent CUBE corner, so the corner
+    halo region has no source panel — it is fictitious. Following the
+    standard cubed-sphere practice, each corner cell is set to the
+    average of its reflections into the two adjacent (already filled)
+    edge-halo strips, giving a smooth O(Δx) extension that keeps the
+    strip-edge interpolations (e.g. ℑy(h) feeding mass transports)
+    finite and consistent."""
+    lo, hi = slice(0, H), slice(H + N, 2 * H + N)
+    rlo = slice(2 * H - 1, H - 1, -1)        # reflect across the low edge
+    rhi = slice(H + N - 1, N - 1, -1)        # reflect across the high edge
+    a = a.at[:, lo, lo].set(0.5 * (a[:, lo, rlo] + a[:, rlo, lo]))
+    a = a.at[:, hi, lo].set(0.5 * (a[:, hi, rlo] + a[:, rhi, lo]))
+    a = a.at[:, lo, hi].set(0.5 * (a[:, lo, rhi] + a[:, rlo, hi]))
+    a = a.at[:, hi, hi].set(0.5 * (a[:, hi, rhi] + a[:, rhi, hi]))
+    return a
+
+
 def cubed_sphere_halo_exchange(a, grid: ConformalCubedSphereGrid,
-                               width=None):
+                               width=None, fill_corners=True):
     """Fill the x/y halos of a stacked (6, nx, ny, nz) CENTER-located
     field from the neighboring panels (reference
     ``multi_region_boundary_conditions.jl`` inter-region fill, with the
@@ -333,4 +624,6 @@ def cubed_sphere_halo_exchange(a, grid: ConformalCubedSphereGrid,
                     out = out.at[p, sx, g.Hy - 1 - h, :].set(line)
                 else:
                     out = out.at[p, sx, g.Hy + N + h, :].set(line)
+    if fill_corners:
+        out = _fill_halo_corners(out, H, N)
     return out

@@ -152,9 +152,16 @@ def div_xy_cc(grid, u, v):
 def vorticity_z_ff(grid, u, v):
     """Vertical vorticity ζ = (δx(Δy v) − δy(Δx u)) / Az at (Face,Face)
     (reference ``src/Operators/vorticity_operators.jl`` `ζ₃ᶠᶠᶜ`, the
-    circulation form that is exact on curvilinear grids)."""
-    return (dx_f(grid.dy(Face, Face) * v) -
-            dy_f(grid.dx(Face, Face) * u)) / grid.Az(Face, Face)
+    circulation form that is exact on curvilinear grids).
+
+    The circulation weights each velocity by the edge length AT THE
+    VELOCITY'S OWN LOCATION (Δyᶜᶠᶜ for v, Δxᶠᶜᶜ for u — reference
+    `ζ₃ᶠᶠᶜ = (δxᶠᶠᶜ(Δyᶜᶠᶜ v) − δyᶠᶠᶜ(Δxᶠᶜᶜ u)) / Azᶠᶠᶜ`), not by the
+    (f,f) metrics: on curvilinear grids (cubed-sphere panels near
+    corners especially) they differ and the (f,f) choice breaks the
+    discrete Stokes identity."""
+    return (dx_f(grid.dy(Face, Center) * v) -
+            dy_f(grid.dx(Face, Center) * u)) / grid.Az(Face, Face)
 
 
 def laplacian_ccc(grid, c):

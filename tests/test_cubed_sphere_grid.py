@@ -109,8 +109,9 @@ def test_velocity_halo_exchange_solid_body_rotation():
             arrs.append((V * T).sum(-1))
         return np.stack(arrs)
 
-    ni_u, nj_u = N + 1 + 2 * H, N + 2 * H
-    ni_v, nj_v = N + 2 * H, N + 1 + 2 * H
+    # co-shaped convention: all fields are (N+2H, N+2H, nz); face
+    # fields keep their N+1 meaningful faces at i in [H, H+N]
+    ni_u = nj_u = ni_v = nj_v = N + 2 * H
     u = np.zeros((6, ni_u, nj_u, 1))
     v = np.zeros((6, ni_v, nj_v, 1))
     u[:, H:H + N + 1, H:H + N, 0] = field("u", N + 1, N, False)
