@@ -34,6 +34,8 @@ from oceananigans_tpu.immersed import (
 from oceananigans_tpu.boundary_conditions import (
     BoundaryCondition,
     PeriodicBC, FluxBC, ValueBC, GradientBC, OpenBC,
+    FlatExtrapolationOpenBC, PerturbationAdvection,
+    PerturbationAdvectionOpenBC,
     FieldBoundaryConditions,
     fill_halo_regions,
 )

@@ -99,12 +99,33 @@ def OpenBC(v=None, matching_scheme=None):
     """Open (wall-normal) boundary. ``matching_scheme``:
     None -> impose the wall value (impenetrable when v is None);
     "flat_extrapolation" -> zero-gradient outflow (reference
-    ``flat_extrapolation_open_boundary_matching_scheme.jl``)."""
+    ``flat_extrapolation_open_boundary_matching_scheme.jl``);
+    a ``PerturbationAdvection`` -> radiation scheme (reference
+    ``perturbation_advection_open_boundary_matching_scheme.jl``)."""
     return BoundaryCondition(OPEN, v, matching_scheme)
 
 
 def FlatExtrapolationOpenBC():
     return OpenBC(matching_scheme="flat_extrapolation")
+
+
+@dataclasses.dataclass(frozen=True)
+class PerturbationAdvection:
+    """Radiation matching scheme: the boundary-normal velocity is split
+    into a prescribed mean and a perturbation that is advected OUT of
+    the domain by the mean flow with a backward-Euler step, plus
+    relaxation toward the mean (strong on inflow, weak/off on outflow).
+    Reference ``perturbation_advection_open_boundary_matching_scheme.jl``
+    (right boundary: uⁿ⁺¹ = (uⁿ + Ũ uᵢ₋₁ⁿ⁺¹ + ū τ̃) / (1 + τ̃ + Ũ),
+    Ũ = clamp(ū Δt/Δx, 0, 1), τ̃ = Δt/τ)."""
+    inflow_timescale: float = 300.0
+    outflow_timescale: float = float("inf")
+
+
+def PerturbationAdvectionOpenBC(v=None, inflow_timescale=300.0,
+                                outflow_timescale=float("inf")):
+    return OpenBC(v, PerturbationAdvection(float(inflow_timescale),
+                                           float(outflow_timescale)))
 
 
 def CommunicationBC():
@@ -208,7 +229,7 @@ def _bc_value(bc, grid, axis, loc, time):
 
 
 def _fill_axis(a, grid, axis, loc_ax, left_bc, right_bc, left_val, right_val,
-               grid_axis=None):
+               grid_axis=None, dt=None):
     """Fill both halo rings of one axis. Pure; returns the updated array."""
     if grid_axis is None:
         grid_axis = axis
@@ -250,7 +271,36 @@ def _fill_axis(a, grid, axis, loc_ax, left_bc, right_bc, left_val, right_val,
 
         if loc_ax == Face and kind in (OPEN, VALUE):
             wall = H if side == "left" else N + H
-            if getattr(bc, "matching_scheme", None) == "flat_extrapolation":
+            ms = getattr(bc, "matching_scheme", None)
+            if isinstance(ms, PerturbationAdvection):
+                # radiation: implicit perturbation-advection update of
+                # the wall-face value itself; ghosts copy the new wall
+                # value. No-op when dt is unknown (first fill).
+                adj = wall + 1 if side == "left" else wall - 1
+                ubar = jnp.zeros((), a.dtype) if val is None else val
+                dxw = jnp.abs(coord[wall] - coord[adj])
+                dtv = jnp.zeros((), a.dtype) if dt is None else \
+                    jnp.asarray(dt, a.dtype)
+                cr = dtv / dxw * ubar
+                outflowing = (ubar >= 0) if side == "right" else (ubar <= 0)
+                tau = jnp.where(outflowing, ms.outflow_timescale,
+                                ms.inflow_timescale)
+                tt = dtv / tau
+                u_adj = a[axsl(slice(adj, adj + 1))]
+                u_wall = a[axsl(slice(wall, wall + 1))]
+                if side == "right":
+                    Ut = jnp.clip(cr, 0.0, 1.0)
+                else:
+                    Ut = -jnp.clip(cr, -1.0, 0.0)
+                new = (u_wall + Ut * u_adj + ubar * tt) / (1.0 + tt + Ut)
+                for h in range(0, H + 1):
+                    g = wall - h if side == "left" else wall + h
+                    if 0 <= g < N + 2 * H:
+                        a = a.at[axsl(slice(g, g + 1))].set(
+                            jnp.broadcast_to(new,
+                                             a[axsl(slice(g, g+1))].shape))
+                continue
+            if ms == "flat_extrapolation":
                 # zero-gradient outflow: wall face and ghosts copy the
                 # nearest interior face value (reference
                 # flat_extrapolation_open_boundary_matching_scheme.jl)
@@ -291,7 +341,7 @@ def _fill_axis(a, grid, axis, loc_ax, left_bc, right_bc, left_val, right_val,
 
 
 def fill_halo_regions(a, grid, bcs=None, loc=(Center, Center, Center),
-                      time=None):
+                      time=None, dt=None):
     """Return ``a`` with all halo rings filled per its boundary conditions.
 
     The functional analog of the reference's ``fill_halo_regions!``
@@ -313,7 +363,8 @@ def fill_halo_regions(a, grid, bcs=None, loc=(Center, Center, Center),
             sign = -1.0 if (loc[0] == Face or loc[1] == Face) else 1.0
             a = fill_zipper_north(a, grid, loc, sign)
             continue
-        a = _fill_axis(a, grid, axis, loc[axis], lbc, rbc, lval, rval)
+        a = _fill_axis(a, grid, axis, loc[axis], lbc, rbc, lval, rval,
+                       dt=dt)
     return a
 
 

@@ -186,13 +186,19 @@ class ImplicitFreeSurface:
     solver.jl:12`` / ``pcg_implicit_free_surface_solver.jl:18``).
 
     ``solver_method``: "fft" (regular grids; eigenvalue division — the
-    reference's FFTBasedImplicitFreeSurfaceSolver) or "cg"
-    (preconditioned CG, any grid).
+    reference's FFTBasedImplicitFreeSurfaceSolver), "cg"
+    (matrix-free preconditioned CG, any grid), or "matrix" (explicit
+    pentadiagonal stencil matrix + Jacobi-PCG — the reference's
+    MatrixImplicitFreeSurfaceSolver/HeptadiagonalIterativeSolver,
+    ``matrix_implicit_free_surface_solver.jl:18``).
     """
 
     def __init__(self, gravitational_acceleration=g_Earth,
                  solver_method="fft", maxiter=200, reltol=1e-9):
         self.g = float(gravitational_acceleration)
+        if solver_method not in ("fft", "cg", "matrix"):
+            raise ValueError(f"unknown solver_method {solver_method!r} "
+                             "(expected 'fft', 'cg', or 'matrix')")
         self.solver_method = solver_method
         self.maxiter = maxiter
         self.reltol = reltol
@@ -354,8 +360,18 @@ class HydrostaticFreeSurfaceModel:
     def __init__(self, grid, momentum_advection=None, tracer_advection=None,
                  free_surface=None, tracers=(), buoyancy=None, coriolis=None,
                  closure=None, forcing=None, boundary_conditions=None,
-                 vertical_coordinate=None):
+                 vertical_coordinate=None, timestepper="quasi_ab2"):
         self.vertical_coordinate = vertical_coordinate or ZCoordinate()
+        #: "quasi_ab2" (reference default) or "split_rk3" (the SSP
+        #: Shu-Osher RK3 of ``split_hydrostatic_runge_kutta_3.jl:64-70``:
+        #: Uᵐ⁺¹ = ζᵐ Uⁿ + γᵐ (Uᵐ + Δt Gᵐ); convex combinations, so
+        #: together with BoundPreserving advection it is bound-preserving)
+        if timestepper not in ("quasi_ab2", "split_rk3"):
+            raise ValueError(f"unknown timestepper {timestepper!r}")
+        if timestepper == "split_rk3" and isinstance(
+                vertical_coordinate, ZStar):
+            raise ValueError("split_rk3 supports ZCoordinate only")
+        self.timestepper = timestepper
         if momentum_advection is None:
             momentum_advection = VectorInvariant()
         if tracer_advection is None:
@@ -464,8 +480,9 @@ class HydrostaticFreeSurfaceModel:
     def fill_state_halos(self, state):
         g = self.grid
         t = state.clock.time
-        u = fill_halo_regions(state.u, g, self.bcs["u"], LOC_U, t)
-        v = fill_halo_regions(state.v, g, self.bcs["v"], LOC_V, t)
+        dtl = state.clock.last_dt
+        u = fill_halo_regions(state.u, g, self.bcs["u"], LOC_U, t, dt=dtl)
+        v = fill_halo_regions(state.v, g, self.bcs["v"], LOC_V, t, dt=dtl)
         tracers = {
             name: fill_halo_regions(c, g, self.bcs[name], LOC_C, t)
             for name, c in state.tracers.items()
@@ -756,9 +773,50 @@ class HydrostaticFreeSurfaceModel:
                 x = idct2(x, ax)
             eta = jnp.zeros_like(state.eta).at[sx, sy, :].set(
                 x.astype(state.eta.dtype))
+        elif fs.solver_method == "matrix":
+            eta = self._implicit_fs_matrix(state, rhs, dt, fs)
         else:
             eta = self._implicit_fs_cg(state, rhs, dt, fs)
         return self._fill_eta_halos(eta)
+
+    def _implicit_fs_matrix(self, state, rhs, dt, fs):
+        """Assemble the volume-weighted pentadiagonal operator
+        Az·L = Σ_faces a_f (η_nb − η_c) − Az η/Δt² (symmetric by
+        construction) and solve with the HeptadiagonalIterativeSolver
+        (reference ``matrix_implicit_free_surface_solver.jl:18``)."""
+        from oceananigans_tpu.grids.base import Periodic as _P
+        from oceananigans_tpu.solvers.matrix_solver import (
+            HeptadiagonalIterativeSolver, StencilMatrix,
+        )
+        g = self.grid
+        sx, sy, _ = g.interior_slices
+        shp = (g.Nx, g.Ny, 1)
+        H = self._column_depth()
+        H_fc = ix_f(H)
+        H_cf = iy_f(H)
+
+        def b2(m):
+            return jnp.broadcast_to(m, g.shape[:2] + (1,))[sx, sy, :]
+
+        # face conductances a_f = g H Δy/Δx (zero on bounded walls)
+        ax = fs.g * b2(H_fc) * b2(g.dy(Center, Face)) \
+            / b2(g.dx(Face, Center))
+        ay = fs.g * b2(H_cf) * b2(g.dx(Center, Face)) \
+            / b2(g.dy(Face, Center))
+        per_x = g.axis_topo(X) == _P
+        per_y = g.axis_topo(Y) == _P
+        if not per_x:
+            ax = ax.at[0, :, :].set(0.0)
+        if not per_y:
+            ay = ay.at[:, 0, :].set(0.0)
+        Az = b2(g.Az(Center, Center))
+        A = StencilMatrix(ax=ax, ay=ay, extra=-Az / (dt * dt),
+                          periodic=(per_x, per_y, False))
+        solver = HeptadiagonalIterativeSolver(
+            A, maxiter=fs.maxiter, reltol=fs.reltol)
+        x, _, _ = solver.solve(Az * rhs[sx, sy, :])
+        return jnp.zeros_like(state.eta).at[sx, sy, :].set(
+            x.astype(state.eta.dtype))
 
     def _implicit_fs_cg(self, state, rhs, dt, fs):
         """Preconditioned CG on the 2-D Helmholtz operator (reference
@@ -802,6 +860,71 @@ class HydrostaticFreeSurfaceModel:
 
     # ------------------------------------------------------------------
     def step(self, state, dt, chi=0.1):
+        if self.timestepper == "split_rk3":
+            return self._step_split_rk3(state, dt)
+        return self._step_qab2(state, dt, chi)
+
+    def _substep_euler(self, state, dt):
+        """One forward-Euler substep (tendencies -> free surface ->
+        correction), the building block of split_rk3. Returns the
+        stepped state (halos filled) and the diffusivities."""
+        g = self.grid
+        state = self.update_state(state)
+        Gu, Gv, Gt, diffusivities = self.compute_tendencies(state)
+        u = state.u + dt * Gu
+        v = state.v + dt * Gv
+        tracers = {name: state.tracers[name] + dt * Gt[name]
+                   for name in self.tracer_names}
+        fs = self.free_surface
+        if isinstance(fs, ExplicitFreeSurface):
+            state2 = _replace(state, u=u, v=v, tracers=tracers)
+            state2 = self.fill_state_halos(state2)
+            U, V = self._barotropic_mode(state2.u, state2.v)
+            eta = state.eta - dt * self._div_transports(U, V)
+            state2 = _replace(state2, eta=eta)
+        elif isinstance(fs, ImplicitFreeSurface):
+            state2 = _replace(state, u=u, v=v, tracers=tracers)
+            state2 = self.fill_state_halos(state2)
+            eta = self._step_free_surface_implicit(state2, dt, fs)
+            u = state2.u - dt * fs.g * dx_f(eta) / g.dx(Face, Center)
+            v = state2.v - dt * fs.g * dy_f(eta) / g.dy(Face, Center)
+            state2 = _replace(state2, u=u, v=v, eta=eta)
+            state2 = self.fill_state_halos(state2)
+        else:
+            eta_f, U_f, V_f = self._step_free_surface_split(
+                _replace(state, u=u, v=v), Gu, Gv, dt, fs)
+            state2 = _replace(state, u=u, v=v, tracers=tracers,
+                              eta=eta_f)
+            state2 = self.fill_state_halos(state2)
+            state2 = self._barotropic_correct(state2, U_f, V_f)
+        return state2, diffusivities
+
+    def _step_split_rk3(self, state, dt):
+        """SSP (Shu-Osher) RK3 against the stored previous state
+        (reference ``split_hydrostatic_runge_kutta_3.jl``): each substep
+        is a full-Δt Euler step (with its own free-surface solve)
+        convex-combined with Ψⁿ."""
+        psi_u, psi_v = state.u, state.v
+        psi_eta = state.eta
+        psi_tr = state.tracers
+        s = state
+        diffusivities = None
+        for gamma, zeta in ((1.0, 0.0), (0.25, 0.75),
+                            (2.0 / 3.0, 1.0 / 3.0)):
+            s2, diffusivities = self._substep_euler(s, dt)
+            s = _replace(
+                s2,
+                u=zeta * psi_u + gamma * s2.u,
+                v=zeta * psi_v + gamma * s2.v,
+                eta=zeta * psi_eta + gamma * s2.eta,
+                tracers={n: zeta * psi_tr[n] + gamma * s2.tracers[n]
+                         for n in self.tracer_names})
+            s = self.fill_state_halos(s)
+        s = self._implicit_diffusion(s, diffusivities, dt)
+        s = _replace(s, clock=tick(s.clock, dt))
+        return self.update_state(s)
+
+    def _step_qab2(self, state, dt, chi=0.1):
         """Quasi-AB2 step with the configured free surface (reference
         ``hydrostatic_free_surface_ab2_step.jl:12-33``)."""
         g = self.grid

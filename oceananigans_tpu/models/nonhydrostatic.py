@@ -242,9 +242,10 @@ class NonhydrostaticModel:
         u = mask_immersed_field(self.grid, state.u, LOC_U)
         v = mask_immersed_field(self.grid, state.v, LOC_V)
         w = mask_immersed_field(self.grid, state.w, LOC_W)
-        u = fill_halo_regions(u, self.grid, self.bcs["u"], LOC_U, t)
-        v = fill_halo_regions(v, self.grid, self.bcs["v"], LOC_V, t)
-        w = fill_halo_regions(w, self.grid, self.bcs["w"], LOC_W, t)
+        dtl = state.clock.last_dt
+        u = fill_halo_regions(u, self.grid, self.bcs["u"], LOC_U, t, dt=dtl)
+        v = fill_halo_regions(v, self.grid, self.bcs["v"], LOC_V, t, dt=dtl)
+        w = fill_halo_regions(w, self.grid, self.bcs["w"], LOC_W, t, dt=dtl)
         tracers = {
             name: fill_halo_regions(c, self.grid, self.bcs[name], LOC_C, t)
             for name, c in state.tracers.items()

@@ -167,8 +167,11 @@ class ShallowWaterModel:
     def fill_state_halos(self, state):
         g = self.grid
         t = state.clock.time
-        uh = fill_halo_regions(state.uh, g, self.bcs["uh"], LOC_U, t)
-        vh = fill_halo_regions(state.vh, g, self.bcs["vh"], LOC_V, t)
+        dtl = state.clock.last_dt
+        uh = fill_halo_regions(state.uh, g, self.bcs["uh"], LOC_U, t,
+                               dt=dtl)
+        vh = fill_halo_regions(state.vh, g, self.bcs["vh"], LOC_V, t,
+                               dt=dtl)
         h = fill_halo_regions(state.h, g, self.bcs["h"], LOC_C, t)
         tracers = {
             name: fill_halo_regions(c, g, self.bcs[name], LOC_C, t)
