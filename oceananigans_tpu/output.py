@@ -28,7 +28,7 @@ from oceananigans_tpu.utils.schedules import (
     AveragedTimeInterval, IterationInterval, TimeInterval,
 )
 
-__all__ = ["HDF5Writer", "JLD2Writer", "Checkpointer", "FieldTimeSeries",
+__all__ = ["HDF5Writer", "JLD2Writer", "Checkpointer", "OrbaxCheckpointer", "FieldTimeSeries",
            "load_field_time_series", "WindowedTimeAverage"]
 
 
@@ -266,6 +266,61 @@ class Checkpointer:
 def _ckpt_iteration(path):
     m = re.search(r"iteration(\d+)", path)
     return int(m.group(1)) if m else -1
+
+
+class OrbaxCheckpointer:
+    """Distributed/sharded checkpointing via orbax (reference parity:
+    ``checkpointer.jl`` for the capability; the implementation follows
+    the jax ecosystem's native checkpoint layer so GSPMD-sharded states
+    save each shard from its own host and restore with the template's
+    shardings — the multi-host path HDF5 cannot provide)."""
+
+    def __init__(self, dirname="checkpoints_orbax", schedule=None,
+                 keep=2):
+        import orbax.checkpoint as ocp
+        self.dirname = os.path.abspath(str(dirname))
+        self.schedule = schedule or IterationInterval(1000)
+        self.keep = keep
+        os.makedirs(self.dirname, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _path(self, iteration):
+        return os.path.join(self.dirname, f"iteration{iteration}")
+
+    def write(self, sim):
+        import jax
+        state = sim.state if hasattr(sim, "state") else sim
+        it = int(jax.device_get(state.clock.iteration))
+        path = self._path(it)
+        if os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
+        self._ckpt.save(path, state)
+        self._ckpt.wait_until_finished()
+        ckpts = sorted(glob.glob(os.path.join(self.dirname, "iteration*")),
+                       key=_ckpt_iteration)
+        for old in ckpts[:-self.keep]:
+            import shutil
+            shutil.rmtree(old)
+
+    def restore(self, template_state, path=None):
+        """Restore into the structure/dtypes/SHARDINGS of
+        ``template_state`` (e.g. a sharded ``initial_state``)."""
+        import jax
+        if path is None:
+            ckpts = sorted(glob.glob(os.path.join(self.dirname,
+                                                  "iteration*")),
+                           key=_ckpt_iteration)
+            if not ckpts:
+                raise FileNotFoundError(
+                    f"no checkpoints under {self.dirname}")
+            path = ckpts[-1]
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(
+                jnp.shape(x), jnp.result_type(x),
+                sharding=getattr(x, "sharding", None)),
+            template_state)
+        return self._ckpt.restore(path, abstract)
 
 
 class FieldTimeSeries:
