@@ -26,6 +26,7 @@ stencil shifted by +1. Left-biased stencils weight cells below the target
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from oceananigans_tpu.grids.base import Center, Face
 from oceananigans_tpu.ops.operators import (
@@ -64,6 +65,48 @@ def _apply_stencil(a, axis, stencil, o):
         term = c * shift(a, n + o, axis)
         out = term if out is None else out + term
     return out
+
+
+def _bcast_table(c, axis):
+    """(n,) numpy coefficient array -> broadcastable (.,1,1) form."""
+    shape = [1, 1, 1]
+    shape[axis] = len(c)
+    return c.reshape(shape)
+
+
+def _apply_stencil_tables(a, axis, tables, o):
+    """Per-point (stretched-grid) stencil: coefficients are arrays
+    along ``axis``. Only the o == 0 (cell-average -> face) target is
+    tabulated; callers fall back to uniform coefficients otherwise."""
+    out = None
+    for n, c in sorted(tables.items()):
+        term = c * shift(a, n + o, axis)
+        out = term if out is None else out + term
+    return out
+
+
+def _stretched_axes(grid):
+    """Axes that are non-regular (per-axis ``*_regular`` flags) with
+    more than one cell AND a separable 1-D coordinate (curvilinear
+    grids with 2-D coordinate fields keep uniform coefficients)."""
+    axes = []
+    for axis, flag in enumerate(("x_regular", "y_regular", "z_regular")):
+        if grid.N[axis] <= 1 or getattr(grid, flag, True):
+            continue
+        name = ("x", "y", "z")[axis]
+        coord = getattr(grid, f"{name}F", None)
+        if coord is None or np.size(coord) != np.shape(coord)[axis]:
+            continue
+        axes.append(axis)
+    return axes
+
+
+def _cell_edges(grid, axis):
+    """Halo-extended cell edge coordinates along ``axis`` for
+    CENTER-located data (edge i = face i), length n_total + 1."""
+    name = ("x", "y", "z")[axis]
+    xF = np.asarray(getattr(grid, f"{name}F")).reshape(-1)
+    return np.append(xF, 2 * xF[-1] - xF[-2])
 
 
 # WENO sub-stencil reconstruction coefficients and ideal weights, left-biased
@@ -174,7 +217,30 @@ class Centered(AdvectionScheme):
         self._stencil = face_reconstruction_coefficients(order, "centered")
 
     def reconstruct(self, a, axis, o):
+        tables = getattr(self, "_tables", None)
+        if tables and axis in tables and o == 0:
+            return _apply_stencil_tables(a, axis, tables[axis], o)
         return _apply_stencil(a, axis, self._stencil, o)
+
+    def bind_grid(self, grid):
+        """Return a copy carrying per-face coefficient tables for the
+        grid's stretched axes (reference: the stretched-grid coefficient
+        branches of ``reconstruction_coefficients.jl``). Applied to the
+        o == 0 tracer path; momentum keeps uniform coefficients."""
+        from oceananigans_tpu.ops.reconstruction_coefficients import (
+            stretched_reconstruction_tables,
+        )
+        axes = _stretched_axes(grid)
+        if not axes:
+            return self
+        new = Centered(self.order)
+        new._tables = {}
+        for axis in axes:
+            tab = stretched_reconstruction_tables(
+                _cell_edges(grid, axis), sorted(self._stencil))
+            new._tables[axis] = {off: _bcast_table(c, axis)
+                                 for off, c in tab.items()}
+        return new
 
     def __repr__(self):
         return f"Centered(order={self.order})"
@@ -195,9 +261,34 @@ class UpwindBiased(AdvectionScheme):
         self._left = face_reconstruction_coefficients(order, "left")
 
     def biased(self, a, axis, o):
+        tables = getattr(self, "_tables", None)
+        if tables and axis in tables and o == 0:
+            tl, tr = tables[axis]
+            return (_apply_stencil_tables(a, axis, tl, o),
+                    _apply_stencil_tables(a, axis, tr, o))
         left = _apply_stencil(a, axis, self._left, o)
         right = _apply_stencil(a, axis, _mirror(self._left), o)
         return left, right
+
+    def bind_grid(self, grid):
+        from oceananigans_tpu.ops.reconstruction_coefficients import (
+            stretched_reconstruction_tables,
+        )
+        axes = _stretched_axes(grid)
+        if not axes:
+            return self
+        new = UpwindBiased(self.order)
+        new._tables = {}
+        for axis in axes:
+            edges = _cell_edges(grid, axis)
+            tl = stretched_reconstruction_tables(edges,
+                                                 sorted(self._left))
+            tr = stretched_reconstruction_tables(
+                edges, sorted(_mirror(self._left)))
+            new._tables[axis] = (
+                {off: _bcast_table(c, axis) for off, c in tl.items()},
+                {off: _bcast_table(c, axis) for off, c in tr.items()})
+        return new
 
     def __repr__(self):
         return f"UpwindBiased(order={self.order})"
@@ -254,6 +345,28 @@ class WENO(AdvectionScheme):
             s = {n: shifts[-1 - n] for n in shifts}
         else:
             s = shifts
+        tables = getattr(self, "_tables", None)
+        if tables and axis in tables and o == 0:
+            # stretched grid: per-face sub-stencil coefficients + ideal
+            # weights; smoothness indicators keep the uniform forms (the
+            # standard nonuniform-mesh practice)
+            subs, gammas = tables[axis][1 if reflect else 0]
+            qs = [_apply_stencil_shifted(shifts, sub) for sub in subs]
+            if self._beta_forms is None:
+                betas = _WENO_BETAS[order](s)
+            else:
+                betas = self._betas_from_forms(s)
+            eps = self.epsilon
+            tau = abs(betas[0] - betas[-1])
+            alphas = [g * (1.0 + (tau / (b + eps)) ** 2)
+                      for g, b in zip(gammas, betas)]
+            asum = alphas[0]
+            for al in alphas[1:]:
+                asum = asum + al
+            out = alphas[0] * qs[0]
+            for al, q in zip(alphas[1:], qs[1:]):
+                out = out + al * q
+            return out / asum
         qs = [_apply_stencil_shifted(s, q) for q in self._qs]
         if self._beta_forms is None:
             betas = _WENO_BETAS[order](s)
@@ -278,6 +391,33 @@ class WENO(AdvectionScheme):
         left = self._onesided(shifts, axis, o, reflect=False)
         right = self._onesided(shifts, axis, o, reflect=True)
         return left, right
+
+    def bind_grid(self, grid):
+        """Per-face sub-stencil coefficients + ideal weights for the
+        grid's stretched axes (left AND right biased; the reflect trick
+        is only valid on uniform spacings)."""
+        from oceananigans_tpu.ops.reconstruction_coefficients import (
+            weno_stretched_tables,
+        )
+        axes = _stretched_axes(grid)
+        if not axes:
+            return self
+        k = (self.order + 1) // 2
+        new = WENO(self.order, self.epsilon)
+        new._tables = {}
+        for axis in axes:
+            edges = _cell_edges(grid, axis)
+            per_side = []
+            for side in ("left", "right"):
+                subs_np, gam = weno_stretched_tables(edges, self.order,
+                                                     side=side)
+                subs = [{off: _bcast_table(c, axis)
+                         for off, c in t.items()} for t in subs_np]
+                gammas = [_bcast_table(gam[r].copy(), axis)
+                          for r in range(k)]
+                per_side.append((subs, gammas))
+            new._tables[axis] = tuple(per_side)
+        return new
 
     def __eq__(self, other):
         return (type(self) is type(other) and self.order == other.order
@@ -312,6 +452,10 @@ class BoundPreserving(AdvectionScheme):
         self.scheme = scheme
         self.order = scheme.order
         self.symmetric = scheme.symmetric
+
+    def bind_grid(self, grid):
+        b = getattr(self.scheme, "bind_grid", None)
+        return BoundPreserving(b(grid)) if b else self
 
     @property
     def required_halo(self):
@@ -349,6 +493,12 @@ class FluxFormAdvection:
         self.x = x
         self.y = x if y is None else y
         self.z = x if z is None else z
+
+    def bind_grid(self, grid):
+        def b(sc):
+            f = getattr(sc, "bind_grid", None)
+            return f(grid) if f else sc
+        return FluxFormAdvection(b(self.x), b(self.y), b(self.z))
 
     @property
     def required_halo(self):

@@ -396,7 +396,9 @@ class HydrostaticFreeSurfaceModel:
 
         self.grid = grid
         self.momentum_advection = momentum_advection
-        self.tracer_advection = tracer_advection
+        b = getattr(tracer_advection, "bind_grid", None)
+        self.tracer_advection = b(grid) if b is not None \
+            else tracer_advection
         self.free_surface = free_surface
         self.tracer_names = tracers
         self.buoyancy = buoyancy

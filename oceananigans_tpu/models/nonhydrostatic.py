@@ -142,7 +142,11 @@ class NonhydrostaticModel:
                     f"(or halo=0 on periodic axes)")
 
         self.grid = grid
-        self.advection = advection
+        # bind per-face stretched-grid reconstruction tables (no-op on
+        # regular grids); o=0 targets are tabulated, o=1 falls back to
+        # uniform coefficients
+        b = getattr(advection, "bind_grid", None)
+        self.advection = b(grid) if b is not None else advection
         self.tracer_names = tracers
         self.buoyancy = buoyancy
         self.coriolis = coriolis

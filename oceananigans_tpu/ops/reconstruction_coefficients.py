@@ -154,3 +154,98 @@ def validate_k3():
         + 0.25 * np.outer([1, 0, -1], [1, 0, -1])
     assert np.allclose(M1, ref), (M1, ref)
     return True
+
+
+# ---------------------------------------------------------------------------
+# Stretched-grid (nonuniform) reconstruction tables
+# ---------------------------------------------------------------------------
+
+def stretched_reconstruction_tables(edges, offsets):
+    """Per-face reconstruction coefficients on a NONUNIFORM grid.
+
+    ``edges``: (n+1,) source-cell edge coordinates (``edges[i]`` is face
+    i; cell ``i`` spans ``[edges[i], edges[i+1]]``). ``offsets``: the
+    cell offsets of the stencil relative to the target face (cell i-1 is
+    offset -1, matching ``face_reconstruction_coefficients``).
+
+    Returns ``{offset: (n,) float array}`` such that the face value
+    ``Σ_k c_k[i] a[i+k]`` is exact for all polynomials of degree
+    < len(offsets) in the finite-volume (cell-average) sense — the
+    nonuniform generalization the reference builds in
+    ``src/Advection/reconstruction_coefficients.jl`` (stretched-grid
+    branches).
+
+    Faces whose stencil exits the array get the nearest valid rows
+    (those live in halo slots never consumed when halos >= stencil
+    width)."""
+    edges = np.asarray(edges, float).reshape(-1)
+    n = len(edges) - 1
+    offs = sorted(offsets)
+    p = len(offs)
+    idx = np.arange(n)
+
+    def edge_at(k):
+        return edges[np.clip(idx + k, 0, n)]
+
+    xf = edges[:n]
+    # local scale for conditioning
+    h = np.maximum(edge_at(1) - edge_at(0), 1e-300)
+    A = np.zeros((n, p, p))
+    for col, off in enumerate(offs):
+        eL = (edge_at(off) - xf) / h
+        eR = (edge_at(off + 1) - xf) / h
+        width = np.where(np.abs(eR - eL) > 1e-300, eR - eL, 1.0)
+        for l in range(p):
+            A[:, l, col] = (eR ** (l + 1) - eL ** (l + 1)) \
+                / ((l + 1) * width)
+    # faces whose stencil exits the array have degenerate (clipped)
+    # cells: solve only the valid interior, copy nearest valid row into
+    # the rest (those rows live in never-consumed halo slots)
+    valid = (idx + offs[0] >= 0) & (idx + offs[-1] + 1 <= n)
+    if not valid.any():
+        raise ValueError("grid too small for the stencil")
+    rhs = np.zeros((p, 1))
+    rhs[0, 0] = 1.0
+    w = np.zeros((n, p))
+    w[valid] = np.linalg.solve(A[valid], rhs[None, :, :])[:, :, 0]
+    vi = np.where(valid)[0]
+    nearest = vi[np.clip(np.searchsorted(vi, idx), 0, len(vi) - 1)]
+    w[~valid] = w[nearest[~valid]]
+    return {off: w[:, k].copy() for k, off in enumerate(offs)}
+
+
+def weno_stretched_tables(edges, order, side="left"):
+    """Nonuniform WENO tables: per-face sub-stencil reconstruction
+    coefficients and per-face ideal weights γ_r (the linear combination
+    of sub-stencils reproducing the full-order reconstruction; solved
+    per face). Smoothness indicators keep the uniform Jiang-Shu forms
+    (the standard stretched-mesh practice).
+
+    Returns (sub_tables, gamma) where ``sub_tables[r]`` is an
+    {offset: (n,) array} dict for sub-stencil r (left-biased at face i,
+    cells i-1-r .. i-1-r+k-1) and ``gamma`` is a (k, n) array."""
+    k = (order + 1) // 2
+    full_offs = sorted(face_reconstruction_coefficients(order, "left"))
+    if side == "right":
+        full_offs = sorted(-1 - o for o in full_offs)
+    full = stretched_reconstruction_tables(edges, full_offs)
+    sub_tables = []
+    for r in range(k):
+        offs_r = [(-1 - r) + j for j in range(k)]
+        if side == "right":
+            offs_r = sorted(-1 - o for o in offs_r)
+        sub_tables.append(stretched_reconstruction_tables(edges, offs_r))
+    n = len(np.asarray(edges).reshape(-1)) - 1
+    gamma = np.zeros((k, n))
+    # per face: solve Σ_r γ_r C_r = C_full (k unknowns, 2k-1 consistent
+    # equations)
+    for i in range(n):
+        M = np.zeros((len(full_offs), k))
+        b = np.array([full[o][i] for o in full_offs])
+        for r in range(k):
+            for row, o in enumerate(full_offs):
+                M[row, r] = sub_tables[r].get(o, np.zeros(n))[i] \
+                    if o in sub_tables[r] else 0.0
+        g, res, _, _ = np.linalg.lstsq(M, b, rcond=None)
+        gamma[:, i] = g
+    return sub_tables, gamma
