@@ -756,23 +756,40 @@ class HydrostaticFreeSurfaceModel:
             H0 = float(g.Lz)    # flat-bottom depth (FFT path requirement)
             sx, sy, _ = g.interior_slices
             r = rhs[sx, sy, :]
-            fft_axes = [ax for ax in (X, Y)
-                        if g.axis_topo(ax) == _P and g.N[ax] > 1]
-            dct_axes = [ax for ax in (X, Y)
-                        if g.axis_topo(ax) == _B and g.N[ax] > 1]
-            x = r
-            for ax in dct_axes:
-                x = dct2(x, ax)
-            for ax in fft_axes:
-                x = jnp.fft.fft(x, axis=ax)
-            lam = self._implicit_fs_eigenvalues()  # numpy (Nx,Ny,1)
-            denom = (fs.g * H0 * lam - 1.0 / (dt * dt)).astype(np.float64)
-            x = x / denom
-            for ax in fft_axes:
-                x = jnp.fft.ifft(x, axis=ax)
-            x = jnp.real(x)
-            for ax in dct_axes:
-                x = idct2(x, ax)
+            if jax.default_backend() != "cpu":
+                # matmul eigenbasis path: the composed dct/fft chain
+                # miscomputes on the TPU backend (see
+                # solvers/matmul_poisson.py) and the MXU is faster anyway
+                from oceananigans_tpu.solvers.matmul_poisson import (
+                    MatmulHorizontalBasis,
+                )
+                basis = getattr(self, "_fs_basis", None)
+                if basis is None:
+                    basis = MatmulHorizontalBasis(g)
+                    object.__setattr__(self, "_fs_basis", basis)
+                xh = basis.forward(r)
+                denom = (fs.g * H0
+                         * basis.lam2d.astype(r.dtype) - 1.0 / (dt * dt))
+                x = basis.inverse(xh / denom)
+            else:
+                fft_axes = [ax for ax in (X, Y)
+                            if g.axis_topo(ax) == _P and g.N[ax] > 1]
+                dct_axes = [ax for ax in (X, Y)
+                            if g.axis_topo(ax) == _B and g.N[ax] > 1]
+                x = r
+                for ax in dct_axes:
+                    x = dct2(x, ax)
+                for ax in fft_axes:
+                    x = jnp.fft.fft(x, axis=ax)
+                lam = self._implicit_fs_eigenvalues()  # numpy (Nx,Ny,1)
+                denom = (fs.g * H0 * lam
+                         - 1.0 / (dt * dt)).astype(np.float64)
+                x = x / denom
+                for ax in fft_axes:
+                    x = jnp.fft.ifft(x, axis=ax)
+                x = jnp.real(x)
+                for ax in dct_axes:
+                    x = idct2(x, ax)
             eta = jnp.zeros_like(state.eta).at[sx, sy, :].set(
                 x.astype(state.eta.dtype))
         elif fs.solver_method == "matrix":

@@ -113,3 +113,45 @@ class MatmulPoissonSolver:
         for axis in range(3):
             x = self._apply(x, axis, transpose=True)
         return x
+
+
+class MatmulHorizontalBasis:
+    """2-D horizontal eigen-transform via matmul bases, for the implicit
+    free-surface Helmholtz solve on TPU (the composed dct/fft chain
+    miscomputes there; see MatmulPoissonSolver note)."""
+
+    def __init__(self, grid):
+        self.T = []
+        lams = []
+        for axis in (0, 1):
+            topo = grid.axis_topo(axis)
+            N = grid.N[axis]
+            if topo == Flat or N == 1:
+                self.T.append(None)
+                lams.append(np.zeros(max(N, 1)))
+                continue
+            d = (grid.Lx / grid.Nx, grid.Ly / grid.Ny)[axis]
+            if topo in (Periodic, Connected):
+                T, lam = _periodic_basis(N, d)
+            elif topo == Bounded:
+                T, lam = _bounded_basis(N, d)
+            else:
+                raise ValueError(f"unsupported topology {topo}")
+            self.T.append(T)
+            lams.append(lam)
+        #: (Nx, Ny, 1) eigenvalues of the horizontal Laplacian
+        self.lam2d = (lams[0][:, None, None] + lams[1][None, :, None])
+
+    def _apply(self, x, axis, transpose):
+        T = self.T[axis]
+        if T is None:
+            return x
+        M = (T.T if transpose else T).astype(np.dtype(x.dtype))
+        sub = "ai,ijk->ajk" if axis == 0 else "aj,ijk->iak"
+        return jnp.einsum(sub, M, x, precision=lax.Precision.HIGHEST)
+
+    def forward(self, x):
+        return self._apply(self._apply(x, 0, False), 1, False)
+
+    def inverse(self, x):
+        return self._apply(self._apply(x, 0, True), 1, True)
