@@ -175,13 +175,16 @@ class NonhydrostaticModel:
         self.pressure_solver = make_pressure_solver(grid)
 
         # fused Pallas tendency kernel (opt-in; validated bitwise against
-        # the XLA path on TPU at 64³ but the axon-tunnel AOT helper fails
-        # to compile it at 256³, so "auto" currently means off)
         from oceananigans_tpu.ops.pallas_kernels import pallas_available
         applicable = (pallas_available(grid, advection)
                       and not self.background_fields)
         if fused_kernels == "auto":
-            self.fused_kernels = False
+            # on TPU the fused kernel is validated bitwise against the
+            # XLA path and strictly faster (one HBM pass for the whole
+            # momentum tendency); CPU/interpret stays on the XLA path
+            import jax as _jax
+            self.fused_kernels = (applicable
+                                  and _jax.default_backend() != "cpu")
         else:
             self.fused_kernels = bool(fused_kernels) and applicable
 

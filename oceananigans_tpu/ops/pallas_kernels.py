@@ -31,15 +31,31 @@ __all__ = ["centered2_momentum_tendency", "pallas_available"]
 
 def pallas_available(grid, advection) -> bool:
     """True when the fused kernel applies: regular rectilinear grid,
-    Centered(2) advection, halo >= 1 on every non-flat axis, 3-D."""
+    Centered(2) advection, 3-D, and per-axis halo compatibility:
+    axis 0 (the DMA-sliced slab axis) needs halo >= 1; axes 1 and 2
+    are handled with in-VMEM rolls, which need either halo >= 1 (wrap
+    junk lands in halos) or a PERIODIC halo-free layout (the roll wrap
+    IS the periodic boundary — exact). The fastest configuration is
+    (Bounded/periodic + halo 1, Periodic + halo 0, Periodic + halo 0):
+    slice shapes then align to the (8, 128) Mosaic tiling with no
+    padding."""
     from oceananigans_tpu.advection import Centered
+    from oceananigans_tpu.grids.base import Periodic as _P
     from oceananigans_tpu.grids.rectilinear import RectilinearGrid
     if not (type(grid) is RectilinearGrid and grid.regular):
         return False
     if not (isinstance(advection, Centered) and advection.order == 2):
         return False
-    for axis in range(3):
-        if grid.N[axis] > 1 and grid.H[axis] < 1:
+    if grid.H[0] < 1:
+        return False
+    for axis, tile in ((1, 8), (2, 128)):
+        if grid.N[axis] <= 1 or grid.H[axis] >= 1:
+            continue
+        # halo-free axis: the in-VMEM roll must wrap at the TRUE extent,
+        # so the axis must be periodic AND already aligned to the Mosaic
+        # tile (otherwise the roll wraps through the alignment padding)
+        n_tot = grid.N[axis] + 2 * grid.H[axis]
+        if grid.axis_topo(axis) != _P or n_tot % tile:
             return False
     return all(n > 1 for n in grid.N)
 
@@ -137,14 +153,22 @@ def centered2_momentum_tendency(grid, u, v, w, tile_x=None,
     nx, ny0, nz0 = u.shape
     # Mosaic DMA slices must be aligned to the (sublane=8, lane=128) tiling
     # of the last two dims: pad y and z up (the pad rows are junk the
-    # stencil rolls wrap through; outputs are cropped back)
+    # stencil rolls wrap through; outputs are cropped back). Halo-free
+    # periodic axes must be pad-free: their roll wrap IS the boundary.
     ny = -(-ny0 // 8) * 8
     nz = -(-nz0 // 128) * 128
+    if grid.H[1] == 0 and ny != ny0:
+        raise ValueError("halo-free periodic axis 1 must be a multiple "
+                         "of 8")
+    if grid.H[2] == 0 and nz != nz0:
+        raise ValueError("halo-free periodic axis 2 must be a multiple "
+                         "of 128")
     if tile_x is None:
-        # pick the largest tile whose scratch + output blocks fit in a
-        # conservative VMEM budget (~8 MB; the 256-cubed default lands on
-        # TX=2, which the axon AOT helper compiles)
-        budget = 8 * 1024 * 1024
+        # pick the largest tile whose scratch + output blocks fit in the
+        # 15 MB scoped-vmem stack; Mosaic's temporaries (roll buffers
+        # etc.) cost ~3.7x the declared windows, so budget ~4 MB of
+        # declared blocks (256-cubed full-plane slabs land on TX=1)
+        budget = 4 * 1024 * 1024
         tile_x = 8
         while tile_x > 1 and (3 * (tile_x + 2) + 3 * tile_x) \
                 * ny * nz * u.dtype.itemsize > budget:

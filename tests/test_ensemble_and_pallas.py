@@ -87,3 +87,45 @@ def test_pallas_model_step_matches_plain():
     model = NonhydrostaticModel(grid=grid, advection=Centered(2),
                                 timestepper="QuasiAdamsBashforth2")
     assert model.fused_kernels is False  # CPU backend -> auto off
+
+
+def test_pallas_tendency_halo_free_periodic_layout():
+    """The TPU-native bench layout: leading Bounded axis with halo 1,
+    halo-FREE Periodic axes 1/2 (the kernel's in-VMEM roll wrap IS the
+    periodic boundary — exact, not junk-overwritten)."""
+    from oceananigans_tpu.advection import div_vu, div_vv, div_vw
+    from oceananigans_tpu.boundary_conditions import (
+        fill_halo_regions, regularize_field_boundary_conditions,
+    )
+    from oceananigans_tpu.fields import (
+        LOC_U, LOC_V, LOC_W, interior, set_field,
+    )
+    from oceananigans_tpu.ops.pallas_kernels import (
+        centered2_momentum_tendency, pallas_available,
+    )
+
+    grid = RectilinearGrid(size=(8, 16, 128), extent=(0.5, 1.0, 2.0),
+                           topology=(Bounded, Periodic, Periodic),
+                           halo=(1, 0, 0))
+    assert pallas_available(grid, Centered(2))
+    # a pad-requiring halo-free axis must be rejected (the roll would
+    # wrap through the alignment padding)
+    g_bad = RectilinearGrid(size=(8, 16, 32), extent=(0.5, 1.0, 2.0),
+                            topology=(Bounded, Periodic, Periodic),
+                            halo=(1, 0, 0))
+    assert not pallas_available(g_bad, Centered(2))
+    rng = np.random.default_rng(1)
+    fields = {}
+    for name, loc in (("u", LOC_U), ("v", LOC_V), ("w", LOC_W)):
+        f = set_field(grid, rng.standard_normal(tuple(grid.N)), loc=loc)
+        bcs = regularize_field_boundary_conditions(None, grid, loc)
+        fields[name] = fill_halo_regions(f, grid, bcs, loc)
+    u, v, w = fields["u"], fields["v"], fields["w"]
+    sch = Centered(2)
+    gu, gv, gw = centered2_momentum_tendency(grid, u, v, w, interpret=True)
+    for got, ref in ((gu, -div_vu(grid, sch, u, v, w)),
+                     (gv, -div_vv(grid, sch, u, v, w)),
+                     (gw, -div_vw(grid, sch, u, v, w))):
+        np.testing.assert_allclose(np.asarray(interior(grid, got)),
+                                   np.asarray(interior(grid, ref)),
+                                   atol=1e-12)
