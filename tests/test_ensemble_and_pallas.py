@@ -129,3 +129,28 @@ def test_pallas_tendency_halo_free_periodic_layout():
         np.testing.assert_allclose(np.asarray(interior(grid, got)),
                                    np.asarray(interior(grid, ref)),
                                    atol=1e-12)
+
+
+def test_generic_fused_weno_matches_operators():
+    """The generic Pallas wrapper evaluates the UNCHANGED advection code
+    on VMEM slabs: WENO-5 momentum tendencies match the whole-array path
+    (interpret mode; validated bitwise on-chip at 256³)."""
+    from oceananigans_tpu.advection import WENO, div_vu, div_vv, div_vw
+    from oceananigans_tpu.ops.pallas_generic import fused_momentum_tendency
+
+    grid = RectilinearGrid(size=(8, 16, 128), extent=(0.5, 1.0, 2.0),
+                           topology=(Bounded, Periodic, Periodic),
+                           halo=(3, 0, 0))
+    sch = WENO(5)
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.standard_normal((8 + 6, 16, 128)))
+    v = jnp.asarray(rng.standard_normal((8 + 6, 16, 128)))
+    w = jnp.asarray(rng.standard_normal((8 + 6, 16, 128)))
+    gu, gv, gw = fused_momentum_tendency(grid, sch, u, v, w,
+                                         interpret=True)
+    S = slice(3, 3 + 8)
+    for got, ref in ((gu, -div_vu(grid, sch, u, v, w)),
+                     (gv, -div_vv(grid, sch, u, v, w)),
+                     (gw, -div_vw(grid, sch, u, v, w))):
+        np.testing.assert_allclose(np.asarray(got[S]),
+                                   np.asarray(ref[S]), atol=1e-12)
