@@ -26,6 +26,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from oceananigans_tpu.grids.base import (
     AXIS_NAMES, Bounded, Center, Connected, Face, Flat, Periodic,
@@ -41,6 +42,7 @@ GRADIENT = "gradient"    # Neumann
 OPEN = "open"            # wall-normal / open boundary
 COMMUNICATION = "communication"  # filled by distributed halo exchange
 ZIPPER = "zipper"        # tripolar north fold
+POLAR = "polar"          # lat-lon pole row: Dirichlet at the zonal mean
 
 
 @dataclasses.dataclass
@@ -174,10 +176,31 @@ def default_bc(topo: str, loc: str, side: str) -> Optional[BoundaryCondition]:
     return FluxBC(None)
 
 
+def _pole_sides(grid):
+    """("south"/"north" flags) for lat-lon grids whose y-faces reach the
+    poles (reference ``latitude_south/north_auxiliary_bc``,
+    ``field_boundary_conditions.jl:288-317``)."""
+    phiF = getattr(grid, "phiF", None)
+    if phiF is None or grid.N[1] <= 1:
+        return (False, False)
+    phi = np.asarray(phiF).reshape(-1)
+    H, N = grid.H[1], grid.N[1]
+    return (abs(phi[H] + 90.0) < 1e-6, abs(phi[H + N] - 90.0) < 1e-6)
+
+
 def regularize_field_boundary_conditions(bcs, grid, loc):
-    """Fill unspecified sides of ``bcs`` with topology/location defaults."""
+    """Fill unspecified sides of ``bcs`` with topology/location defaults.
+
+    On lat-lon grids reaching the poles, (Center, Center)-horizontal
+    fields get the POLAR condition at pole rows: a Dirichlet value equal
+    to the zonal mean of the polemost interior row, recomputed at each
+    fill (the reference's ``PolarBoundaryCondition``,
+    ``polar_boundary_condition.jl``). Vector components keep the
+    ordinary wall conditions."""
     if bcs is None:
         bcs = FieldBoundaryConditions()
+    south_pole, north_pole = _pole_sides(grid)
+    cc_loc = loc[0] == Center and loc[1] == Center
     names = (("west", "east"), ("south", "north"), ("bottom", "top"))
     out = {}
     for axis in range(3):
@@ -185,7 +208,12 @@ def regularize_field_boundary_conditions(bcs, grid, loc):
         for s, name in enumerate(names[axis]):
             bc = getattr(bcs, name)
             if bc is None:
-                bc = default_bc(topo, loc[axis], name)
+                if cc_loc and name == "south" and south_pole:
+                    bc = BoundaryCondition(POLAR, None)
+                elif cc_loc and name == "north" and north_pole:
+                    bc = BoundaryCondition(POLAR, None)
+                else:
+                    bc = default_bc(topo, loc[axis], name)
             elif topo == Periodic and bc.classification != PERIODIC:
                 raise ValueError(
                     f"non-periodic BC on periodic axis {AXIS_NAMES[axis]}")
@@ -268,6 +296,25 @@ def _fill_axis(a, grid, axis, loc_ax, left_bc, right_bc, left_val, right_val,
             continue
         kind = bc.classification
         gi, mi = mirror(side)
+
+        if kind == POLAR:
+            # Dirichlet at the zonal mean of the polemost interior row
+            # (recomputed from the current field — reference
+            # ``update_pole_value!``). Ghosts mirror about that value.
+            row = H if side == "left" else N + H - 1
+            pole_row = a[axsl(slice(row, row + 1))]
+            # zonal (axis-0) mean over the interior x range
+            Hx, Nx = grid.H[0], grid.N[0]
+            if a.shape[0] == Nx + 2 * Hx:
+                interior_x = pole_row[Hx:Hx + Nx]
+            else:
+                interior_x = pole_row
+            val = jnp.mean(interior_x, axis=0, keepdims=True)
+            for g, m in zip(gi, mi):
+                ghost = 2.0 * val - a[axsl(slice(m, m + 1))]
+                a = a.at[axsl(slice(g, g + 1))].set(
+                    jnp.broadcast_to(ghost, a[axsl(slice(g, g+1))].shape))
+            continue
 
         if loc_ax == Face and kind in (OPEN, VALUE):
             wall = H if side == "left" else N + H
