@@ -572,9 +572,18 @@ def _as_tuple(closure):
     return (closure,)
 
 
-def compute_diffusivities(closure, grid, u, v, w, tracers, buoyancy):
-    return tuple(c.compute_diffusivities(grid, u, v, w, tracers, buoyancy)
-                 for c in _as_tuple(closure))
+def compute_diffusivities(closure, grid, u, v, w, tracers, buoyancy,
+                          top_fluxes=None):
+    out = []
+    for c in _as_tuple(closure):
+        if getattr(c, "wants_top_fluxes", False):
+            out.append(c.compute_diffusivities(grid, u, v, w, tracers,
+                                               buoyancy,
+                                               top_fluxes=top_fluxes))
+        else:
+            out.append(c.compute_diffusivities(grid, u, v, w, tracers,
+                                               buoyancy))
+    return tuple(out)
 
 
 def momentum_flux_divergences(closure, grid, u, v, w, tracers,

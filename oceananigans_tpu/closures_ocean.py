@@ -22,10 +22,11 @@ from oceananigans_tpu.closures import (
 )
 from oceananigans_tpu.grids.base import Center, Face
 from oceananigans_tpu.ops.operators import (
-    dx_f, dy_f, dz_c, dz_f, ix_c, ix_f, iy_c, iy_f, iz_c, iz_f,
+    dx_f, dy_f, dz_c, dz_f, ix_c, ix_f, iy_c, iy_f, iz_c, iz_f, shift,
 )
 
-__all__ = ["CATKEVerticalDiffusivity", "RiBasedVerticalDiffusivity",
+__all__ = ["CATKEVerticalDiffusivity", "CATKEMixingLength",
+           "CATKEEquation", "RiBasedVerticalDiffusivity",
            "LeithEnstrophyDiffusivity", "IsopycnalSkewSymmetricDiffusivity",
            "TKEDissipationVerticalDiffusivity"]
 
@@ -106,70 +107,205 @@ class RiBasedVerticalDiffusivity(AbstractClosure):
                 f"κ₀={self.kappa_0})")
 
 
-class CATKEVerticalDiffusivity(AbstractClosure):
-    """CATKE: prognostic turbulent-kinetic-energy closure (reference
-    ``TKEBasedVerticalDiffusivities/catke_vertical_diffusivity.jl``).
+import dataclasses
 
-    Diffusivities: κ_q = ℓ_q √e with mixing length ℓ_q blending a
-    stable-stratification cap (C^b √(e)/N), a convective length, and the
-    distance-limited scale; TKE evolves by shear production, buoyancy flux,
-    dissipation (C^D e^{3/2}/ℓ), and its own vertical transport. The TKE
-    equation's sources are handled explicitly here; vertical diffusion of
-    (u, v, tracers, e) is implicit.
+
+@dataclasses.dataclass(frozen=True)
+class CATKEMixingLength:
+    """Mixing-length parameters (reference ``catke_mixing_length.jl:15-37``,
+    same names romanized, same calibrated defaults)."""
+    Cs: float = 1.131     # surface distance coefficient
+    Cb: float = 0.28      # bottom distance coefficient
+    Csp: float = 0.505    # sheared convective plume coefficient
+    CRi_delta: float = 1.02   # stability function width
+    CRi0: float = 0.254       # stability function lower Ri
+    Chi_u: float = 0.242
+    Clo_u: float = 0.361
+    Cun_u: float = 0.370
+    Cc_u: float = 3.705
+    Ce_u: float = 0.0
+    Chi_c: float = 0.098
+    Clo_c: float = 0.369
+    Cun_c: float = 0.572
+    Cc_c: float = 4.793
+    Ce_c: float = 0.112
+    Chi_e: float = 0.548
+    Clo_e: float = 7.863
+    Cun_e: float = 1.447
+    Cc_e: float = 3.642
+    Ce_e: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CATKEEquation:
+    """TKE-equation parameters (reference ``catke_equation.jl:7-17``)."""
+    Chi_D: float = 0.579
+    Clo_D: float = 1.604
+    Cun_D: float = 0.923
+    Cc_D: float = 3.254
+    Ce_D: float = 0.0
+    CW_ustar: float = 3.179   # surface shear-driven TKE flux coefficient
+    CW_wdelta: float = 0.383  # surface convective TKE flux coefficient
+    CW_eps: float = 1.0
+
+
+class CATKEVerticalDiffusivity(AbstractClosure):
+    """CATKE: prognostic-TKE vertical closure with the reference's FULL
+    mixing-length formulation (``catke_vertical_diffusivity.jl``,
+    ``catke_mixing_length.jl``, ``catke_equation.jl``):
+
+    - per-quantity stability functions σ(Ri) (piecewise-linear between
+      the unstable, low-Ri, and high-Ri coefficients),
+    - stable length ℓ★ = σ · min(Cˢ·depth, Cᵇ·height-above-bottom,
+      w★/√N²⁺),
+    - convective (Deardorff) and entrainment lengths driven by the
+      surface buoyancy flux Jᵇ with the sheared-convection reduction,
+    - dissipation ε = ω e with ω = √e/ℓᴰ (its own coefficient set) and
+      fast damping of negative e,
+    - surface TKE flux J_e = −(Cᵂu★ u★³ + CᵂwΔ wΔ³) from the momentum
+      and buoyancy surface fluxes.
+
+    The models pass the top flux-BC values via ``top_fluxes``; without
+    them the convective/entrainment machinery reduces to zero (pure
+    shear turbulence), matching the reference with no surface forcing.
     """
 
     time_discretization = VerticallyImplicitTimeDiscretization
     required_tracers = ("e",)
+    wants_top_fluxes = True
 
-    def __init__(self, C_l=0.4, C_stab=0.6, C_conv=1.0, C_D=2.91,
-                 Pr_t=1.0, Pr_e=1.0, minimum_tke=1e-9,
-                 minimum_kappa=1e-5, maximum_kappa=1.0):
-        self.C_l = float(C_l)            # von-Karman-like length coefficient
-        self.C_stab = float(C_stab)      # stable stratification cap coeff
-        self.C_conv = float(C_conv)      # convective length coeff
-        self.C_D = float(C_D)            # dissipation coefficient
-        self.Pr_t = float(Pr_t)
-        self.Pr_e = float(Pr_e)
+    def __init__(self, mixing_length=None, tke_equation=None,
+                 maximum_viscosity=float("inf"),
+                 maximum_tracer_diffusivity=float("inf"),
+                 minimum_tke=1e-9,
+                 minimum_convective_buoyancy_flux=1e-11,
+                 negative_tke_damping_time_scale=60.0):
+        self.mixing_length = mixing_length or CATKEMixingLength()
+        self.tke_equation = tke_equation or CATKEEquation()
+        self.maximum_viscosity = float(maximum_viscosity)
+        self.maximum_tracer_diffusivity = float(maximum_tracer_diffusivity)
         self.minimum_tke = float(minimum_tke)
-        self.minimum_kappa = float(minimum_kappa)
-        self.maximum_kappa = float(maximum_kappa)
+        self.Jb_eps = float(minimum_convective_buoyancy_flux)
+        self.neg_damping = float(negative_tke_damping_time_scale)
 
-    # -- mixing length at (c,c,f) ----------------------------------------
-    def _mixing_length(self, grid, e_ccf, N2):
-        # distance from boundaries (z-based wall distance)
-        zf = jnp.broadcast_to(grid.zF, grid.shape)
-        z_bottom = -grid.Lz
-        d_bottom = jnp.abs(zf - z_bottom)
-        d_top = jnp.abs(zf)
-        d_wall = jnp.minimum(d_bottom, d_top)
-        sqrt_e = jnp.sqrt(jnp.maximum(e_ccf, self.minimum_tke))
-        # stable cap: C_stab √e / N
-        N = jnp.sqrt(jnp.maximum(N2, 1e-14))
-        l_stable = self.C_stab * sqrt_e / N
-        l = self.C_l * jnp.minimum(d_wall, l_stable)
-        # convective: use the wall distance scaled by C_conv where N²<0
-        l = jnp.where(N2 < 0, self.C_conv * self.C_l * d_wall, l)
-        # floor at a fraction of the local grid spacing: dissipation
-        # ε ∝ e^{3/2}/ℓ must not blow up at near-wall faces
-        dz_local = jnp.broadcast_to(grid.dz(Face), grid.shape)
-        return jnp.maximum(l, 0.25 * dz_local)
+    # ------------------------------------------------------------------
+    def _sigma(self, Ri, Cun, Clo, Chi):
+        """σ(Ri): Cun for Ri<0; for Ri>=0, Clo → Chi over the step
+        [CRi0, CRi0+CRiδ] (reference ``scale``/``step``)."""
+        ml = self.mixing_length
+        t = jnp.clip((Ri - ml.CRi0) / ml.CRi_delta, 0.0, 1.0)
+        sp = Clo + (Chi - Clo) * t
+        return jnp.where(Ri < 0, Cun, sp)
 
-    def compute_diffusivities(self, grid, u, v, w, tracers, buoyancy):
+    def _stable_length(self, sigma, w_star, N2, d_up, d_down):
+        big = jnp.asarray(1e20, w_star.dtype)
+        lN = jnp.where(N2 > 0, w_star / jnp.sqrt(jnp.maximum(N2, 1e-30)),
+                       big)
+        d = jnp.minimum(d_up, d_down)
+        return sigma * jnp.minimum(d, lN)
+
+    def _convective_length(self, Cc, Ce, w_star, S2, N2, N2_above, Jb,
+                           depth):
+        ml = self.mixing_length
+        Jb_tot = Jb + self.Jb_eps
+        lc = Cc * w_star ** 3 / Jb_tot
+        Rif = depth * w_star * S2 / Jb_tot    # flux Richardson number
+        lc = jnp.maximum((1.0 - ml.Csp * Rif) * lc, 0.0)
+        le = Ce * Jb / (w_star * N2 + self.Jb_eps)
+        convecting = (Jb > self.Jb_eps) & (N2 < 0)
+        entraining = (Jb > self.Jb_eps) & (N2 > 0) & (N2_above < 0)
+        return jnp.where(convecting, lc,
+                         jnp.where(entraining, le, 0.0))
+
+    def _lengths_at(self, grid, e_loc, N2, S2, Ri, Jb, z, coeffs):
+        """Mixing length for one quantity at one vertical location.
+        ``coeffs`` = (Cun, Clo, Chi, Cc, Ce)."""
+        Cun, Clo, Chi, Cc, Ce = coeffs
+        ml = self.mixing_length
+        w_star = jnp.sqrt(jnp.maximum(e_loc, 0.0))
+        depth = jnp.maximum(-z, 0.0)                  # surface at z = 0
+        habove = jnp.maximum(z + grid.Lz, 0.0)
+        sigma = self._sigma(Ri, Cun, Clo, Chi)
+        l_star = self._stable_length(sigma, w_star, N2,
+                                     ml.Cs * depth, ml.Cb * habove)
+        N2_above = shift(N2, 1, 2)
+        lh = self._convective_length(Cc, Ce, w_star, S2, N2, N2_above,
+                                     Jb, depth)
+        return jnp.minimum(grid.Lz, jnp.maximum(l_star, lh))
+
+    # ------------------------------------------------------------------
+    def compute_diffusivities(self, grid, u, v, w, tracers, buoyancy,
+                              top_fluxes=None):
         from oceananigans_tpu.buoyancy import buoyancy_frequency
+        top_fluxes = top_fluxes or {}
         e = tracers["e"]
         e_ccf = iz_f(e)
-        N2 = (buoyancy_frequency(grid, buoyancy, tracers)
-              if buoyancy is not None else jnp.zeros_like(e_ccf))
-        l = self._mixing_length(grid, e_ccf, N2)
-        sqrt_e = jnp.sqrt(jnp.maximum(e_ccf, self.minimum_tke))
-        ku = jnp.clip(l * sqrt_e, self.minimum_kappa, self.maximum_kappa)
-        return {"nu_z_ccf": ku,
-                "kappa_z_ccf": jnp.clip(ku / self.Pr_t, self.minimum_kappa,
-                                        self.maximum_kappa),
-                "kappa_e_ccf": jnp.clip(ku / self.Pr_e, self.minimum_kappa,
-                                        self.maximum_kappa),
-                "mixing_length_ccf": l, "N2_ccf": N2,
-                "shear_production_ccf": ku * _shear_squared_ccf(grid, u, v)}
+        N2_ccf = (buoyancy_frequency(grid, buoyancy, tracers)
+                  if buoyancy is not None else jnp.zeros_like(e_ccf))
+        S2_ccf = _shear_squared_ccf(grid, u, v)
+        Ri_ccf = N2_ccf / jnp.maximum(S2_ccf, 1e-20)
+        Jb = top_fluxes.get("b")
+        Jb = jnp.zeros((), e.dtype) if Jb is None else jnp.asarray(Jb)
+        Jb = jnp.maximum(Jb, 0.0)      # only destabilizing flux convects
+
+        ml = self.mixing_length
+        zF = jnp.broadcast_to(grid.zF, grid.shape)
+        ell_u = self._lengths_at(grid, e_ccf, N2_ccf, S2_ccf, Ri_ccf, Jb,
+                                 zF, (ml.Cun_u, ml.Clo_u, ml.Chi_u,
+                                      ml.Cc_u, ml.Ce_u))
+        ell_c = self._lengths_at(grid, e_ccf, N2_ccf, S2_ccf, Ri_ccf, Jb,
+                                 zF, (ml.Cun_c, ml.Clo_c, ml.Chi_c,
+                                      ml.Cc_c, ml.Ce_c))
+        ell_e = self._lengths_at(grid, e_ccf, N2_ccf, S2_ccf, Ri_ccf, Jb,
+                                 zF, (ml.Cun_e, ml.Clo_e, ml.Chi_e,
+                                      ml.Cc_e, ml.Ce_e))
+        w_star_ccf = jnp.sqrt(jnp.maximum(e_ccf, self.minimum_tke))
+        ku = jnp.minimum(ell_u * w_star_ccf, self.maximum_viscosity)
+        kc = jnp.minimum(ell_c * w_star_ccf,
+                         self.maximum_tracer_diffusivity)
+        ke = jnp.minimum(ell_e * w_star_ccf,
+                         self.maximum_tracer_diffusivity)
+
+        # dissipation rate at cell centers (its own coefficient set)
+        te = self.tke_equation
+        N2_ccc = iz_c(N2_ccf)
+        S2_ccc = iz_c(S2_ccf)
+        Ri_ccc = N2_ccc / jnp.maximum(S2_ccc, 1e-20)
+        zC = jnp.broadcast_to(grid.zC, grid.shape)
+        # the dissipation stability function DIVIDES the stable length
+        # (reference ``dissipation_length_scaleᶜᶜᶜ``: ℓ★ = ℓ★/σᴰ)
+        sigma_D = self._sigma(Ri_ccc, te.Cun_D, te.Clo_D, te.Chi_D)
+        w_star_ccc = jnp.sqrt(jnp.maximum(e, 0.0))
+        depth_c = jnp.maximum(-zC, 0.0)
+        habove_c = jnp.maximum(zC + grid.Lz, 0.0)
+        l_star_D = self._stable_length(1.0 / sigma_D, w_star_ccc, N2_ccc,
+                                       ml.Cs * depth_c,
+                                       ml.Cb * habove_c)
+        lh_D = self._convective_length(te.Cc_D, te.Ce_D, w_star_ccc,
+                                       S2_ccc, N2_ccc,
+                                       shift(N2_ccc, 1, 2), Jb, depth_c)
+        ell_D = jnp.minimum(grid.Lz, jnp.maximum(l_star_D, lh_D))
+        omega = jnp.where(
+            e < 0, 1.0 / self.neg_damping,
+            jnp.sqrt(jnp.abs(e)) / jnp.maximum(ell_D, 1e-10))
+
+        # surface TKE flux from the momentum/buoyancy surface fluxes
+        tau_x = top_fluxes.get("u")
+        tau_y = top_fluxes.get("v")
+        zero2d = jnp.zeros((), e.dtype)
+        tx = zero2d if tau_x is None else jnp.asarray(tau_x)
+        ty = zero2d if tau_y is None else jnp.asarray(tau_y)
+        u_star = (tx ** 2 + ty ** 2) ** 0.25
+        dz_top = jnp.asarray(grid.dz(Center)).reshape(-1)[grid.Hz
+                                                          + grid.Nz - 1]
+        wdelta3 = jnp.maximum(Jb, 0.0) * dz_top
+        J_e = -(te.CW_ustar * u_star ** 3 + te.CW_wdelta * wdelta3)
+
+        return {"nu_z_ccf": ku, "kappa_z_ccf": kc, "kappa_e_ccf": ke,
+                "mixing_length_ccf": ell_u, "N2_ccf": N2_ccf,
+                "shear_production_ccf": ku * S2_ccf,
+                "dissipation_rate_ccc": omega,
+                "tke_top_flux": J_e, "dz_top": dz_top}
 
     def momentum_flux_divergences(self, grid, u, v, w, tracers,
                                   diffusivities, include_implicit=True):
@@ -187,26 +323,21 @@ class CATKEVerticalDiffusivity(AbstractClosure):
                                include_implicit=True):
         e = tracers["e"]
         if name == "e":
-            # TKE sources are explicit even when diffusion is implicit:
-            # shear production + buoyancy flux − dissipation
             kc = diffusivities["kappa_z_ccf"]
             N2 = diffusivities["N2_ccf"]
-            l = diffusivities["mixing_length_ccf"]
             P = diffusivities["shear_production_ccf"]
             wb = -kc * N2
-            e_ccf = jnp.maximum(iz_f(e), self.minimum_tke)
-            # dissipation linearized about e (∝ e, not e^{3/2}) so it can
-            # only decay e toward zero, never overshoot it negative
-            decay_rate = self.C_D * jnp.sqrt(e_ccf) / l
-            eps = decay_rate * iz_f(e)
-            source_ccf = P + wb - eps
-            # TKE sources exist only at interior z-faces (wall faces carry
-            # no turbulent flux; reference evaluates e sources at interior
-            # cells only)
             k_idx = jnp.arange(grid.shape[2]).reshape(1, 1, -1)
             in_faces = (k_idx > grid.Hz) & (k_idx < grid.Hz + grid.Nz)
-            source_ccf = jnp.where(in_faces, source_ccf, 0.0)
-            return iz_c(source_ccf)
+            source_ccf = jnp.where(in_faces, P + wb, 0.0)
+            src = iz_c(source_ccf)
+            src = src - diffusivities["dissipation_rate_ccc"] * e
+            # surface TKE injection into the top interior cell
+            J_e = diffusivities["tke_top_flux"]
+            dz_top = diffusivities["dz_top"]
+            top_cell = (k_idx == grid.Hz + grid.Nz - 1)
+            src = src + jnp.where(top_cell, -J_e / dz_top, 0.0)
+            return src
         if not include_implicit:
             return jnp.zeros_like(c)
         kz = diffusivities["kappa_z_ccf"]
@@ -223,7 +354,7 @@ class CATKEVerticalDiffusivity(AbstractClosure):
         return diffusivities["kappa_z_ccf"]
 
     def __repr__(self):
-        return f"CATKEVerticalDiffusivity(C_D={self.C_D})"
+        return "CATKEVerticalDiffusivity(reference coefficient set)"
 
 
 class TKEDissipationVerticalDiffusivity(AbstractClosure):

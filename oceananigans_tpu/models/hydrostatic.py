@@ -565,6 +565,22 @@ class HydrostaticFreeSurfaceModel:
         p = -(above + 0.5 * contrib)
         return p
 
+    def _top_flux_values(self, time):
+        """Evaluate the TOP flux-BC values for u, v, and buoyancy-ish
+        tracers (surface stress / buoyancy flux), for closures that need
+        them (CATKE's convective lengths and surface TKE flux)."""
+        from oceananigans_tpu.boundary_conditions import FLUX, _bc_value
+        from oceananigans_tpu.fields import LOC_C, LOC_U, LOC_V
+        out = {}
+        for name, loc in (("u", LOC_U), ("v", LOC_V), ("b", LOC_C)):
+            bcs = self.bcs.get(name)
+            bc = getattr(bcs, "top", None) if bcs is not None else None
+            if bc is None or bc.classification != FLUX \
+                    or bc.condition is None:
+                continue
+            out[name] = _bc_value(bc, self.grid, 2, loc, time)
+        return out
+
     def compute_tendencies(self, state, g=None):
         if g is None:
             g = self._active_grid(state)
@@ -574,7 +590,8 @@ class HydrostaticFreeSurfaceModel:
         fields = state.fields()
 
         diffusivities = closures_mod.compute_diffusivities(
-            self.closure, g, u, v, w, tracers, self.buoyancy)
+            self.closure, g, u, v, w, tracers, self.buoyancy,
+            top_fluxes=self._top_flux_values(time))
 
         ma = self.momentum_advection
         if isinstance(ma, VectorInvariant):

@@ -262,6 +262,22 @@ class NonhydrostaticModel:
     # ---------------------------------------------------------------------
     # Tendencies (reference nonhydrostatic_tendency_kernel_functions.jl)
     # ---------------------------------------------------------------------
+    def _top_flux_values(self, time):
+        """Evaluate the TOP flux-BC values for u, v, and buoyancy-ish
+        tracers (surface stress / buoyancy flux), for closures that need
+        them (CATKE's convective lengths and surface TKE flux)."""
+        from oceananigans_tpu.boundary_conditions import FLUX, _bc_value
+        from oceananigans_tpu.fields import LOC_C, LOC_U, LOC_V
+        out = {}
+        for name, loc in (("u", LOC_U), ("v", LOC_V), ("b", LOC_C)):
+            bcs = self.bcs.get(name)
+            bc = getattr(bcs, "top", None) if bcs is not None else None
+            if bc is None or bc.classification != FLUX \
+                    or bc.condition is None:
+                continue
+            out[name] = _bc_value(bc, self.grid, 2, loc, time)
+        return out
+
     def compute_tendencies(self, state):
         g = self.grid
         u, v, w = state.u, state.v, state.w
@@ -270,7 +286,8 @@ class NonhydrostaticModel:
         fields = state.fields()
 
         diffusivities = closures_mod.compute_diffusivities(
-            self.closure, g, u, v, w, tracers, self.buoyancy)
+            self.closure, g, u, v, w, tracers, self.buoyancy,
+            top_fluxes=self._top_flux_values(time))
 
         if self.background_fields:
             # mean-flow decomposition: advect (q + q_bg) by (U + U_bg),

@@ -222,3 +222,69 @@ def test_dynamic_smagorinsky_runs():
     cs2 = np.asarray(d["cs2"])
     assert np.all(cs2 >= 0.0) and np.all(cs2 <= 0.25)
     assert cs2.max() > 0.0   # turbulence-like field -> nonzero coefficient
+
+
+def test_catke_free_convection_matches_sqrt_law():
+    """Full-formulation CATKE under destabilizing surface buoyancy flux:
+    mixed-layer depth follows h = sqrt(2 ∫Jᵇ dt / N²) (reference
+    calibration target for ``catke_vertical_diffusivity.jl``)."""
+    from oceananigans_tpu import FieldBoundaryConditions, FluxBC
+    from oceananigans_tpu.closures_ocean import CATKEVerticalDiffusivity
+    from oceananigans_tpu.models.hydrostatic import ExplicitFreeSurface
+
+    N2b, Jb = 1e-5, 1e-7
+    grid = RectilinearGrid(size=(1, 1, 64), x=(0, 1), y=(0, 1),
+                           z=(-128, 0),
+                           topology=(Periodic, Periodic, Bounded), halo=1)
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=ExplicitFreeSurface(),
+        buoyancy=BuoyancyTracer(), closure=CATKEVerticalDiffusivity(),
+        boundary_conditions={"b": FieldBoundaryConditions(top=FluxBC(Jb))},
+        tracers=("b", "e"))
+    state = model.initial_state(b=lambda x, y, z: N2b * z)
+    dt = 120.0
+    step = jax.jit(lambda s: model.step(s, dt))
+    s = state
+    for _ in range(int(12 * 3600 / dt)):
+        s = step(s)
+    b = np.asarray(grid.interior(s.tracers["b"]))[0, 0, :]
+    zc = np.asarray(grid.zC).reshape(-1)[grid.Hz:grid.Hz + 64]
+    # mixed-layer depth: deepest cell whose b is within 10% of the
+    # surface (well-mixed) value
+    b_sfc = b[-1]
+    mixed = np.abs(b - b_sfc) < 0.1 * abs(b_sfc)
+    h = -zc[mixed].min()
+    h_theory = np.sqrt(2 * Jb * 12 * 3600 / N2b)   # 29.4 m
+    assert abs(h - h_theory) / h_theory < 0.25
+
+
+def test_catke_wind_stress_injects_tke_and_mixes():
+    """Surface momentum flux drives the Cᵂu★ u★³ TKE injection and
+    shear mixing of momentum."""
+    from oceananigans_tpu import FieldBoundaryConditions, FluxBC
+    from oceananigans_tpu.closures_ocean import CATKEVerticalDiffusivity
+    from oceananigans_tpu.models.hydrostatic import ExplicitFreeSurface
+
+    tau = -1e-4        # kinematic stress m²/s² (negative = eastward wind)
+    grid = RectilinearGrid(size=(1, 1, 32), x=(0, 1), y=(0, 1),
+                           z=(-64, 0),
+                           topology=(Periodic, Periodic, Bounded), halo=1)
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=ExplicitFreeSurface(),
+        buoyancy=BuoyancyTracer(), closure=CATKEVerticalDiffusivity(),
+        boundary_conditions={
+            "u": FieldBoundaryConditions(top=FluxBC(tau))},
+        tracers=("b", "e"))
+    state = model.initial_state(b=lambda x, y, z: 1e-5 * z)
+    step = jax.jit(lambda s: model.step(s, 60.0))
+    s = state
+    for _ in range(240):                    # 4 hours
+        s = step(s)
+    e = np.asarray(grid.interior(s.tracers["e"]))[0, 0, :]
+    u = np.asarray(grid.interior(s.u))[0, 0, :]
+    assert np.isfinite(e).all() and np.isfinite(u).all()
+    # TKE is surface-intensified and of order u★² = |τ|
+    assert e[-1] > 1e-6
+    assert e[-1] > 10 * e[8]
+    # momentum has mixed below the top cell
+    assert abs(u[-4]) > 1e-3
