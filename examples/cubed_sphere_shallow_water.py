@@ -1,0 +1,49 @@
+"""Shallow-water solid-body geostrophic flow on the conformal cubed
+sphere — Williamson et al. (1992) test 2 (reference:
+validation/multi_region/cubed_sphere_dynamics.jl)."""
+
+import jax
+import numpy as np
+
+from oceananigans_tpu.grids.cubed_sphere_grid import (
+    ConformalCubedSphereGrid,
+)
+from oceananigans_tpu.models.cubed_sphere import (
+    CubedSphereShallowWaterModel, panel_vector_components,
+)
+
+a = 6.37122e6
+Omega = 7.292e-5
+g = 9.80616
+u0 = 2 * np.pi * a / (12 * 86400)         # one rotation in 12 days
+h0 = 2.94e4 / g
+
+grid = ConformalCubedSphereGrid((32, 1), z=(-1.0, 0.0), radius=a, halo=3)
+model = CubedSphereShallowWaterModel(grid, gravitational_acceleration=g,
+                                     rotation_rate=Omega, tracers=("c",))
+
+u, v = panel_vector_components(
+    grid, lambda P: np.cross(np.array([0.0, 0.0, u0 / a]), P * a))
+
+
+def h_init(lam, phi, z):
+    s = np.sin(np.deg2rad(phi))
+    return h0 - (a * Omega * u0 + 0.5 * u0**2) * s**2 / g + 0 * z
+
+
+state = model.initial_state(u=u, v=v, h=grid.set_tracer(h_init),
+                            c=lambda lam, phi, z: np.cos(np.deg2rad(phi))
+                            + 0 * lam + 0 * z)
+
+dt = 245.0
+step = jax.jit(lambda s: model.step(s, dt))
+
+if __name__ == "__main__":
+    m0 = float(model.total_mass(state))
+    s = state
+    for day in range(5):
+        for _ in range(int(86400 / dt)):
+            s = step(s)
+        m = float(model.total_mass(s))
+        print(f"day {day + 1}: mass drift {(m - m0) / m0:+.2e}")
+    print("done")
