@@ -360,3 +360,269 @@ class CubedSphereShallowWaterModel:
         return (f"CubedSphereShallowWaterModel(N={self.grid.N_panel}, "
                 f"tracers={list(self.tracer_names)}, "
                 f"prescribed={self.prescribed_velocities})")
+
+
+# ---------------------------------------------------------------------------
+# 3-D hydrostatic primitive equations on the cubed sphere
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CubedSphereHydrostaticState:
+    """Stacked-panel hydrostatic state: (6, nx, ny, nz) u, v, tracers;
+    (6, nx, ny, 1) eta."""
+    u: jnp.ndarray
+    v: jnp.ndarray
+    eta: jnp.ndarray
+    tracers: Dict[str, jnp.ndarray]
+    clock: Clock
+
+
+class CubedSphereHydrostaticModel:
+    """Hydrostatic Boussinesq primitive equations on the six-panel
+    conformal cubed sphere (reference: the MultiRegion hydrostatic
+    configuration of ``multi_region_models.jl`` +
+    ``hydrostatic_free_surface_model.jl``, re-designed for the stacked
+    panel axis).
+
+    Vector-invariant momentum with the upwinded (ζ+f) flux and the
+    exact cube-corner circulation; w diagnosed from continuity per
+    column; hydrostatic pressure p′ = −∫ b dz; explicit free surface
+    with edge-synced barotropic transports (global volume conservation
+    to machine precision); SSP-RK3 stepping with per-stage inter-panel
+    exchange. Buoyancy enters as the tracer ``b`` (BuoyancyTracer
+    semantics)."""
+
+    def __init__(self, grid: ConformalCubedSphereGrid,
+                 gravitational_acceleration=g_Earth,
+                 rotation_rate=OMEGA_EARTH,
+                 tracer_advection=None,
+                 tracers=("b",)):
+        self.grid = grid
+        self.g = float(gravitational_acceleration)
+        self.rotation_rate = float(rotation_rate or 0.0)
+        self.tracer_advection = tracer_advection or Centered(2)
+        self.tracer_names = tuple(tracers)
+        g = grid.panel_grid
+        N, H = grid.N_panel, g.Hx
+        nx, ny, _ = g.shape
+        d = 2.0 / N
+        iF = -1.0 + (np.arange(nx) - H) * d
+        X, Y = np.meshgrid(iF, iF, indexing="ij")
+        f = []
+        for p in range(6):
+            P = _panel_xyz(p, X.ravel(), Y.ravel()).reshape(nx, ny, 3)
+            f.append(2.0 * self.rotation_rate
+                     * np.clip(P[..., 2], -1.0, 1.0))
+        self.f_ff = np.stack(f)[..., None]
+        mc = np.zeros((nx, ny, 1))
+        mc[H:H + N, H:H + N] = 1.0
+        mu = np.zeros((nx, ny, 1))
+        mu[H:H + N + 1, H:H + N] = 1.0
+        mv = np.zeros((nx, ny, 1))
+        mv[H:H + N, H:H + N + 1] = 1.0
+        self._mask_c, self._mask_u, self._mask_v = mc, mu, mv
+
+    # ------------------------------------------------------------------
+    def initial_state(self, u=None, v=None, eta=0.0, time=0.0, **tracers):
+        grid = self.grid
+        g = grid.panel_grid
+        nx, ny, nz = g.shape
+        dtype = grid.new_field().dtype
+        zero3 = jnp.zeros((6, nx, ny, nz), dtype)
+        zero2 = jnp.zeros((6, nx, ny, 1), dtype)
+        u = zero3 if u is None else jnp.asarray(u, dtype)
+        v = zero3 if v is None else jnp.asarray(v, dtype)
+        if jnp.ndim(eta) == 0:
+            eta = jnp.full_like(zero2, eta) \
+                * jnp.asarray(self._mask_c, dtype)
+        tr = {}
+        for name in self.tracer_names:
+            val = tracers.get(name, 0.0)
+            if callable(val):
+                tr[name] = grid.set_tracer(val)
+            elif jnp.ndim(val) == 0:
+                tr[name] = jnp.full_like(zero3, val) \
+                    * jnp.asarray(self._mask_c, dtype)
+            else:
+                tr[name] = jnp.asarray(val, dtype)
+        state = CubedSphereHydrostaticState(
+            u=u, v=v, eta=jnp.asarray(eta, dtype), tracers=tr,
+            clock=Clock.start(time=float(time), dtype=dtype))
+        return self.fill_state_halos(state)
+
+    # ------------------------------------------------------------------
+    def fill_state_halos(self, state):
+        grid = self.grid
+        u, v = cubed_sphere_velocity_exchange(state.u, state.v, grid)
+        u = self._fill_z(u)
+        v = self._fill_z(v)
+        eta = cubed_sphere_halo_exchange(state.eta, grid)
+        tracers = {n: self._fill_z(cubed_sphere_halo_exchange(c, grid))
+                   for n, c in state.tracers.items()}
+        return dataclasses.replace(state, u=u, v=v, eta=eta,
+                                   tracers=tracers)
+
+    def _fill_z(self, a):
+        """Mirror one z-ghost on each side (free-slip / no-flux)."""
+        g = self.grid.panel_grid
+        Hz, Nz = g.Hz, g.Nz
+        if Hz == 0 or a.shape[-1] == 1:
+            return a
+        a = a.at[..., Hz - 1].set(a[..., Hz])
+        a = a.at[..., Hz + Nz].set(a[..., Hz + Nz - 1])
+        return a
+
+    # ------------------------------------------------------------------
+    def _panel_w(self, u, v):
+        """w at z-faces from continuity (per panel)."""
+        g = self.grid.panel_grid
+        hdiv = (dx_c(g.dy(Center, Face) * u)
+                + dy_c(g.dx(Center, Face) * v)) / g.Az(Center, Center)
+        dz = jnp.broadcast_to(g.dz(Center), g.shape)
+        k = jnp.arange(g.shape[2]).reshape(1, 1, -1)
+        interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
+        contrib = jnp.where(interior, hdiv * dz, 0.0)
+        csum = jnp.cumsum(contrib, axis=2)
+        w = -jnp.where(k == 0, 0.0,
+                       jnp.roll(csum, 1, 2))
+        return w
+
+    def _panel_pressure(self, b):
+        """p′ = −∫_z^0 b dz′ at centers (per panel)."""
+        g = self.grid.panel_grid
+        dz = jnp.broadcast_to(g.dz(Center), g.shape)
+        k = jnp.arange(g.shape[2]).reshape(1, 1, -1)
+        interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
+        contrib = jnp.where(interior, b * dz, 0.0)
+        total = jnp.sum(contrib, axis=2, keepdims=True)
+        below_incl = jnp.cumsum(contrib, axis=2)
+        return -((total - below_incl) + 0.5 * contrib)
+
+    def _panel_tendencies(self, u, v, eta, f_ff, zeta, tracers):
+        g = self.grid.panel_grid
+        w = self._panel_w(u, v)
+        q = zeta + f_ff
+        K = 0.5 * (ix_c(u * u) + iy_c(v * v))
+        b = tracers.get("b")
+        p = self._panel_pressure(b) if b is not None else 0.0
+        phi = K + p + self.g * eta
+        from oceananigans_tpu.ops.operators import dz_f, iz_c
+        # upwinded (zeta + f) flux (the corner-adjacent conformal
+        # truncation needs the implicit enstrophy dissipation)
+        Vu = iy_c(ix_f(v))
+        qn = jnp.roll(q, -1, 1)
+        q_up = jnp.where(Vu >= 0, q, qn)
+        dudz = dz_f(u) / g.dz(Face)
+        Gu = q_up * Vu - dx_f(phi) / g.dx(Face, Center) \
+            - iz_c(ix_f(w) * dudz)
+        Uv = ix_c(iy_f(u))
+        qe = jnp.roll(q, -1, 0)
+        q_upx = jnp.where(Uv >= 0, q, qe)
+        dvdz = dz_f(v) / g.dz(Face)
+        Gv = -q_upx * Uv - dy_f(phi) / g.dy(Face, Center) \
+            - iz_c(iy_f(w) * dvdz)
+        return Gu, Gv, w
+
+    def _panel_fluxes(self, u, v, w, tracers):
+        """Barotropic + tracer fluxes (horizontal parts edge-synced by
+        the caller)."""
+        from oceananigans_tpu.advection import _face_value, _scheme_for
+        g = self.grid.panel_grid
+        dz = jnp.broadcast_to(g.dz(Center), g.shape)
+        k = jnp.arange(g.shape[2]).reshape(1, 1, -1)
+        interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
+        dzi = jnp.where(interior, dz, 0.0)
+        # vertically integrated transports (for eta)
+        U = jnp.sum(u * dzi, axis=2, keepdims=True)
+        V = jnp.sum(v * dzi, axis=2, keepdims=True)
+        Fx = g.dy(Center, Face) * U
+        Fy = g.dx(Center, Face) * V
+        Ft = {}
+        for name, c in tracers.items():
+            sxs = _scheme_for(self.tracer_advection, 0)
+            sys_ = _scheme_for(self.tracer_advection, 1)
+            szs = _scheme_for(self.tracer_advection, 2)
+            fcx = g.Ax(Face, Center, Center) * u \
+                * _face_value(sxs, u, c, 0, 0)
+            fcy = g.Ay(Center, Face, Center) * v \
+                * _face_value(sys_, v, c, 1, 0)
+            fcz = g.Az(Center, Center) * w \
+                * _face_value(szs, w, c, 2, 0)
+            # no flux through top/bottom walls
+            wall = (k <= g.Hz) | (k > g.Hz + g.Nz - 1)
+            fcz = jnp.where(wall, 0.0, fcz)
+            Ft[name] = (fcx, fcy, fcz)
+        return Fx, Fy, Ft
+
+    def _panel_divergences(self, Fx, Fy, Ft):
+        from oceananigans_tpu.ops.operators import dz_c
+        g = self.grid.panel_grid
+        Geta = -(dx_c(Fx) + dy_c(Fy)) \
+            / g.Az(Center, Center)[:, :, :1]
+        Gt = {}
+        for name, (fcx, fcy, fcz) in Ft.items():
+            Gt[name] = -(dx_c(fcx) + dy_c(fcy) + dz_c(fcz)) \
+                / g.V(Center, Center, Center)
+        return Geta, Gt
+
+    def compute_tendencies(self, state):
+        g = self.grid.panel_grid
+        f = jnp.asarray(self.f_ff, state.u.dtype)
+        zeta = jax.vmap(lambda up, vp: vorticity_z_ff(g, up, vp))(
+            state.u, state.v)
+        zeta = cubed_sphere_corner_vorticity(zeta, state.u, state.v,
+                                             self.grid)
+        Gu, Gv, w = jax.vmap(self._panel_tendencies,
+                             in_axes=(0, 0, 0, 0, 0, 0))(
+            state.u, state.v, state.eta, f, zeta, state.tracers)
+        Fx, Fy, Ft = jax.vmap(self._panel_fluxes)(
+            state.u, state.v, w, state.tracers)
+        Fx, Fy = cubed_sphere_sync_edge_fluxes(Fx, Fy, self.grid)
+        Ft = {n: (*cubed_sphere_sync_edge_fluxes(fx_, fy_, self.grid),
+                  fz_) for n, (fx_, fy_, fz_) in Ft.items()}
+        Geta, Gt = jax.vmap(self._panel_divergences)(Fx, Fy, Ft)
+        mu = jnp.asarray(self._mask_u, state.u.dtype)
+        mv = jnp.asarray(self._mask_v, state.u.dtype)
+        mc = jnp.asarray(self._mask_c, state.u.dtype)
+        return (Gu * mu, Gv * mv, Geta * mc,
+                {n: G * mc for n, G in Gt.items()})
+
+    # ------------------------------------------------------------------
+    def step(self, state, dt):
+        """SSP (Shu-Osher) RK3 with per-stage exchange."""
+        psi = (state.u, state.v, state.eta,
+               {n: state.tracers[n] for n in self.tracer_names})
+        s = state
+        for gamma, zeta_c in ((1.0, 0.0), (0.25, 0.75),
+                              (2.0 / 3.0, 1.0 / 3.0)):
+            s = self.fill_state_halos(s)
+            Gu, Gv, Geta, Gt = self.compute_tendencies(s)
+            s = dataclasses.replace(
+                s,
+                u=zeta_c * psi[0] + gamma * (s.u + dt * Gu),
+                v=zeta_c * psi[1] + gamma * (s.v + dt * Gv),
+                eta=zeta_c * psi[2] + gamma * (s.eta + dt * Geta),
+                tracers={n: zeta_c * psi[3][n]
+                         + gamma * (s.tracers[n] + dt * Gt[n])
+                         for n in self.tracer_names})
+        s = dataclasses.replace(s, clock=tick(s.clock, dt))
+        return self.fill_state_halos(s)
+
+    # ------------------------------------------------------------------
+    def total_volume(self, state):
+        g = self.grid.panel_grid
+        sx, sy, _ = g.interior_slices
+        Az = g.Az(Center, Center)[sx, sy, :1]
+        return jnp.sum(state.eta[:, sx, sy, :] * Az)
+
+    def total_tracer(self, state, name):
+        g = self.grid.panel_grid
+        sx, sy, sz = g.interior_slices
+        dV = (g.Az(Center, Center)[sx, sy, :1]
+              * jnp.broadcast_to(g.dz(Center), g.shape)[sx, sy, sz])
+        return jnp.sum(state.tracers[name][:, sx, sy, sz] * dV)
+
+    def __repr__(self):
+        return (f"CubedSphereHydrostaticModel(N={self.grid.N_panel}, "
+                f"Nz={self.grid.panel_grid.Nz})")

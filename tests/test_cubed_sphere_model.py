@@ -118,3 +118,65 @@ def test_williamson2_geostrophic_balance():
     assert abs(m1 - m0) / m0 < 1e-12            # edge-synced fluxes
     c1 = float((np.asarray(s.tracers["c"])[:, sx, sy, :] * Az).sum())
     assert abs(c1 - c0) / c0 < 1e-12
+
+
+def test_hydrostatic_cubed_sphere_rest_state_exact():
+    """A resting, horizontally-uniform stratification on the cubed
+    sphere must stay EXACTLY at rest (discrete pressure-gradient
+    consistency on the curvilinear panels)."""
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+
+    grid = ConformalCubedSphereGrid((8, 6), z=(-1000.0, 0.0),
+                                    radius=6.37122e6, halo=3)
+    model = CubedSphereHydrostaticModel(grid)
+    state = model.initial_state(b=lambda lam, phi, z: 1e-5 * z)
+    step = jax.jit(lambda s: model.step(s, 300.0))
+    s = state
+    for _ in range(10):
+        s = step(s)
+    s = jax.block_until_ready(s)
+    assert float(np.abs(np.asarray(s.u)).max()) == 0.0
+    assert float(np.abs(np.asarray(s.eta)).max()) == 0.0
+
+
+def test_hydrostatic_cubed_sphere_gravity_wave_conservation():
+    """A surface bump radiates barotropic gravity waves: stable, stays
+    local at early times, and conserves volume + tracer to machine
+    precision (edge-synced fluxes)."""
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+
+    a = 6.37122e6
+    grid = ConformalCubedSphereGrid((16, 8), z=(-1000.0, 0.0), radius=a,
+                                    halo=3)
+    model = CubedSphereHydrostaticModel(grid)
+
+    def eta0(lam, phi, z):
+        r = np.deg2rad(phi) ** 2 \
+            + np.deg2rad(((lam + 180) % 360) - 180) ** 2
+        return np.exp(-r / 0.02) + 0 * z
+
+    g = grid.panel_grid
+    e0 = grid.set_tracer(eta0)[..., g.Hz:g.Hz + 1]
+    state = model.initial_state(eta=e0,
+                                b=lambda lam, phi, z: 1e-5 * z)
+    v0 = float(model.total_volume(state))
+    b0 = float(model.total_tracer(state, "b"))
+    step = jax.jit(lambda s: model.step(s, 150.0))
+    s = state
+    for _ in range(100):
+        s = step(s)
+    s = jax.block_until_ready(s)
+    eta = np.asarray(s.eta)
+    assert np.isfinite(eta).all()
+    assert np.abs(eta).max() < 1.0          # dispersing, not growing
+    v1 = float(model.total_volume(s))
+    assert abs(v1 - v0) < 1e-9 * abs(v0 if v0 else 1e12) + 1.0
+    b1 = float(model.total_tracer(s, "b"))
+    assert abs(b1 - b0) / abs(b0) < 1e-12
+    # c·t ≈ 99 m/s · 15000 s ≈ 13°: the antipodal panel is untouched
+    amp = [np.abs(eta[p]).max() for p in range(6)]
+    assert min(amp) < 1e-12 < max(amp)
