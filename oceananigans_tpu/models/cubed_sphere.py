@@ -626,3 +626,32 @@ class CubedSphereHydrostaticModel:
     def __repr__(self):
         return (f"CubedSphereHydrostaticModel(N={self.grid.N_panel}, "
                 f"Nz={self.grid.panel_grid.Nz})")
+
+
+def cubed_sphere_partition(devices=None):
+    """Distribute the stacked panel axis over devices (the reference's
+    ``CubedSpherePartition``, ``cubed_sphere_partitions.jl`` — there a
+    rank-per-panel MPI layout; here a ``Mesh`` over the leading axis:
+    the inter-panel gather maps become GSPMD collectives automatically
+    and the per-panel vmapped tendencies stay local).
+
+    Returns ``(mesh, shard_state)`` where ``shard_state`` places every
+    leading-6 array of a state pytree on the panel mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    if devices is None:
+        devices = jax.devices()[:6]
+    if len(devices) != 6:
+        raise ValueError("cubed_sphere_partition needs 6 devices "
+                         f"(got {len(devices)})")
+    mesh = Mesh(np.array(devices), ("panel",))
+    sharding = NamedSharding(mesh, PartitionSpec("panel"))
+
+    def shard_state(tree):
+        def put(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == 6:
+                return jax.device_put(x, sharding)
+            return x
+        return jax.tree_util.tree_map(put, tree)
+
+    return mesh, shard_state
