@@ -159,3 +159,25 @@ def test_specified_times_schedule():
     sim.run()
     assert any(abs(h - 0.025) < 1e-9 for h in hits)
     assert any(abs(h - 0.075) < 1e-9 for h in hits)
+
+
+def test_step_timer_and_trace(tmp_path):
+    """Profiling utilities (SURVEY §5): StepTimer reports ms/step via a
+    schedule callback; jax.profiler trace context captures a trace."""
+    import os
+
+    from oceananigans_tpu.utils.profiling import StepTimer, trace
+
+    grid = RectilinearGrid(size=(16, 16), x=(0, 1), y=(0, 1),
+                           topology=(Periodic, Periodic, Flat), halo=1)
+    model = NonhydrostaticModel(grid=grid)
+    state = model.initial_state(
+        u=lambda x, y, z: np.sin(2 * np.pi * x))
+    sim = Simulation(model, state=state, dt=1e-3, stop_iteration=20)
+    lines = []
+    sim.callbacks["t"] = Callback(StepTimer(printer=lines.append),
+                                  IterationInterval(10))
+    with trace(tmp_path / "trace"):
+        sim.run()
+    assert any("ms/step" in ln for ln in lines)
+    assert os.listdir(tmp_path / "trace")
