@@ -51,20 +51,60 @@ def rayleigh_benard_setup():
     return model, state, 0.01, 10
 
 
+def cubed_sphere_w2_setup():
+    """Cubed-sphere shallow water (Williamson 2, C8): guards the whole
+    panel-exchange/corner-circulation/edge-sync stack."""
+    from oceananigans_tpu.grids.cubed_sphere_grid import (
+        ConformalCubedSphereGrid,
+    )
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereShallowWaterModel, panel_vector_components,
+    )
+    a, Omega, gacc = 6.37122e6, 7.292e-5, 9.80616
+    u0 = 2 * np.pi * a / (12.0 * 86400)
+    h0 = 2.94e4 / gacc
+    grid = ConformalCubedSphereGrid((8, 1), z=(-1.0, 0.0), radius=a,
+                                    halo=3)
+    model = CubedSphereShallowWaterModel(
+        grid, gravitational_acceleration=gacc, rotation_rate=Omega)
+    u, v = panel_vector_components(
+        grid, lambda P: np.cross(np.array([0.0, 0.0, u0 / a]), P * a))
+
+    def h_init(lam, phi, z):
+        sphi = np.sin(np.deg2rad(phi))
+        return h0 - (a * Omega * u0 + 0.5 * u0 ** 2) * sphi ** 2 / gacc \
+            + 0 * z
+
+    state = model.initial_state(u=u, v=v, h=grid.set_tracer(h_init))
+
+    def extract(st):
+        return {"u": np.asarray(st.u), "v": np.asarray(st.v),
+                "h": np.asarray(st.h)}
+
+    return model, state, 600.0, 10, extract
+
+
 SETUPS = {"thermal_bubble": thermal_bubble_setup,
-          "rayleigh_benard": rayleigh_benard_setup}
+          "rayleigh_benard": rayleigh_benard_setup,
+          "cubed_sphere_w2": cubed_sphere_w2_setup}
 
 
 def run_setup(name):
     from oceananigans_tpu.fields import interior
-    model, state, dt, nsteps = SETUPS[name]()
+    out = SETUPS[name]()
+    extract = None
+    if len(out) == 5:
+        model, state, dt, nsteps, extract = out
+    else:
+        model, state, dt, nsteps = out
     step = jax.jit(lambda s: model.step(s, dt))
     for _ in range(nsteps):
         state = step(state)
-    out = {"u": np.asarray(interior(model.grid, state.u)),
-           "w": np.asarray(interior(model.grid, state.w)),
-           "b": np.asarray(interior(model.grid, state.tracers["b"]))}
-    return out
+    if extract is not None:
+        return extract(state)
+    return {"u": np.asarray(interior(model.grid, state.u)),
+            "w": np.asarray(interior(model.grid, state.w)),
+            "b": np.asarray(interior(model.grid, state.tracers["b"]))}
 
 
 @pytest.mark.parametrize("name", sorted(SETUPS))
@@ -75,13 +115,19 @@ def test_regression(name):
                     f"--regenerate`")
     got = run_setup(name)
     with np.load(path) as golden:
-        for field in ("u", "w", "b"):
+        for field in golden.files:
             np.testing.assert_allclose(
                 got[field], golden[field], atol=1e-12,
                 err_msg=f"{name}/{field} drifted from golden data")
 
 
 if __name__ == "__main__":
+    # mirror conftest: CPU float64 (golden data is generated in the same
+    # configuration the tests run in)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    from oceananigans_tpu.config import config as _cfg
+    _cfg.float_type = "float64"
     if "--regenerate" in sys.argv:
         GOLDEN_DIR.mkdir(exist_ok=True)
         for name in SETUPS:
