@@ -209,10 +209,12 @@ class HydrostaticSphericalCoriolis(AbstractCoriolis):
     energy-conserving scheme interpolates mass fluxes (Ay v / Ax u).
     """
 
-    scheme = "energy_conserving"
-
-    def __init__(self, rotation_rate=Omega_Earth):
+    def __init__(self, rotation_rate=Omega_Earth,
+                 scheme="enstrophy_conserving"):
+        if scheme not in ("enstrophy_conserving", "energy_conserving"):
+            raise ValueError(f"unknown Coriolis scheme {scheme!r}")
         self.rotation_rate = float(rotation_rate)
+        self.scheme = scheme
 
     def _f_ff(self, grid):
         # f at (f,f,*) vorticity points
@@ -221,22 +223,32 @@ class HydrostaticSphericalCoriolis(AbstractCoriolis):
 
     def x_f_cross_U(self, grid, u, v, w):
         f = self._f_ff(grid)
-        # energy conserving: -ℑyᵃᶜᵃ(f ℑxᶠᵃᵃ(Δx v)) / Δxᶠᶜᶜ... implemented as
-        # mass-flux weighted average (reference `fᶠᶠᵃ * ℑxᶠᵃᵃ(Δx_qᶜᶠᶜ(v))`)
-        dy_v = grid.Ay(Center, Face, Center) * v
-        return -iy_c(f * ix_f(dy_v)) / grid.Ax(Face, Center, Center)
+        # length-weighted v average to (f,c,c) (reference
+        # `hydrostatic_spherical_coriolis.jl:62-83`: Δx_qᶜᶠᶜ(v)/Δxᶠᶜᶜ)
+        dxv = grid.dx(Center, Face) * v
+        if self.scheme == "energy_conserving":
+            num = iy_c(f * ix_f(dxv))
+        else:
+            num = iy_c(f) * ix_f(iy_c(dxv))
+        return -num / grid.dx(Face, Center)
 
     def y_f_cross_U(self, grid, u, v, w):
         f = self._f_ff(grid)
-        dx_u = grid.Ax(Face, Center, Center) * u
-        return ix_c(f * iy_f(dx_u)) / grid.Ay(Center, Face, Center)
+        dyu = grid.dy(Center, Face) * u
+        if self.scheme == "energy_conserving":
+            num = ix_c(f * iy_f(dyu))
+        else:
+            num = ix_c(f) * iy_f(ix_c(dyu))
+        return num / grid.dy(Face, Center)
 
     def __repr__(self):
-        return f"HydrostaticSphericalCoriolis(Ω={self.rotation_rate:g})"
+        return (f"HydrostaticSphericalCoriolis(Ω={self.rotation_rate:g}, "
+                f"{self.scheme})")
 
     def __eq__(self, other):
         return (type(self) is type(other)
-                and self.rotation_rate == other.rotation_rate)
+                and self.rotation_rate == other.rotation_rate
+                and self.scheme == other.scheme)
 
     def __hash__(self):
-        return hash(("HSC", self.rotation_rate))
+        return hash(("HSC", self.rotation_rate, self.scheme))

@@ -78,3 +78,35 @@ def test_background_fields_shear():
     c = np.asarray(interior(grid, state.tracers["c"]))[:, 0, 0]
     x = np.asarray(grid.xnodes())
     np.testing.assert_allclose(c, np.sin(x - 1.0), atol=2e-2)
+
+
+def test_hydrostatic_spherical_coriolis_uniform_field_identity():
+    """For uniform v (or u), the Coriolis term must reduce to ∓f q to
+    discretization accuracy in f alone — this catches metric-weighting
+    errors (a previous area-weighted form was off by dx/dy). Both the
+    reference's schemes (``hydrostatic_spherical_coriolis.jl:62-83``)."""
+    import jax.numpy as jnp
+
+    from oceananigans_tpu import LatitudeLongitudeGrid
+    from oceananigans_tpu.coriolis import HydrostaticSphericalCoriolis
+
+    grid = LatitudeLongitudeGrid(size=(16, 12, 2), longitude=(0, 40),
+                                 latitude=(10, 50), z=(-100, 0), halo=2)
+    sx, sy, _ = grid.interior_slices
+    for scheme in ("enstrophy_conserving", "energy_conserving"):
+        cor = HydrostaticSphericalCoriolis(scheme=scheme)
+        Om = cor.rotation_rate
+        v = jnp.full(grid.shape, 0.3)
+        fx = np.asarray(cor.x_f_cross_U(grid, jnp.zeros(grid.shape), v,
+                                        None))[sx, sy, 2]
+        f_c = 2 * Om * np.sin(np.deg2rad(
+            np.asarray(grid.phiC).reshape(-1)))[sy]
+        np.testing.assert_allclose(
+            fx, np.broadcast_to(-f_c[None, :] * 0.3, fx.shape), rtol=2e-3)
+        u = jnp.full(grid.shape, 0.2)
+        fy = np.asarray(cor.y_f_cross_U(grid, u, jnp.zeros(grid.shape),
+                                        None))[sx, sy, 2]
+        f_f = 2 * Om * np.sin(np.deg2rad(
+            np.asarray(grid.phiF).reshape(-1)))[sy]
+        np.testing.assert_allclose(
+            fy, np.broadcast_to(f_f[None, :] * 0.2, fy.shape), rtol=1e-12)
