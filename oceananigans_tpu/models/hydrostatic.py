@@ -55,6 +55,7 @@ from oceananigans_tpu.timesteppers import Clock, ab2_coefficients, tick
 __all__ = ["HydrostaticFreeSurfaceModel", "HydrostaticState",
            "ExplicitFreeSurface", "SplitExplicitFreeSurface",
            "ImplicitFreeSurface", "VectorInvariant",
+           "WENOVectorInvariant",
            "PrescribedVelocityFields", "ZCoordinate", "ZStar"]
 
 X, Y, Z = 0, 1, 2
@@ -66,10 +67,19 @@ X, Y, Z = 0, 1, 2
 
 class VectorInvariant:
     """Rotational-form momentum advection (reference
-    ``vector_invariant_advection.jl``): 𝐯·∇u = ζ ẑ×u + ∇K + w ∂z u, with
-    the enstrophy-conserving vorticity scheme by default."""
+    ``vector_invariant_advection.jl``): 𝐯·∇u = ζ ẑ×u + ∇K + w ∂z u.
+
+    ``vorticity_scheme``: "enstrophy_conserving" (default, reference
+    ``horizontal_advection_U(::VectorInvariantEnstrophyConserving)``:
+    ℑy(ζ)·v̂ with the LENGTH-weighted transverse velocity
+    v̂ = ℑxy(Δx v)/Δxᶠᶜᶜ) or "energy_conserving"
+    (ℑy(ζ·ℑx(Δx v))/Δxᶠᶜᶜ)."""
 
     def __init__(self, vorticity_scheme="enstrophy_conserving"):
+        if vorticity_scheme not in ("enstrophy_conserving",
+                                    "energy_conserving"):
+            raise ValueError(
+                f"unknown vorticity_scheme {vorticity_scheme!r}")
         self.vorticity_scheme = vorticity_scheme
 
     required_halo = property(lambda self: 2)
@@ -84,15 +94,24 @@ class VectorInvariant:
     def __repr__(self):
         return f"VectorInvariant({self.vorticity_scheme})"
 
+    def _zeta_v(self, grid, zeta, v):
+        dxv = grid.dx(Center, Face) * v
+        if self.vorticity_scheme == "energy_conserving":
+            return iy_c(zeta * ix_f(dxv)) / grid.dx(Face, Center)
+        return iy_c(zeta) * ix_f(iy_c(dxv)) / grid.dx(Face, Center)
+
+    def _zeta_u(self, grid, zeta, u):
+        dyu = grid.dy(Center, Face) * u
+        if self.vorticity_scheme == "energy_conserving":
+            return ix_c(zeta * iy_f(dyu)) / grid.dy(Face, Center)
+        return ix_c(zeta) * iy_f(ix_c(dyu)) / grid.dy(Face, Center)
+
     def u_tendency(self, grid, u, v, w):
         """−[𝐯·∇u]ₓ at (f,c,c)."""
         zeta = vorticity_z_ff(grid, u, v)   # (f,f,c)
-        # + ζ v̄ˣʸ : enstrophy-conserving form ℑy_c(ζ ℑx_f(v))
-        zeta_v = iy_c(zeta * ix_f(v))
-        # − ∂x K
+        zeta_v = self._zeta_v(grid, zeta, v)
         K = 0.5 * (ix_c(u * u) + iy_c(v * v))
         dKdx = dx_f(K) / grid.dx(Face, Center)
-        # − w ∂z u (vertical advection, at (f,c,c))
         w_fcf = ix_f(w)
         dudz = dz_f(u) / grid.dz(Face)
         w_dudz = iz_c(w_fcf * dudz)
@@ -100,13 +119,56 @@ class VectorInvariant:
 
     def v_tendency(self, grid, u, v, w):
         zeta = vorticity_z_ff(grid, u, v)
-        zeta_u = ix_c(zeta * iy_f(u))
+        zeta_u = self._zeta_u(grid, zeta, u)
         K = 0.5 * (ix_c(u * u) + iy_c(v * v))
         dKdy = dy_f(K) / grid.dy(Face, Center)
         w_cff = iy_f(w)
         dvdz = dz_f(v) / grid.dz(Face)
         w_dvdz = iz_c(w_cff * dvdz)
         return -zeta_u - dKdy - w_dvdz
+
+
+class WENOVectorInvariant(VectorInvariant):
+    """Vector-invariant momentum with the vorticity flux UPWINDED by a
+    WENO reconstruction of ζ along the transverse direction (reference
+    ``VectorInvariantUpwindVorticity``,
+    ``vector_invariant_advection.jl:367-385``: ζᴿ biased by sign(v̂),
+    term = v̂ ζᴿ). The implicit dissipation makes this the scheme of
+    choice for realistic sphere configurations."""
+
+    def __init__(self, vorticity_order=5):
+        from oceananigans_tpu.advection import WENO
+        self.vorticity_scheme = f"weno{vorticity_order}_upwind"
+        self.scheme = WENO(vorticity_order)
+
+    @property
+    def required_halo(self):
+        return max(2, self.scheme.required_halo)
+
+    def __eq__(self, other):
+        return (type(self) is type(other)
+                and self.scheme.order == other.scheme.order)
+
+    def __hash__(self):
+        return hash(("WENOVectorInvariant", self.scheme.order))
+
+    def __repr__(self):
+        return f"WENOVectorInvariant(order={self.scheme.order})"
+
+    def _zeta_v(self, grid, zeta, v):
+        from oceananigans_tpu.advection import _face_value
+        vhat = ix_f(iy_c(grid.dx(Center, Face) * v)) \
+            / grid.dx(Face, Center)
+        # ζ is y-face-located: reconstruct to y-centers (o = 1)
+        zr = _face_value(self.scheme, vhat, zeta, Y, 1)
+        return vhat * zr
+
+    def _zeta_u(self, grid, zeta, u):
+        from oceananigans_tpu.advection import _face_value
+        uhat = iy_f(ix_c(grid.dy(Center, Face) * u)) \
+            / grid.dy(Face, Center)
+        zr = _face_value(self.scheme, uhat, zeta, X, 1)
+        return uhat * zr
 
 
 # ---------------------------------------------------------------------------

@@ -261,3 +261,69 @@ def test_baroclinic_stratified_adjustment_stable():
     assert bool(jnp.all(jnp.isfinite(state.tracers["b"])))
     # front drives a thermal-wind shear
     assert float(jnp.max(jnp.abs(state.u))) > 1e-6
+
+
+def test_vector_invariant_scheme_variants_agree_on_smooth_flow():
+    """enstrophy/energy/WENO-upwind vorticity schemes (reference
+    ``vector_invariant_advection.jl`` variants) all run a smooth
+    lat-lon jet stably and agree closely (upwind dissipation is tiny
+    on resolved flow)."""
+    from oceananigans_tpu import LatitudeLongitudeGrid
+    from oceananigans_tpu.coriolis import HydrostaticSphericalCoriolis
+    from oceananigans_tpu.models.hydrostatic import (
+        VectorInvariant, WENOVectorInvariant,
+    )
+
+    results = []
+    for ma in (VectorInvariant("enstrophy_conserving"),
+               VectorInvariant("energy_conserving"),
+               WENOVectorInvariant(5)):
+        grid = LatitudeLongitudeGrid(size=(24, 12, 3), longitude=(0, 360),
+                                     latitude=(30, 60), z=(-1000, 0),
+                                     halo=3)
+        model = HydrostaticFreeSurfaceModel(
+            grid=grid, momentum_advection=ma,
+            free_surface=ExplicitFreeSurface(),
+            coriolis=HydrostaticSphericalCoriolis(),
+            buoyancy=BuoyancyTracer(), tracers=("b",))
+        state = model.initial_state(
+            b=lambda lam, phi, z: 1e-5 * z
+            + 1e-4 * np.tanh((phi - 45) / 5),
+            u=lambda lam, phi, z: 0.1 / np.cosh((phi - 45) / 5) ** 2)
+        step = jax.jit(lambda s: model.step(s, 120.0))
+        s = state
+        for _ in range(50):
+            s = step(s)
+        ui = np.asarray(grid.interior(jax.block_until_ready(s).u))
+        assert np.isfinite(ui).all()
+        results.append(ui)
+    for other in results[1:]:
+        assert np.abs(other - results[0]).max() \
+            < 0.05 * np.abs(results[0]).max()
+
+
+def test_step_is_differentiable():
+    """jax.grad flows through the full hydrostatic step (the
+    capability the reference needs its Enzyme extension for —
+    ``OceananigansEnzymeExt``; here AD is native)."""
+    grid = RectilinearGrid(size=(16, 1, 4), x=(0, 1e5), y=(0, 1e4),
+                           z=(-100, 0),
+                           topology=(Periodic, Periodic, Bounded),
+                           halo=3)
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=ExplicitFreeSurface())
+
+    def loss(amplitude):
+        state = model.initial_state(
+            eta=lambda x, y: amplitude * jnp.sin(2 * jnp.pi * x / 1e5))
+        s = state
+        for _ in range(5):
+            s = model.step(s, 10.0)
+        return jnp.sum(grid.interior(s.u) ** 2)
+
+    g = jax.grad(loss)(0.1)
+    assert np.isfinite(float(g))
+    # finite-difference cross-check
+    eps = 1e-4
+    fd = (loss(0.1 + eps) - loss(0.1 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
