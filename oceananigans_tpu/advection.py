@@ -101,12 +101,16 @@ def _stretched_axes(grid):
     return axes
 
 
-def _cell_edges(grid, axis):
-    """Halo-extended cell edge coordinates along ``axis`` for
-    CENTER-located data (edge i = face i), length n_total + 1."""
+def _cell_edges(grid, axis, o=0):
+    """Halo-extended source-cell edge coordinates along ``axis``:
+    o = 0 — CENTER-located data (edge i = face i);
+    o = 1 — FACE-located data reconstructed to centers (the dual cells
+    [xC[i-1], xC[i]]; the generator's index alignment matches the +1
+    tap shift the o=1 application applies). Length n_total + 1."""
     name = ("x", "y", "z")[axis]
-    xF = np.asarray(getattr(grid, f"{name}F")).reshape(-1)
-    return np.append(xF, 2 * xF[-1] - xF[-2])
+    arr = getattr(grid, f"{name}F" if o == 0 else f"{name}C")
+    c = np.asarray(arr).reshape(-1)
+    return np.append(c, 2 * c[-1] - c[-2])
 
 
 # WENO sub-stencil reconstruction coefficients and ideal weights, left-biased
@@ -218,15 +222,16 @@ class Centered(AdvectionScheme):
 
     def reconstruct(self, a, axis, o):
         tables = getattr(self, "_tables", None)
-        if tables and axis in tables and o == 0:
-            return _apply_stencil_tables(a, axis, tables[axis], o)
+        if tables and (axis, o) in tables:
+            return _apply_stencil_tables(a, axis, tables[(axis, o)], o)
         return _apply_stencil(a, axis, self._stencil, o)
 
     def bind_grid(self, grid):
-        """Return a copy carrying per-face coefficient tables for the
+        """Return a copy carrying per-point coefficient tables for the
         grid's stretched axes (reference: the stretched-grid coefficient
-        branches of ``reconstruction_coefficients.jl``). Applied to the
-        o == 0 tracer path; momentum keeps uniform coefficients."""
+        branches of ``reconstruction_coefficients.jl``), for both the
+        cell→face (o=0, tracers) and face→center (o=1, momentum)
+        targets."""
         from oceananigans_tpu.ops.reconstruction_coefficients import (
             stretched_reconstruction_tables,
         )
@@ -236,10 +241,11 @@ class Centered(AdvectionScheme):
         new = Centered(self.order)
         new._tables = {}
         for axis in axes:
-            tab = stretched_reconstruction_tables(
-                _cell_edges(grid, axis), sorted(self._stencil))
-            new._tables[axis] = {off: _bcast_table(c, axis)
-                                 for off, c in tab.items()}
+            for o in (0, 1):
+                tab = stretched_reconstruction_tables(
+                    _cell_edges(grid, axis, o), sorted(self._stencil))
+                new._tables[(axis, o)] = {
+                    off: _bcast_table(c, axis) for off, c in tab.items()}
         return new
 
     def __repr__(self):
@@ -262,8 +268,8 @@ class UpwindBiased(AdvectionScheme):
 
     def biased(self, a, axis, o):
         tables = getattr(self, "_tables", None)
-        if tables and axis in tables and o == 0:
-            tl, tr = tables[axis]
+        if tables and (axis, o) in tables:
+            tl, tr = tables[(axis, o)]
             return (_apply_stencil_tables(a, axis, tl, o),
                     _apply_stencil_tables(a, axis, tr, o))
         left = _apply_stencil(a, axis, self._left, o)
@@ -280,14 +286,17 @@ class UpwindBiased(AdvectionScheme):
         new = UpwindBiased(self.order)
         new._tables = {}
         for axis in axes:
-            edges = _cell_edges(grid, axis)
-            tl = stretched_reconstruction_tables(edges,
-                                                 sorted(self._left))
-            tr = stretched_reconstruction_tables(
-                edges, sorted(_mirror(self._left)))
-            new._tables[axis] = (
-                {off: _bcast_table(c, axis) for off, c in tl.items()},
-                {off: _bcast_table(c, axis) for off, c in tr.items()})
+            for o in (0, 1):
+                edges = _cell_edges(grid, axis, o)
+                tl = stretched_reconstruction_tables(edges,
+                                                     sorted(self._left))
+                tr = stretched_reconstruction_tables(
+                    edges, sorted(_mirror(self._left)))
+                new._tables[(axis, o)] = (
+                    {off: _bcast_table(c, axis)
+                     for off, c in tl.items()},
+                    {off: _bcast_table(c, axis)
+                     for off, c in tr.items()})
         return new
 
     def __repr__(self):
@@ -346,11 +355,11 @@ class WENO(AdvectionScheme):
         else:
             s = shifts
         tables = getattr(self, "_tables", None)
-        if tables and axis in tables and o == 0:
-            # stretched grid: per-face sub-stencil coefficients + ideal
+        if tables and (axis, o) in tables:
+            # stretched grid: per-point sub-stencil coefficients + ideal
             # weights; smoothness indicators keep the uniform forms (the
             # standard nonuniform-mesh practice)
-            subs, gammas = tables[axis][1 if reflect else 0]
+            subs, gammas = tables[(axis, o)][1 if reflect else 0]
             qs = [_apply_stencil_shifted(shifts, sub) for sub in subs]
             if self._beta_forms is None:
                 betas = _WENO_BETAS[order](s)
@@ -406,17 +415,18 @@ class WENO(AdvectionScheme):
         new = WENO(self.order, self.epsilon)
         new._tables = {}
         for axis in axes:
-            edges = _cell_edges(grid, axis)
-            per_side = []
-            for side in ("left", "right"):
-                subs_np, gam = weno_stretched_tables(edges, self.order,
-                                                     side=side)
-                subs = [{off: _bcast_table(c, axis)
-                         for off, c in t.items()} for t in subs_np]
-                gammas = [_bcast_table(gam[r].copy(), axis)
-                          for r in range(k)]
-                per_side.append((subs, gammas))
-            new._tables[axis] = tuple(per_side)
+            for o in (0, 1):
+                edges = _cell_edges(grid, axis, o)
+                per_side = []
+                for side in ("left", "right"):
+                    subs_np, gam = weno_stretched_tables(
+                        edges, self.order, side=side)
+                    subs = [{off: _bcast_table(c, axis)
+                             for off, c in t.items()} for t in subs_np]
+                    gammas = [_bcast_table(gam[r].copy(), axis)
+                              for r in range(k)]
+                    per_side.append((subs, gammas))
+                new._tables[(axis, o)] = tuple(per_side)
         return new
 
     def __eq__(self, other):

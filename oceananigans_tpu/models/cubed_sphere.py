@@ -122,19 +122,27 @@ class CubedSphereShallowWaterModel:
                  tracer_advection=None,
                  tracers=(),
                  prescribed_velocities=False,
-                 vorticity_scheme="upwind"):
+                 vorticity_scheme="hybrid_upwind",
+                 corner_upwind_width=4):
         self.grid = grid
         self.g = float(gravitational_acceleration)
         self.rotation_rate = float(rotation_rate or 0.0)
         self.tracer_advection = tracer_advection or Centered(2)
         self.tracer_names = tuple(tracers)
         self.prescribed_velocities = bool(prescribed_velocities)
-        #: "upwind" (default): upwind-selected potential vorticity in the
-        #: q-flux — the implicit enstrophy dissipation that keeps the
-        #: corner-adjacent cells (where conformal-corner truncation is
-        #: scale-invariant O(1)) from driving an inviscid instability;
-        #: "energy_conserving": Sadourny centered form.
+        #: potential-vorticity flux scheme. The conformal-corner
+        #: truncation is scale-invariant O(1), so the q-flux needs
+        #: implicit dissipation there; away from corners higher order
+        #: pays off directly in the Williamson-2 error:
+        #: - "hybrid_upwind" (default): first-order upwind within
+        #:   ``corner_upwind_width`` cells of each cube corner,
+        #:   3rd-order UpwindBiased elsewhere (C32 W2 5-day L2 0.24%
+        #:   vs 2.0% for pure first-order; pure 3rd order blows up).
+        #: - "upwind": first-order everywhere (most robust).
+        #: - "energy_conserving": Sadourny centered form (inviscid;
+        #:   unstable at the corners — for planar/testing use).
         self.vorticity_scheme = vorticity_scheme
+        self.corner_upwind_width = int(corner_upwind_width)
 
         g = grid.panel_grid
         N, H = grid.N_panel, g.Hx
@@ -163,6 +171,11 @@ class CubedSphereShallowWaterModel:
         mv = np.zeros((nx, ny, 1))
         mv[H:H + N, H:H + N + 1] = 1.0
         self._mask_c, self._mask_u, self._mask_v = mc, mu, mv
+        idx = np.arange(nx)
+        near = (idx < H + self.corner_upwind_width) \
+            | (idx >= H + N - self.corner_upwind_width)
+        self._corner_mask = (near[:, None]
+                             & near[None, :]).astype(float)[..., None]
 
     # ------------------------------------------------------------------
     def initial_state(self, u=None, v=None, h=1.0, time=0.0, **tracers):
@@ -235,14 +248,25 @@ class CubedSphereShallowWaterModel:
         q = (zeta + f_ff) / (h_ff + eps)
         K = 0.5 * (ix_c(u * u) + iy_c(v * v))
         phi = K + self.g * h
-        if self.vorticity_scheme == "upwind":
-            Vu = iy_c(ix_f(V))          # transport at the u point
-            qn = jnp.roll(q, -1, 1)     # q at the northern ff point
-            q_up = jnp.where(Vu >= 0, q, qn)
+        if self.vorticity_scheme in ("upwind", "hybrid_upwind"):
+            # length-weighted transverse transports (same metric
+            # weighting as the reference's vector-invariant forms)
+            Vu = ix_f(iy_c(g.dx(Center, Face) * V)) / g.dx(Face, Center)
+            Uv = iy_f(ix_c(g.dy(Center, Face) * U)) / g.dy(Face, Center)
+            q1y = jnp.where(Vu >= 0, q, jnp.roll(q, -1, 1))
+            q1x = jnp.where(Uv >= 0, q, jnp.roll(q, -1, 0))
+            if self.vorticity_scheme == "hybrid_upwind":
+                from oceananigans_tpu.advection import (
+                    UpwindBiased, _face_value,
+                )
+                cm = jnp.asarray(self._corner_mask, q.dtype)
+                ub3 = UpwindBiased(3)
+                q_up = cm * q1y + (1 - cm) * _face_value(ub3, Vu, q, 1, 1)
+                q_upx = cm * q1x \
+                    + (1 - cm) * _face_value(ub3, Uv, q, 0, 1)
+            else:
+                q_up, q_upx = q1y, q1x
             Gu = q_up * Vu - dx_f(phi) / g.dx(Face, Center)
-            Uv = ix_c(iy_f(U))
-            qe = jnp.roll(q, -1, 0)
-            q_upx = jnp.where(Uv >= 0, q, qe)
             Gv = -q_upx * Uv - dy_f(phi) / g.dy(Face, Center)
         else:
             Gu = iy_c(q * ix_f(V)) - dx_f(phi) / g.dx(Face, Center)
@@ -397,7 +421,9 @@ class CubedSphereHydrostaticModel:
                  gravitational_acceleration=g_Earth,
                  rotation_rate=OMEGA_EARTH,
                  tracer_advection=None,
-                 tracers=("b",)):
+                 tracers=("b",),
+                 corner_upwind_width=4):
+        self.corner_upwind_width = int(corner_upwind_width)
         self.grid = grid
         self.g = float(gravitational_acceleration)
         self.rotation_rate = float(rotation_rate or 0.0)
@@ -422,6 +448,11 @@ class CubedSphereHydrostaticModel:
         mv = np.zeros((nx, ny, 1))
         mv[H:H + N, H:H + N + 1] = 1.0
         self._mask_c, self._mask_u, self._mask_v = mc, mu, mv
+        idx = np.arange(nx)
+        near = (idx < H + self.corner_upwind_width) \
+            | (idx >= H + N - self.corner_upwind_width)
+        self._corner_mask = (near[:, None]
+                             & near[None, :]).astype(float)[..., None]
 
     # ------------------------------------------------------------------
     def initial_state(self, u=None, v=None, eta=0.0, time=0.0, **tracers):
@@ -507,18 +538,25 @@ class CubedSphereHydrostaticModel:
         b = tracers.get("b")
         p = self._panel_pressure(b) if b is not None else 0.0
         phi = K + p + self.g * eta
+        from oceananigans_tpu.advection import (
+            UpwindBiased, _face_value,
+        )
         from oceananigans_tpu.ops.operators import dz_f, iz_c
-        # upwinded (zeta + f) flux (the corner-adjacent conformal
-        # truncation needs the implicit enstrophy dissipation)
-        Vu = iy_c(ix_f(v))
-        qn = jnp.roll(q, -1, 1)
-        q_up = jnp.where(Vu >= 0, q, qn)
+        # hybrid upwinded (zeta + f) flux: first order in the
+        # corner-adjacent region (scale-invariant conformal-corner
+        # truncation needs the dissipation), 3rd-order elsewhere;
+        # length-weighted transverse velocities
+        Vu = ix_f(iy_c(g.dx(Center, Face) * v)) / g.dx(Face, Center)
+        Uv = iy_f(ix_c(g.dy(Center, Face) * u)) / g.dy(Face, Center)
+        cm = jnp.asarray(self._corner_mask, q.dtype)
+        ub3 = UpwindBiased(3)
+        q1y = jnp.where(Vu >= 0, q, jnp.roll(q, -1, 1))
+        q1x = jnp.where(Uv >= 0, q, jnp.roll(q, -1, 0))
+        q_up = cm * q1y + (1 - cm) * _face_value(ub3, Vu, q, 1, 1)
+        q_upx = cm * q1x + (1 - cm) * _face_value(ub3, Uv, q, 0, 1)
         dudz = dz_f(u) / g.dz(Face)
         Gu = q_up * Vu - dx_f(phi) / g.dx(Face, Center) \
             - iz_c(ix_f(w) * dudz)
-        Uv = ix_c(iy_f(u))
-        qe = jnp.roll(q, -1, 0)
-        q_upx = jnp.where(Uv >= 0, q, qe)
         dvdz = dz_f(v) / g.dz(Face)
         Gv = -q_upx * Uv - dy_f(phi) / g.dy(Face, Center) \
             - iz_c(iy_f(w) * dvdz)

@@ -205,6 +205,12 @@ class NonhydrostaticModel:
     def initial_state(self, time=0.0, **field_values):
         g = self.grid
         dtype = g.xC.dtype
+        allowed = {"u", "v", "w"} | set(self.tracer_names)
+        unknown = set(field_values) - allowed
+        if unknown:
+            raise ValueError(
+                f"unknown initial_state fields {sorted(unknown)}; "
+                f"this model takes {sorted(allowed)}")
 
         def mk(name, loc):
             if name in field_values:

@@ -143,6 +143,14 @@ class ShallowWaterModel:
     def initial_state(self, time=0.0, **field_values):
         g = self.grid
         dtype = g.xC.dtype
+        vel = ("uh", "vh") if self.formulation == ConservativeFormulation \
+            else ("u", "v")
+        allowed = set(vel) | {"h"} | set(self.tracer_names)
+        unknown = set(field_values) - allowed
+        if unknown:
+            raise ValueError(
+                f"unknown initial_state fields {sorted(unknown)}; "
+                f"this formulation takes {sorted(allowed)}")
 
         def mk(name, loc, default=0.0):
             if name in field_values:
@@ -237,13 +245,23 @@ class ShallowWaterModel:
                 Gvh = Gvh - self.coriolis.y_f_cross_U(g, state.uh, state.vh,
                                                       jnp.zeros_like(h))
         else:
-            # vector-invariant: ∂t u = (ζ+f) v̄ − ∂x(K + g(h+b))
+            # vector-invariant: ∂t u = ζ v̂ − ∂x(K + g(h+b)) with the
+            # length-weighted v̂ and scheme dispatch shared with the
+            # hydrostatic model (reference: the SW model reuses
+            # ``horizontal_advection_U`` + ``bernoulli_head_U`` from
+            # ``vector_invariant_advection.jl``)
+            from oceananigans_tpu.models.hydrostatic import (
+                VectorInvariant,
+            )
+            vi = self.momentum_advection if isinstance(
+                self.momentum_advection, VectorInvariant) \
+                else VectorInvariant()
             zeta = vorticity_z_ff(g, u, v)
             K = 0.5 * (ix_c(u * u) + iy_c(v * v))
             phi = K + self.g * eta
-            Guh = iy_c(zeta * ix_f(V)) / ix_f(h) \
+            Guh = vi._zeta_v(g, zeta, v) \
                 - dx_f(phi) / g.dx(Face, Center)
-            Gvh = -ix_c(zeta * iy_f(U)) / iy_f(h) \
+            Gvh = -vi._zeta_u(g, zeta, u) \
                 - dy_f(phi) / g.dy(Face, Center)
             if self.coriolis is not None:
                 Guh = Guh - self.coriolis.x_f_cross_U(g, u, v,

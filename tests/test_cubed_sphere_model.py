@@ -113,6 +113,9 @@ def test_williamson2_geostrophic_balance():
     h1 = np.asarray(s.h)[:, sx, sy, 0]
     assert np.isfinite(h1).all()
     rel = np.abs(h1 - h_ex).max() / h0
+    # At C16 the 4-cell corner-upwind band covers half of each edge so
+    # the hybrid flux's gains are limited (at C32 the 5-day L2 drops
+    # 2.0% -> 0.24%); this coarse fast test just guards stability/shape
     assert rel < 0.02                           # stays near steady state
     m1 = float(model.total_mass(s))
     assert abs(m1 - m0) / m0 < 1e-12            # edge-synced fluxes

@@ -65,4 +65,32 @@ def test_uniform_tables_noop_on_regular_grid():
                             topology=(Periodic, Flat, Bounded), halo=3)
     model = NonhydrostaticModel(grid=g_str, advection=Centered(4))
     assert getattr(model.advection, "_tables", None)
-    assert 2 in model.advection._tables          # z axis tabulated
+    assert (2, 0) in model.advection._tables     # z axis tabulated
+    assert (2, 1) in model.advection._tables     # face->center too
+
+
+def test_o1_face_to_center_stretched_is_fourth_order():
+    """The o=1 (face-located data → centers) target, used by the
+    momentum flux assemblies, also gets per-point tables."""
+    def errs(N, bind):
+        r = np.linspace(0, 1, N + 1)
+        xf = r + 0.15 * np.sin(2 * np.pi * r) / (2 * np.pi)
+        grid = RectilinearGrid(size=(N,), x=np.asarray(xf),
+                               topology=(Periodic, Flat, Flat), halo=4)
+        sch = Centered(4)
+        if bind:
+            sch = sch.bind_grid(grid)
+        xC = np.asarray(grid.xC).reshape(-1)
+        prim = -np.cos(2 * np.pi * xC) / (2 * np.pi)
+        u = np.zeros(grid.shape[0])
+        u[1:] = np.diff(prim) / np.diff(xC)
+        u[0] = u[grid.N[0]]
+        val = np.asarray(sch.reconstruct(
+            jnp.asarray(u).reshape(grid.shape), 0, 1)).ravel()
+        sx = grid.interior_slices[0]
+        return np.abs(val[sx] - np.sin(2 * np.pi * xC)[sx]).max()
+
+    e_uni = [errs(N, False) for N in (32, 64)]
+    e_tab = [errs(N, True) for N in (32, 64)]
+    assert np.log2(e_uni[0] / e_uni[1]) < 3.0       # uniform plateaus
+    assert np.log2(e_tab[0] / e_tab[1]) > 3.5       # tables restore 4th
