@@ -1,0 +1,151 @@
+"""TPU-vs-CPU correctness smoke harness.
+
+The CPU test suite cannot catch TPU-backend-specific miscompilations
+(e.g. the composed FFT chain that returned periodic modes at half
+amplitude). This script runs short versions of the main model paths on
+the DEFAULT backend and writes/compares field snapshots against a CPU
+reference:
+
+    python tools/tpu_smoke.py generate     # on CPU: write references
+    python tools/tpu_smoke.py check        # on TPU: compare
+
+All comparisons are float32-roundoff-level (atol listed per case).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+OUT = "/tmp/tpu_smoke"
+
+
+def _cases():
+    import jax
+    import jax.numpy as jnp
+
+    from oceananigans_tpu import (
+        Bounded, BuoyancyTracer, Periodic, RectilinearGrid,
+    )
+    from oceananigans_tpu.advection import WENO
+    from oceananigans_tpu.models import (
+        HydrostaticFreeSurfaceModel, NonhydrostaticModel,
+    )
+    from oceananigans_tpu.models.hydrostatic import ImplicitFreeSurface
+
+    def nonhydro():
+        grid = RectilinearGrid(size=(64, 64, 64), extent=(1.0, 1.0, 1.0),
+                               topology=(Bounded, Periodic, Periodic),
+                               halo=(1, 0, 0), dtype="float32")
+        model = NonhydrostaticModel(grid=grid,
+                                    timestepper="QuasiAdamsBashforth2")
+        state = model.initial_state(
+            v=lambda x, y, z: 0.1 * jnp.sin(4 * np.pi * x)
+            * jnp.cos(2 * np.pi * y) * jnp.cos(2 * np.pi * z))
+        step = jax.jit(lambda s: model.step(s, jnp.float32(1e-3)))
+        s = state
+        for _ in range(20):
+            s = step(s)
+        s = jax.block_until_ready(s)
+        return {"u": np.asarray(s.u), "w": np.asarray(s.w)}
+
+    def nonhydro_weno():
+        grid = RectilinearGrid(size=(48, 48, 48), extent=(1.0, 1.0, 1.0),
+                               topology=(Bounded, Periodic, Periodic),
+                               halo=(3, 0, 0), dtype="float32")
+        model = NonhydrostaticModel(grid=grid, advection=WENO(5),
+                                    tracers=("b",),
+                                    buoyancy=BuoyancyTracer())
+        state = model.initial_state(
+            u=lambda x, y, z: 0.1 * jnp.sin(2 * np.pi * y)
+            * jnp.cos(2 * np.pi * z),
+            b=lambda x, y, z: 0.01 * jnp.cos(2 * np.pi * x))
+        step = jax.jit(lambda s: model.step(s, jnp.float32(2e-3)))
+        s = state
+        for _ in range(10):
+            s = step(s)
+        s = jax.block_until_ready(s)
+        return {"u": np.asarray(s.u), "b": np.asarray(s.tracers["b"])}
+
+    def hydro_implicit():
+        grid = RectilinearGrid(size=(48, 24, 4), x=(0, 1e5), y=(0, 5e4),
+                               z=(-100, 0),
+                               topology=(Periodic, Bounded, Bounded),
+                               halo=3, dtype="float32")
+        model = HydrostaticFreeSurfaceModel(
+            grid=grid,
+            free_surface=ImplicitFreeSurface(solver_method="fft"))
+        state = model.initial_state(
+            eta=lambda x, y: 0.1 * np.sin(2 * np.pi * x / 1e5)
+            * np.cos(np.pi * y / 5e4))
+        step = jax.jit(lambda s: model.step(s, jnp.float32(50.0)))
+        s = state
+        for _ in range(20):
+            s = step(s)
+        s = jax.block_until_ready(s)
+        return {"eta": np.asarray(s.eta), "u": np.asarray(s.u)}
+
+    def cubed_sphere():
+        from oceananigans_tpu.grids.cubed_sphere_grid import (
+            ConformalCubedSphereGrid,
+        )
+        from oceananigans_tpu.models.cubed_sphere import (
+            CubedSphereShallowWaterModel, panel_vector_components,
+        )
+        a = 6.37122e6
+        u0 = 2 * np.pi * a / (12 * 86400)
+        grid = ConformalCubedSphereGrid((16, 1), z=(-1.0, 0.0), radius=a,
+                                        halo=3)
+        model = CubedSphereShallowWaterModel(grid)
+        u, v = panel_vector_components(
+            grid, lambda P: np.cross(np.array([0.0, 0.0, u0 / a]),
+                                     P * a))
+        state = model.initial_state(u=u, v=v, h=3000.0)
+        step = jax.jit(lambda s: model.step(s, jnp.float32(300.0)))
+        s = state
+        for _ in range(10):
+            s = step(s)
+        s = jax.block_until_ready(s)
+        return {"h": np.asarray(s.h), "u": np.asarray(s.u)}
+
+    return {"nonhydro": (nonhydro, 5e-6),
+            "nonhydro_weno": (nonhydro_weno, 5e-6),
+            "hydro_implicit": (hydro_implicit, 5e-5),
+            "cubed_sphere": (cubed_sphere, 5e-2)}   # h ~ 3000 m scale
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "check"
+    if mode == "generate":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    os.makedirs(OUT, exist_ok=True)
+    cases = _cases()
+    failed = []
+    for name, (fn, atol) in cases.items():
+        out = fn()
+        path = os.path.join(OUT, f"{name}.npz")
+        if mode == "generate":
+            np.savez_compressed(path, **out)
+            print(f"[generate] {name}: wrote {path}", flush=True)
+            continue
+        with np.load(path) as ref:
+            for field in ref.files:
+                d = np.abs(out[field].astype(np.float64)
+                           - ref[field].astype(np.float64)).max()
+                status = "OK " if d <= atol else "FAIL"
+                if d > atol:
+                    failed.append((name, field, d))
+                print(f"[check] {name}/{field}: max|diff| {d:.3e} "
+                      f"(atol {atol:g}) {status}", flush=True)
+    if failed:
+        sys.exit(f"TPU smoke FAILURES: {failed}")
+    if mode == "check":
+        print("TPU smoke: all cases match CPU references")
+
+
+if __name__ == "__main__":
+    main()
