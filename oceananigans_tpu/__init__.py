@@ -40,7 +40,8 @@ from oceananigans_tpu.boundary_conditions import (
     fill_halo_regions,
 )
 from oceananigans_tpu.fields import (
-    new_field, set_field, interior, with_interior,
+    new_field, set_field,
+    FunctionField, ConstantField, ZeroField, interior, with_interior,
     field_mean, field_max, field_min, field_abs_max, field_integral,
     interpolate,
     LOC_U, LOC_V, LOC_W, LOC_C,

@@ -186,3 +186,29 @@ def interpolate(grid, a, loc, x, y, z):
             + fx * (1 - fy) * fz * g(1, 0, 1)
             + (1 - fx) * fy * fz * g(0, 1, 1)
             + fx * fy * fz * g(1, 1, 1))
+
+
+# ---------------------------------------------------------------------------
+# Lazy analytic fields (reference ``function_field.jl``,
+# ``constant_field.jl``). In the functional design a "lazy field" IS a
+# callable of the grid coordinates — these constructors exist for API
+# parity and to document that equivalence. They can be passed anywhere a
+# field-valued argument is accepted (initial conditions, background
+# fields, forcings).
+# ---------------------------------------------------------------------------
+
+def FunctionField(fn):
+    """A lazy field defined by ``fn(x, y, z)`` (or ``fn(x, y, z, t)``
+    where time-dependence is supported, e.g. background fields)."""
+    return fn
+
+
+def ConstantField(value):
+    """A lazy field with a uniform value."""
+    def fn(*coords):
+        return value + 0.0 * coords[0]
+    return fn
+
+
+def ZeroField():
+    return ConstantField(0.0)

@@ -284,10 +284,18 @@ class ImmersedPoissonSolver:
     operator only reads one ring, and masks are halo-consistent)."""
 
     def __init__(self, grid, preconditioner=None, maxiter=None,
-                 reltol=1e-8):
+                 reltol=None):
         from oceananigans_tpu.solvers.fft_poisson import FFTPoissonSolver
         self.grid = grid
         base = grid.underlying_grid
+        # dtype-aware default: 1e-8 is unreachable in float32 (the CG
+        # stalls at the precision floor; with the old unguarded
+        # divisions it then produced NaN)
+        if reltol is None:
+            import numpy as _np
+            from oceananigans_tpu.config import config as _cfg
+            reltol = 1e-8 if _np.dtype(_cfg.float_dtype).itemsize >= 8 \
+                else 2e-5
         self.reltol = reltol
         # the FFT preconditioner approximates the UNSCALED Laplacian; with
         # partial-cell dz scaling it is inconsistent with the operator and

@@ -40,12 +40,18 @@ def conjugate_gradient(A, b, x0, *, preconditioner=None, maxiter=100,
     def body(carry):
         x, r, p, rz, it, _ = carry
         Ap = A(p)
-        alpha = rz / _dot(p, Ap)
+        # breakdown-safe divisions: once the Krylov process stalls at
+        # the dtype's precision floor (p·Ap or rz underflow — routine in
+        # float32), take a zero step instead of producing inf/NaN
+        pAp = _dot(p, Ap)
+        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp == 0, 1.0, pAp),
+                          0.0)
         x = jax.tree_util.tree_map(lambda xi, pi: xi + alpha * pi, x, p)
         r = jax.tree_util.tree_map(lambda ri, Api: ri - alpha * Api, r, Ap)
         z = preconditioner(r)
         rz_new = _dot(r, z)
-        beta = rz_new / rz
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz == 0, 1.0, rz),
+                         0.0)
         p = jax.tree_util.tree_map(lambda zi, pi: zi + beta * pi, z, p)
         return (x, r, p, rz_new, it + 1, jnp.sqrt(_dot(r, r)))
 

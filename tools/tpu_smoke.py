@@ -111,10 +111,54 @@ def _cases():
         s = jax.block_until_ready(s)
         return {"h": np.asarray(s.h), "u": np.asarray(s.u)}
 
+    def tripolar():
+        from oceananigans_tpu.grids.orthogonal import TripolarGrid
+        from oceananigans_tpu.models.hydrostatic import (
+            ExplicitFreeSurface,
+        )
+        grid = TripolarGrid(size=(32, 16, 3),
+                            southernmost_latitude=-75.0,
+                            z=(-1000.0, 0.0), halo=2, dtype="float32")
+        model = HydrostaticFreeSurfaceModel(
+            grid=grid, free_surface=ExplicitFreeSurface(),
+            tracers=("c",))
+        state = model.initial_state(
+            c=lambda lam, phi, z: np.cos(np.deg2rad(phi)) + 0 * lam,
+            eta=lambda lam, phi: 0.1 * np.sin(np.deg2rad(lam)))
+        step = jax.jit(lambda s: model.step(s, jnp.float32(60.0)))
+        s = state
+        for _ in range(10):
+            s = step(s)
+        s = jax.block_until_ready(s)
+        return {"eta": np.asarray(s.eta),
+                "c": np.asarray(s.tracers["c"])}
+
+    def immersed():
+        from oceananigans_tpu.immersed import (
+            GridFittedBottom, ImmersedBoundaryGrid,
+        )
+        base = RectilinearGrid(size=(32, 1, 16), x=(0.0, 2.0),
+                               y=(0.0, 1.0), z=(-1.0, 0.0),
+                               topology=(Periodic, Periodic, Bounded),
+                               halo=2, dtype="float32")
+        grid = ImmersedBoundaryGrid(
+            base, GridFittedBottom(
+                lambda x, y: -1.0 + 0.4 * np.exp(-((x - 1) / 0.3) ** 2)))
+        model = NonhydrostaticModel(grid=grid)
+        state = model.initial_state(u=lambda x, y, z: 0.1 + 0 * x)
+        step = jax.jit(lambda s: model.step(s, jnp.float32(5e-3)))
+        s = state
+        for _ in range(10):
+            s = step(s)
+        s = jax.block_until_ready(s)
+        return {"u": np.asarray(s.u), "w": np.asarray(s.w)}
+
     return {"nonhydro": (nonhydro, 5e-6),
             "nonhydro_weno": (nonhydro_weno, 5e-6),
             "hydro_implicit": (hydro_implicit, 5e-5),
-            "cubed_sphere": (cubed_sphere, 5e-2)}   # h ~ 3000 m scale
+            "cubed_sphere": (cubed_sphere, 5e-2),   # h ~ 3000 m scale
+            "tripolar": (tripolar, 5e-5),
+            "immersed": (immersed, 5e-5)}
 
 
 def main():
@@ -136,8 +180,9 @@ def main():
             for field in ref.files:
                 d = np.abs(out[field].astype(np.float64)
                            - ref[field].astype(np.float64)).max()
-                status = "OK " if d <= atol else "FAIL"
-                if d > atol:
+                ok = bool(d <= atol)          # NaN-safe: NaN fails
+                status = "OK " if ok else "FAIL"
+                if not ok:
                     failed.append((name, field, d))
                 print(f"[check] {name}/{field}: max|diff| {d:.3e} "
                       f"(atol {atol:g}) {status}", flush=True)
