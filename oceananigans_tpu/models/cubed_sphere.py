@@ -347,6 +347,7 @@ class CubedSphereShallowWaterModel:
     def step(self, state, dt):
         """RK3 with per-stage inter-panel halo exchange (the reference's
         multi-region fill between substeps)."""
+        dt = jnp.asarray(dt, state.h.dtype)
         G_prev = (state.Gu, state.Gv, state.Gh, state.Gtracers)
         for gamma, zeta in RK3_STAGES:
             state = self.fill_state_halos(state)
@@ -629,6 +630,7 @@ class CubedSphereHydrostaticModel:
     # ------------------------------------------------------------------
     def step(self, state, dt):
         """SSP (Shu-Osher) RK3 with per-stage exchange."""
+        dt = jnp.asarray(dt, state.u.dtype)
         psi = (state.u, state.v, state.eta,
                {n: state.tracers[n] for n in self.tracer_names})
         s = state

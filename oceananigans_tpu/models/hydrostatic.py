@@ -222,8 +222,10 @@ class SplitExplicitFreeSurface:
                  averaging_kernel=averaging_shape_function):
         self.g = float(gravitational_acceleration)
         self.substeps = int(substeps)
-        self.fractional_step, w = weights_from_substeps(self.substeps,
-                                                        averaging_kernel)
+        frac, w = weights_from_substeps(self.substeps, averaging_kernel)
+        # python float, not np.float64: a numpy scalar would strongly
+        # promote float32 state to float64 under jax_enable_x64
+        self.fractional_step = float(frac)
         self.weights = tuple(float(x) for x in w)
 
     def __eq__(self, other):
@@ -964,6 +966,9 @@ class HydrostaticFreeSurfaceModel:
 
     # ------------------------------------------------------------------
     def step(self, state, dt, chi=0.1):
+        # normalize dt to the state dtype: a numpy float64 scalar would
+        # strongly promote a float32 state under jax_enable_x64
+        dt = jnp.asarray(dt, state.u.dtype)
         if self.timestepper == "split_rk3":
             return self._step_split_rk3(state, dt)
         return self._step_qab2(state, dt, chi)

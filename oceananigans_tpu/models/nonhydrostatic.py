@@ -456,6 +456,7 @@ class NonhydrostaticModel:
     # ---------------------------------------------------------------------
     def step(self, state, dt):
         """One full time step (pure; jit me)."""
+        dt = jnp.asarray(dt, state.u.dtype)
         if self.timestepper == "RungeKutta3":
             state = self.rk3_step(state, dt)
         elif self.timestepper == "QuasiAdamsBashforth2":

@@ -302,6 +302,7 @@ class ShallowWaterModel:
     def step(self, state, dt):
         """RK3 (the reference's only SW stepper,
         ``rk3_substep_shallow_water_model.jl``)."""
+        dt = jnp.asarray(dt, state.h.dtype)
         G_prev = (state.Guh, state.Gvh, state.Gh, state.Gtracers)
         for gamma, zeta in RK3_STAGES:
             state = self.fill_state_halos(state)
