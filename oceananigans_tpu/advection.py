@@ -580,15 +580,54 @@ def _face_value(scheme, U, a, axis, o):
                                             0.5 * (left + right)))
 
 
+def _near_boundary(a_solid, scheme, axis, o):
+    """True where the scheme's full stencil touches a solid value of the
+    reconstructed field (offsets [-R, R-1] for face targets, [-(R-1), R]
+    for center targets, R = the scheme's buffer size)."""
+    R = required_halo(scheme)
+    lo, hi = (-R, R - 1) if o == 0 else (-(R - 1), R)
+    near = None
+    for n in range(lo, hi + 1):
+        s = shift(a_solid, n, axis)
+        near = s if near is None else (near | s)
+    return near
+
+
+def _face_value_ib(grid, scheme, U, a, axis, o, a_loc):
+    """Immersed-aware reconstruction: where the full stencil touches a
+    solid cell, fall back to the 2-point scheme, whose stencil reads only
+    the two adjacent values and therefore never reads solid data at a wet
+    flux point. Whole-array form of the reference's recursive
+    ``buffer_scheme`` fallback (``immersed_advective_fluxes.jl:186-220``:
+    ifelse(near_boundary, lower-order, full); this is a single-step
+    cascade straight to the lowest order rather than one order at a
+    time)."""
+    from oceananigans_tpu.immersed import solid_mask_at
+    fv = _face_value(scheme, U, a, axis, o)
+    if required_halo(scheme) <= 1:
+        return fv
+    a_solid = solid_mask_at(grid, a_loc)
+    if a_solid is None:
+        return fv
+    near = _near_boundary(a_solid, scheme, axis, o)
+    fb = Centered(2) if getattr(scheme, "symmetric", False) \
+        else UpwindBiased(1)
+    return jnp.where(near, _face_value(fb, U, a, axis, o), fv)
+
+
 def div_Uc(grid, scheme, u, v, w, c):
     """Tracer advective flux divergence ∇·(𝐯c) at (c,c,c) (reference
     ``tracer_advection_operators.jl`` `div_Uc`)."""
     if scheme is None:
         return jnp.zeros_like(c)
     sx, sy, sz = (_scheme_for(scheme, ax) for ax in range(3))
-    fx = grid.Ax(Face, Center, Center) * u * _face_value(sx, u, c, X, 0)
-    fy = grid.Ay(Center, Face, Center) * v * _face_value(sy, v, c, Y, 0)
-    fz = grid.Az(Center, Center) * w * _face_value(sz, w, c, Z, 0)
+    LC = (Center, Center, Center)
+    fx = grid.Ax(Face, Center, Center) * u * _face_value_ib(grid, sx, u, c,
+                                                            X, 0, LC)
+    fy = grid.Ay(Center, Face, Center) * v * _face_value_ib(grid, sy, v, c,
+                                                            Y, 0, LC)
+    fz = grid.Az(Center, Center) * w * _face_value_ib(grid, sz, w, c,
+                                                      Z, 0, LC)
     return (dx_c(fx) + dy_c(fy) + dz_c(fz)) / grid.V(Center, Center, Center)
 
 
@@ -600,15 +639,22 @@ def div_vu(grid, scheme, u, v, w, uq=None):
         return jnp.zeros_like(u)
     uq = u if uq is None else uq
     sx, sy, sz = (_scheme_for(scheme, ax) for ax in range(3))
+    LU = (Face, Center, Center)
     # x-flux at (c,c,c): ℑx_c(Ax u) advects u landing on centers (o=1)
     Uadv = ix_c(grid.Ax(Face, Center, Center) * u)
-    fxx = Uadv * _face_value(sx, Uadv, uq, X, 1)
+    fxx = Uadv * _face_value_ib(grid, sx, Uadv, uq, X, 1, LU)
     # y-flux at (f,f,c): ℑx_f(Ay v) advects u landing on y-faces (o=0)
     Vadv = ix_f(grid.Ay(Center, Face, Center) * v)
-    fxy = Vadv * _face_value(sy, Vadv, uq, Y, 0)
+    fxy = Vadv * _face_value_ib(grid, sy, Vadv, uq, Y, 0, LU)
     # z-flux at (f,c,f): ℑx_f(Az w) advects u landing on z-faces (o=0)
     Wadv = ix_f(grid.Az(Center, Center) * w)
-    fxz = Wadv * _face_value(sz, Wadv, uq, Z, 0)
+    fxz = Wadv * _face_value_ib(grid, sz, Wadv, uq, Z, 0, LU)
+    # on immersed grids, zero the cross-term fluxes whose transverse
+    # averaging leaks across the boundary (reference
+    # ``immersed_advective_fluxes.jl`` conditional fluxes)
+    from oceananigans_tpu.immersed import mask_flux
+    fxy = mask_flux(grid, fxy, (Face, Face, Center))
+    fxz = mask_flux(grid, fxz, (Face, Center, Face))
     return (dx_f(fxx) + dy_c(fxy) + dz_c(fxz)) / grid.V(Face, Center, Center)
 
 
@@ -618,12 +664,16 @@ def div_vv(grid, scheme, u, v, w, vq=None):
         return jnp.zeros_like(v)
     vq = v if vq is None else vq
     sx, sy, sz = (_scheme_for(scheme, ax) for ax in range(3))
+    LV = (Center, Face, Center)
     Uadv = iy_f(grid.Ax(Face, Center, Center) * u)
-    fyx = Uadv * _face_value(sx, Uadv, vq, X, 0)
+    fyx = Uadv * _face_value_ib(grid, sx, Uadv, vq, X, 0, LV)
     Vadv = iy_c(grid.Ay(Center, Face, Center) * v)
-    fyy = Vadv * _face_value(sy, Vadv, vq, Y, 1)
+    fyy = Vadv * _face_value_ib(grid, sy, Vadv, vq, Y, 1, LV)
     Wadv = iy_f(grid.Az(Center, Center) * w)
-    fyz = Wadv * _face_value(sz, Wadv, vq, Z, 0)
+    fyz = Wadv * _face_value_ib(grid, sz, Wadv, vq, Z, 0, LV)
+    from oceananigans_tpu.immersed import mask_flux
+    fyx = mask_flux(grid, fyx, (Face, Face, Center))
+    fyz = mask_flux(grid, fyz, (Center, Face, Face))
     return (dx_c(fyx) + dy_f(fyy) + dz_c(fyz)) / grid.V(Center, Face, Center)
 
 
@@ -633,12 +683,16 @@ def div_vw(grid, scheme, u, v, w, wq=None):
         return jnp.zeros_like(w)
     wq = w if wq is None else wq
     sx, sy, sz = (_scheme_for(scheme, ax) for ax in range(3))
+    LW = (Center, Center, Face)
     Uadv = iz_f(grid.Ax(Face, Center, Center) * u)
-    fzx = Uadv * _face_value(sx, Uadv, wq, X, 0)
+    fzx = Uadv * _face_value_ib(grid, sx, Uadv, wq, X, 0, LW)
     Vadv = iz_f(grid.Ay(Center, Face, Center) * v)
-    fzy = Vadv * _face_value(sy, Vadv, wq, Y, 0)
+    fzy = Vadv * _face_value_ib(grid, sy, Vadv, wq, Y, 0, LW)
     Wadv = iz_c(grid.Az(Center, Center) * w)
-    fzz = Wadv * _face_value(sz, Wadv, wq, Z, 1)
+    fzz = Wadv * _face_value_ib(grid, sz, Wadv, wq, Z, 1, LW)
+    from oceananigans_tpu.immersed import mask_flux
+    fzx = mask_flux(grid, fzx, (Face, Center, Face))
+    fzy = mask_flux(grid, fzy, (Center, Face, Face))
     return (dx_c(fzx) + dy_c(fzy) + dz_f(fzz)) / grid.V(Center, Center, Face)
 
 

@@ -74,7 +74,14 @@ def _nu_at(nu, to):
 
 
 def _div_u_fluxes(grid, fx_ccc, fy_ffc, fz_fcf):
-    """Divergence of (f,c,c)-located-field fluxes."""
+    """Divergence of (f,c,c)-located-field fluxes. On immersed grids every
+    flux is zeroed through/inside the boundary (reference
+    ``immersed_boundary_condition.jl`` conditional fluxes ⇒ the default
+    free-slip, no-flux immersed boundary)."""
+    from oceananigans_tpu.immersed import mask_flux
+    fx_ccc = mask_flux(grid, fx_ccc, (Center, Center, Center))
+    fy_ffc = mask_flux(grid, fy_ffc, (Face, Face, Center))
+    fz_fcf = mask_flux(grid, fz_fcf, (Face, Center, Face))
     return (dx_f(grid.Ax(Center, Center, Center) * fx_ccc)
             + dy_c(grid.Ay(Face, Face, Center) * fy_ffc)
             + dz_c(grid.Az(Face, Center) * fz_fcf)) / grid.V(
@@ -82,6 +89,10 @@ def _div_u_fluxes(grid, fx_ccc, fy_ffc, fz_fcf):
 
 
 def _div_v_fluxes(grid, fx_ffc, fy_ccc, fz_cff):
+    from oceananigans_tpu.immersed import mask_flux
+    fx_ffc = mask_flux(grid, fx_ffc, (Face, Face, Center))
+    fy_ccc = mask_flux(grid, fy_ccc, (Center, Center, Center))
+    fz_cff = mask_flux(grid, fz_cff, (Center, Face, Face))
     return (dx_c(grid.Ax(Face, Face, Center) * fx_ffc)
             + dy_f(grid.Ay(Center, Center, Center) * fy_ccc)
             + dz_c(grid.Az(Center, Face) * fz_cff)) / grid.V(
@@ -89,6 +100,10 @@ def _div_v_fluxes(grid, fx_ffc, fy_ccc, fz_cff):
 
 
 def _div_w_fluxes(grid, fx_fcf, fy_cff, fz_ccc):
+    from oceananigans_tpu.immersed import mask_flux
+    fx_fcf = mask_flux(grid, fx_fcf, (Face, Center, Face))
+    fy_cff = mask_flux(grid, fy_cff, (Center, Face, Face))
+    fz_ccc = mask_flux(grid, fz_ccc, (Center, Center, Center))
     return (dx_c(grid.Ax(Face, Center, Face) * fx_fcf)
             + dy_c(grid.Ay(Center, Face, Face) * fy_cff)
             + dz_f(grid.Az(Center, Center) * fz_ccc)) / grid.V(
@@ -96,6 +111,10 @@ def _div_w_fluxes(grid, fx_fcf, fy_cff, fz_ccc):
 
 
 def _div_c_fluxes(grid, fx_fcc, fy_cfc, fz_ccf):
+    from oceananigans_tpu.immersed import mask_flux
+    fx_fcc = mask_flux(grid, fx_fcc, (Face, Center, Center))
+    fy_cfc = mask_flux(grid, fy_cfc, (Center, Face, Center))
+    fz_ccf = mask_flux(grid, fz_ccf, (Center, Center, Face))
     return (dx_c(grid.Ax(Face, Center, Center) * fx_fcc)
             + dy_c(grid.Ay(Center, Face, Center) * fy_cfc)
             + dz_c(grid.Az(Center, Center) * fz_ccf)) / grid.V(

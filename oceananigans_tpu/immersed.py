@@ -27,8 +27,8 @@ from oceananigans_tpu.grids.base import AbstractGrid, Center, Face
 from oceananigans_tpu.ops.operators import dx_c, dx_f, dy_c, dy_f, dz_c, dz_f, shift
 
 __all__ = ["ImmersedBoundaryGrid", "GridFittedBottom", "GridFittedBoundary",
-           "PartialCellBottom", "mask_immersed_field",
-           "ImmersedPoissonSolver", "masked_laplacian"]
+           "PartialCellBottom", "mask_immersed_field", "solid_mask_at",
+           "mask_flux", "ImmersedPoissonSolver", "masked_laplacian"]
 
 X, Y, Z = 0, 1, 2
 
@@ -42,19 +42,34 @@ class GridFittedBottom:
 
     def solid_ccc(self, grid):
         zc = jnp.broadcast_to(grid.zC, grid.shape)
+        return zc < self._bottom_full(grid)
+
+    def _bottom_full(self, grid):
+        """Bottom height on the full (halo-extended) horizontal plane.
+        Array-valued bottoms get their halos filled with the grid's real
+        topology rules (periodic wrap / wall extrapolation), matching the
+        reference's ``fill_halo_regions!(bottom_field)``
+        (``grid_fitted_bottom.jl`` materialize_immersed_boundary)."""
         if callable(self.bottom_height):
-            h = self.bottom_height(grid.xC, grid.yC)
-        else:
-            h = jnp.asarray(self.bottom_height)
-            if h.ndim == 2:
-                h = h.reshape(h.shape[0], h.shape[1], 1)
-                full = jnp.full((grid.shape[0], grid.shape[1], 1), jnp.nan,
-                                h.dtype)
-                sx, sy, _ = grid.interior_slices
-                full = full.at[sx, sy, :].set(h)
-                # mirror into halos crudely (edge replicate)
-                h = jnp.nan_to_num(full, nan=jnp.nanmean(h))
-        return zc < h
+            return self.bottom_height(grid.xC, grid.yC)
+        h = jnp.asarray(self.bottom_height)
+        if h.ndim != 2:
+            return h
+        from oceananigans_tpu.boundary_conditions import (
+            fill_halo_regions, regularize_field_boundary_conditions,
+        )
+        from oceananigans_tpu.fields import LOC_C
+        sx, sy, _ = grid.interior_slices
+        full = jnp.zeros((grid.shape[0], grid.shape[1], 1), h.dtype)
+        full = full.at[sx, sy, :].set(h.reshape(h.shape[0], h.shape[1], 1))
+        bcs = regularize_field_boundary_conditions(None, grid, LOC_C)
+        X, Y = 0, 1
+        from oceananigans_tpu.boundary_conditions import _fill_axis
+        from oceananigans_tpu.grids.base import Center as _C
+        for axis in (X, Y):
+            lbc, rbc = bcs.sides(axis)
+            full = _fill_axis(full, grid, axis, _C, lbc, rbc, None, None)
+        return full
 
     def __repr__(self):
         return f"GridFittedBottom({self.bottom_height!r})"
@@ -77,9 +92,7 @@ class PartialCellBottom(GridFittedBottom):
         return frac < self.minimum_fractional_cell_height
 
     def _bottom(self, grid):
-        if callable(self.bottom_height):
-            return self.bottom_height(grid.xC, grid.yC)
-        return jnp.asarray(self.bottom_height)
+        return self._bottom_full(grid)
 
     def _water_fraction(self, grid):
         """Fraction of each cell above the bottom, in [0, 1]."""
@@ -248,9 +261,38 @@ jax.tree_util.register_pytree_node(ImmersedBoundaryGrid, _ibg_flatten,
 def mask_immersed_field(grid, a, loc, value=0.0):
     """Zero (or set) the solid-region values of a field (reference
     ``mask_immersed_field!``)."""
-    if not isinstance(grid, ImmersedBoundaryGrid):
+    solid = getattr(grid, "mask_for", None)
+    if solid is None:
         return a
     return jnp.where(grid.mask_for(loc), value, a)
+
+
+def solid_mask_at(grid, loc):
+    """Solid mask at an arbitrary staggered location: a point is solid if
+    ANY cell it touches is solid (the reference's ``inactive_node``,
+    ``immersed_grid_metrics.jl`` / ``ImmersedBoundaries.jl:inactive_node``).
+    Returns ``None`` on non-immersed grids. Works through grid wrappers
+    (``_ScaledZGrid``) via attribute delegation."""
+    solid = getattr(grid, "solid_c", None)
+    if solid is None:
+        return None
+    m = solid
+    for axis, l in enumerate(loc):
+        if l == Face:
+            m = m | shift(m, -1, axis)
+    return m
+
+
+def mask_flux(grid, f, loc):
+    """Zero a flux located at ``loc`` wherever that location touches a
+    solid cell — the whole-array form of the reference's conditional
+    fluxes (``immersed_boundary_condition.jl`` ``conditional_flux_*``:
+    zero flux through and inside the immersed boundary, i.e. free-slip /
+    no-flux by default)."""
+    m = solid_mask_at(grid, loc)
+    if m is None or not hasattr(f, "ndim"):
+        return f
+    return jnp.where(m, 0.0, f)
 
 
 # ---------------------------------------------------------------------------

@@ -394,6 +394,7 @@ class HydrostaticState:
     Gv: jnp.ndarray
     Geta: jnp.ndarray
     Gtracers: Dict[str, jnp.ndarray]
+    particles: object = None  # LagrangianParticles state (or None)
 
     @property
     def velocities(self):
@@ -424,7 +425,15 @@ class HydrostaticFreeSurfaceModel:
     def __init__(self, grid, momentum_advection=None, tracer_advection=None,
                  free_surface=None, tracers=(), buoyancy=None, coriolis=None,
                  closure=None, forcing=None, boundary_conditions=None,
-                 vertical_coordinate=None, timestepper="quasi_ab2"):
+                 vertical_coordinate=None, timestepper="quasi_ab2",
+                 particles=None, biogeochemistry=None, stokes_drift=None,
+                 auxiliary_fields=None):
+        # feature-parity fields of the reference struct
+        # (hydrostatic_free_surface_model.jl:40-47)
+        self.particles = particles
+        self.biogeochemistry = biogeochemistry
+        self.stokes_drift = stokes_drift
+        self.auxiliary_fields = dict(auxiliary_fields or {})
         self.vertical_coordinate = vertical_coordinate or ZCoordinate()
         #: "quasi_ab2" (reference default) or "split_rk3" (the SSP
         #: Shu-Osher RK3 of ``split_hydrostatic_runge_kutta_3.jl:64-70``:
@@ -445,6 +454,17 @@ class HydrostaticFreeSurfaceModel:
             # explicit (hydrostatic_free_surface_model.jl:51-55); we default
             # to split-explicit, the scalable choice
             free_surface = SplitExplicitFreeSurface()
+        from oceananigans_tpu.immersed import ImmersedBoundaryGrid
+        if (isinstance(grid, ImmersedBoundaryGrid)
+                and isinstance(free_surface, ImplicitFreeSurface)
+                and free_surface.solver_method == "fft"):
+            # the FFT eigenbasis assumes a flat bottom; with bathymetry the
+            # reference materializes a PCG/matrix solver instead
+            # (implicit_free_surface.jl build_implicit_step_solver)
+            free_surface = ImplicitFreeSurface(
+                gravitational_acceleration=free_surface.g,
+                solver_method="cg", maxiter=free_surface.maxiter,
+                reltol=free_surface.reltol)
         if isinstance(tracers, str):
             tracers = (tracers,)
         tracers = tuple(tracers)
@@ -455,6 +475,10 @@ class HydrostaticFreeSurfaceModel:
                     tracers = tracers + (t,)
         for cl in closures_mod._as_tuple(closure):
             for t in getattr(cl, "required_tracers", ()):
+                if t not in tracers:
+                    tracers = tracers + (t,)
+        if biogeochemistry is not None:
+            for t in biogeochemistry.required_tracers:
                 if t not in tracers:
                     tracers = tracers + (t,)
 
@@ -524,6 +548,8 @@ class HydrostaticFreeSurfaceModel:
             Gu=new_field(g, dtype), Gv=new_field(g, dtype),
             Geta=zeros2d,
             Gtracers={t: new_field(g, dtype) for t in self.tracer_names},
+            particles=(self.particles.initial
+                       if self.particles is not None else None),
         )
         state = self.update_state(state)
         return state
@@ -550,30 +576,32 @@ class HydrostaticFreeSurfaceModel:
         return eta
 
     def fill_state_halos(self, state):
+        from oceananigans_tpu.immersed import mask_immersed_field
         g = self.grid
         t = state.clock.time
         dtl = state.clock.last_dt
-        u = fill_halo_regions(state.u, g, self.bcs["u"], LOC_U, t, dt=dtl)
-        v = fill_halo_regions(state.v, g, self.bcs["v"], LOC_V, t, dt=dtl)
+        # mask solid regions first (reference mask_immersed_model_fields!,
+        # update_hydrostatic_free_surface_model_state.jl:60-69), then fill
+        u = mask_immersed_field(g, state.u, LOC_U)
+        v = mask_immersed_field(g, state.v, LOC_V)
+        u = fill_halo_regions(u, g, self.bcs["u"], LOC_U, t, dt=dtl)
+        v = fill_halo_regions(v, g, self.bcs["v"], LOC_V, t, dt=dtl)
         tracers = {
-            name: fill_halo_regions(c, g, self.bcs[name], LOC_C, t)
+            name: fill_halo_regions(mask_immersed_field(g, c, LOC_C), g,
+                                    self.bcs[name], LOC_C, t)
             for name, c in state.tracers.items()
         }
         eta = self._fill_eta_halos(state.eta)
         return _replace(state, u=u, v=v, tracers=tracers, eta=eta)
 
     def _sigma(self, eta):
-        """z-star column stretching σ = (H + η)/H."""
+        """z-star column stretching σ = (H + η)/H (σ = 1 on land
+        columns)."""
         H = self._column_depth_static()
-        return 1.0 + eta / H
+        return jnp.where(H > 0, 1.0 + eta / jnp.where(H > 0, H, 1.0), 1.0)
 
     def _column_depth_static(self):
-        g = self.grid
-        dz = jnp.broadcast_to(g.dz(Center), g.shape)
-        k = jnp.arange(g.shape[Z]).reshape(1, 1, -1)
-        in_interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
-        return jnp.sum(jnp.where(in_interior, dz, 0.0), axis=Z,
-                       keepdims=True)
+        return self._column_depth("cc")
 
     def _active_grid(self, state):
         """The grid the dynamics see: σ-scaled under ZStar."""
@@ -604,8 +632,11 @@ class HydrostaticFreeSurfaceModel:
                 jnp.where(in_interior, dz0, 0.0), axis=Z), -1, Z)
             h_below = jnp.where(k == 0, 0.0, h_below)
             H = self._column_depth_static()
-            w = w + (h_below / H) * total
+            w = w + jnp.where(H > 0, h_below / jnp.where(H > 0, H, 1.0),
+                              0.0) * total
         w = jnp.where(k == 0, 0.0, w)
+        from oceananigans_tpu.immersed import mask_immersed_field
+        w = mask_immersed_field(self.grid, w, LOC_W)
         w = fill_halo_regions(w, g, self.bcs["w"], LOC_W, state.clock.time)
         return _replace(state, w=w)
 
@@ -658,6 +689,13 @@ class HydrostaticFreeSurfaceModel:
         tracers = state.tracers
         time = state.clock.time
         fields = state.fields()
+        if self.auxiliary_fields:
+            # user auxiliary fields, visible to forcings/BCs (reference
+            # struct field AF, hydrostatic_free_surface_model.jl:47)
+            from oceananigans_tpu.fields import set_field as _sf
+            for name, val in self.auxiliary_fields.items():
+                fields[name] = _sf(self.grid, val, loc=LOC_C) \
+                    if not hasattr(val, "ndim") else val
 
         diffusivities = closures_mod.compute_diffusivities(
             self.closure, g, u, v, w, tracers, self.buoyancy,
@@ -673,6 +711,10 @@ class HydrostaticFreeSurfaceModel:
         else:
             Gu = -div_vu(g, ma, u, v, w)
             Gv = -div_vv(g, ma, u, v, w)
+
+        if self.stokes_drift is not None:
+            Gu = Gu + self.stokes_drift.x_tendency(g, u, v, w, time)
+            Gv = Gv + self.stokes_drift.y_tendency(g, u, v, w, time)
 
         if self.coriolis is not None:
             Gu = Gu - self.coriolis.x_f_cross_U(g, u, v, w)
@@ -706,6 +748,9 @@ class HydrostaticFreeSurfaceModel:
 
         Gu = apply_flux_bcs(Gu, g, self.bcs["u"], LOC_U, time)
         Gv = apply_flux_bcs(Gv, g, self.bcs["v"], LOC_V, time)
+        from oceananigans_tpu.immersed import mask_immersed_field
+        Gu = mask_immersed_field(g, Gu, LOC_U)
+        Gv = mask_immersed_field(g, Gv, LOC_V)
 
         Gtracers = {}
         for name in self.tracer_names:
@@ -714,11 +759,25 @@ class HydrostaticFreeSurfaceModel:
             Gc = Gc + closures_mod.tracer_flux_divergence(
                 self.closure, g, name, c, tracers, diffusivities,
                 include_implicit=False)
+            bgc = self.biogeochemistry
+            if bgc is not None:
+                reaction = bgc.transition(g, name, time, fields)
+                if reaction is not None:
+                    Gc = Gc + reaction
+                drift = bgc.drift_velocity(name)
+                if drift is not None:
+                    wu, wv, ww = (jnp.zeros_like(c) + d for d in drift)
+                    Gc = Gc - div_Uc(g, self.tracer_advection,
+                                     wu, wv, ww, c)
             f = self.forcings[name]
             if f is not None:
                 Gc = Gc + f(g, time, fields)
             Gc = apply_flux_bcs(Gc, g, self.bcs[name], LOC_C, time)
-            Gtracers[name] = Gc
+            Gtracers[name] = mask_immersed_field(g, Gc, LOC_C)
+
+        if self.biogeochemistry is not None:
+            Gtracers = self.biogeochemistry.update_tendencies(
+                g, Gtracers, time, fields)
 
         return Gu, Gv, Gtracers, diffusivities
 
@@ -734,13 +793,26 @@ class HydrostaticFreeSurfaceModel:
         V = jnp.sum(v * dzm, axis=Z, keepdims=True)
         return U, V
 
-    def _column_depth(self):
+    def _column_depth(self, loc="cc"):
+        """WET column depth ∫ dz over fluid cells, at cell centers
+        ("cc"), u-faces ("fc" = min of the two adjacent columns), or
+        v-faces ("cf") — the reference's ``static_column_depthᶜᶜᵃ`` /
+        ``ᶠᶜᵃ`` / ``ᶜᶠᵃ`` (``grid_fitted_bottom.jl:147-150``; plain grids
+        reduce to Lz, ``grid_utils.jl:323-326``). The mask is
+        halo-consistent so the shifted min is valid at seams."""
         g = self.grid
         dz = jnp.broadcast_to(g.dz(Center), g.shape)
         k = jnp.arange(g.shape[Z]).reshape(1, 1, -1)
-        in_interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
-        return jnp.sum(jnp.where(in_interior, dz, 0.0), axis=Z,
-                       keepdims=True)
+        wet = (k >= g.Hz) & (k < g.Hz + g.Nz)
+        solid = getattr(g, "solid_c", None)
+        if solid is not None:
+            wet = wet & ~solid
+        H = jnp.sum(jnp.where(wet, dz, 0.0), axis=Z, keepdims=True)
+        if loc == "fc":
+            return jnp.minimum(H, shift(H, -1, X))
+        if loc == "cf":
+            return jnp.minimum(H, shift(H, -1, Y))
+        return H
 
     def _zero_wall_transports(self, U, V):
         """Impenetrability of the barotropic transports: zero U/V on the
@@ -776,10 +848,16 @@ class HydrostaticFreeSurfaceModel:
         U, V = self._zero_wall_transports(U, V)
         eta = eta - dtau * self._div_transports(U, V)
         eta = self._fill_eta_halos(eta)
-        H_fc = ix_f(self._column_depth())
-        H_cf = iy_f(self._column_depth())
+        # WET column depths at the transport points: with bathymetry the
+        # barotropic wave speed must see the local depth, and transports
+        # through dry faces must stay zero (reference
+        # step_split_explicit_free_surface.jl:31-38 + column_depthᶠᶜᵃ)
+        H_fc = self._column_depth("fc")
+        H_cf = self._column_depth("cf")
         U = U + dtau * (-fs.g * H_fc * dx_f(eta) / g.dx(Face, Center) + GU)
         V = V + dtau * (-fs.g * H_cf * dy_f(eta) / g.dy(Face, Center) + GV)
+        U = jnp.where(H_fc > 0, U, 0.0)
+        V = jnp.where(H_cf > 0, V, 0.0)
         U, V = self._zero_wall_transports(U, V)
         return eta, U, V
 
@@ -897,9 +975,8 @@ class HydrostaticFreeSurfaceModel:
         g = self.grid
         sx, sy, _ = g.interior_slices
         shp = (g.Nx, g.Ny, 1)
-        H = self._column_depth()
-        H_fc = ix_f(H)
-        H_cf = iy_f(H)
+        H_fc = self._column_depth("fc")
+        H_cf = self._column_depth("cf")
 
         def b2(m):
             return jnp.broadcast_to(m, g.shape[:2] + (1,))[sx, sy, :]
@@ -932,9 +1009,8 @@ class HydrostaticFreeSurfaceModel:
             conjugate_gradient,
         )
         g = self.grid
-        H = self._column_depth()
-        H_fc = ix_f(H)
-        H_cf = iy_f(H)
+        H_fc = self._column_depth("fc")
+        H_cf = self._column_depth("cf")
         sx, sy, _ = g.interior_slices
         idx = np.zeros((g.shape[0], g.shape[1], 1), bool)
         idx[sx, sy, :] = True
@@ -956,13 +1032,19 @@ class HydrostaticFreeSurfaceModel:
         return eta
 
     def _barotropic_correct(self, state, U_target, V_target):
-        """u ← u + (Ū − ∫u dz)/H (reference
-        ``barotropic_split_explicit_corrector.jl``)."""
-        H = self._column_depth()
+        """u ← u + (Ū − ∫u dz)/H with wet depths; dry columns untouched
+        (reference ``barotropic_split_explicit_corrector.jl``)."""
+        from oceananigans_tpu.immersed import mask_immersed_field
+        H_fc = self._column_depth("fc")
+        H_cf = self._column_depth("cf")
         U, V = self._barotropic_mode(state.u, state.v)
-        du = (U_target - U) / ix_f(H)
-        dv = (V_target - V) / iy_f(H)
-        return _replace(state, u=state.u + du, v=state.v + dv)
+        du = jnp.where(H_fc > 0, (U_target - U)
+                       / jnp.where(H_fc > 0, H_fc, 1.0), 0.0)
+        dv = jnp.where(H_cf > 0, (V_target - V)
+                       / jnp.where(H_cf > 0, H_cf, 1.0), 0.0)
+        u = mask_immersed_field(self.grid, state.u + du, LOC_U)
+        v = mask_immersed_field(self.grid, state.v + dv, LOC_V)
+        return _replace(state, u=u, v=v)
 
     # ------------------------------------------------------------------
     def step(self, state, dt, chi=0.1):
@@ -970,8 +1052,17 @@ class HydrostaticFreeSurfaceModel:
         # strongly promote a float32 state under jax_enable_x64
         dt = jnp.asarray(dt, state.u.dtype)
         if self.timestepper == "split_rk3":
-            return self._step_split_rk3(state, dt)
-        return self._step_qab2(state, dt, chi)
+            state = self._step_split_rk3(state, dt)
+        else:
+            state = self._step_qab2(state, dt, chi)
+        # Lagrangian particles advect at the end of the step (reference
+        # quasi_adams_bashforth_2.jl:109 step_lagrangian_particles!)
+        if self.particles is not None and state.particles is not None:
+            parts = self.particles.step(
+                self.grid, state.particles, state.u, state.v, state.w,
+                state.fields(), dt)
+            state = _replace(state, particles=parts)
+        return state
 
     def _substep_euler(self, state, dt):
         """One forward-Euler substep (tendencies -> free surface ->

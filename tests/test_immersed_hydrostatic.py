@@ -1,0 +1,217 @@
+"""Hydrostatic model × immersed boundaries (bathymetry).
+
+Reference behaviors matched:
+- wet column depths (``grid_fitted_bottom.jl:147-150``)
+- immersed-aware split-explicit / implicit free surfaces
+  (``step_split_explicit_free_surface.jl:11-47``)
+- masked prognostic fields + tendencies
+  (``update_hydrostatic_free_surface_model_state.jl:60-69``)
+- zero flux through the boundary (``immersed_advective_fluxes.jl``,
+  conditional fluxes) with near-boundary order reduction.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oceananigans_tpu import Bounded, Periodic, RectilinearGrid
+from oceananigans_tpu.advection import Centered, WENO
+from oceananigans_tpu.buoyancy import BuoyancyTracer
+from oceananigans_tpu.closures import ScalarDiffusivity
+from oceananigans_tpu.coriolis import FPlane
+from oceananigans_tpu.immersed import GridFittedBottom, ImmersedBoundaryGrid
+from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+from oceananigans_tpu.models.hydrostatic import (
+    ExplicitFreeSurface, ImplicitFreeSurface, SplitExplicitFreeSurface,
+    VectorInvariant,
+)
+
+TOPO = (Periodic, Periodic, Bounded)
+
+
+def seamount_grid(nx=24, ny=16, nz=16, height=0.5, dtype="float64"):
+    base = RectilinearGrid(size=(nx, ny, nz), extent=(1.0, 1.0, 1.0),
+                           topology=TOPO, halo=3, dtype=dtype)
+    bottom = lambda x, y: (-1.0 + height
+                           * jnp.exp(-((x - 0.5) ** 2 + (y - 0.5) ** 2)
+                                     / 0.02))
+    return ImmersedBoundaryGrid(base, GridFittedBottom(bottom))
+
+
+def wet_volume_integral(grid, c):
+    g = grid
+    sx, sy, sz = g.interior_slices
+    V = jnp.broadcast_to(g.V(0, 0, 0), g.shape)
+    wet = ~grid.solid_c
+    return float(jnp.sum(jnp.where(wet, c * V, 0.0)[sx, sy, sz]))
+
+
+def test_wet_column_depths():
+    grid = seamount_grid()
+    m = HydrostaticFreeSurfaceModel(grid=grid, tracers=("b",),
+                                    buoyancy=BuoyancyTracer())
+    H = m._column_depth("cc")
+    sx, sy, _ = grid.interior_slices
+    Hi = np.asarray(H[sx, sy, :])
+    assert Hi.min() > 0.4 and Hi.min() < 0.65   # seamount top ~0.5 depth
+    assert np.isclose(Hi.max(), 1.0)
+    # face depth = min of adjacent columns
+    H_fc = np.asarray(m._column_depth("fc"))
+    Hfull = np.asarray(H)
+    expect = np.minimum(Hfull, np.roll(Hfull, 1, axis=0))
+    assert np.allclose(H_fc, expect)
+
+
+@pytest.mark.parametrize("fs", [SplitExplicitFreeSurface(substeps=10),
+                                ImplicitFreeSurface(),
+                                ExplicitFreeSurface()])
+def test_stratified_rest_state_over_seamount(fs):
+    """A resting stratified ocean over a seamount must stay exactly at
+    rest: the immersed pressure-gradient + masking must not generate
+    spurious flow."""
+    grid = seamount_grid()
+    m = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=fs, tracers=("b",),
+        buoyancy=BuoyancyTracer(), coriolis=FPlane(f=1e-4),
+        momentum_advection=VectorInvariant(),
+        tracer_advection=Centered(2))
+    s = m.initial_state(b=lambda x, y, z: 1e-4 * z)
+    dt = 1e-3 if isinstance(fs, ExplicitFreeSurface) else 0.05
+    step = jax.jit(lambda st: m.step(st, dt))
+    for _ in range(10):
+        s = step(s)
+    assert float(jnp.max(jnp.abs(s.u))) < 1e-12
+    assert float(jnp.max(jnp.abs(s.v))) < 1e-12
+    assert float(jnp.max(jnp.abs(s.eta))) < 1e-12
+
+
+def test_flat_immersed_bottom_equivalent_to_plain_grid():
+    """A flat immersed bottom aligned with a grid face must reproduce the
+    plain (shallower) grid's dynamics exactly."""
+    nx, ny = 16, 8
+    big = RectilinearGrid(size=(nx, ny, 16), extent=(1.0, 1.0, 1.0),
+                          topology=TOPO, halo=3, dtype="float64")
+    ibg = ImmersedBoundaryGrid(big, GridFittedBottom(-0.5))
+    small = RectilinearGrid(size=(nx, ny, 8), x=(0.0, 1.0), y=(0.0, 1.0),
+                            z=(-0.5, 0.0), topology=TOPO, halo=3,
+                            dtype="float64")
+
+    def build(grid):
+        m = HydrostaticFreeSurfaceModel(
+            grid=grid, free_surface=SplitExplicitFreeSurface(substeps=8),
+            tracers=("b",), buoyancy=BuoyancyTracer(),
+            coriolis=FPlane(f=1e-4), momentum_advection=VectorInvariant(),
+            tracer_advection=Centered(2),
+            closure=ScalarDiffusivity(nu=1e-4, kappa=1e-4))
+        s = m.initial_state(
+            u=lambda x, y, z: 0.05 * jnp.sin(2 * np.pi * x)
+            * jnp.cos(np.pi * z),
+            b=lambda x, y, z: 1e-4 * z
+            + 1e-6 * jnp.sin(2 * np.pi * x) * jnp.sin(2 * np.pi * y),
+            eta=lambda x, y: 1e-4 * jnp.cos(2 * np.pi * x))
+        return m, s
+
+    mi, si = build(ibg)
+    mp, sp = build(small)
+    stepi = jax.jit(lambda st: mi.step(st, 2e-3))
+    stepp = jax.jit(lambda st: mp.step(st, 2e-3))
+    for _ in range(10):
+        si = stepi(si)
+        sp = stepp(sp)
+
+    sxi, syi, _ = big.interior_slices
+    sxp, syp, szp = small.interior_slices
+    H = 3
+    wet = slice(H + 8, H + 16)       # cells 8..15 of the big grid are wet
+    for name, ai, ap in (("u", si.u, sp.u), ("v", si.v, sp.v),
+                         ("b", si.tracers["b"], sp.tracers["b"])):
+        A = np.asarray(ai[sxi, syi, wet])
+        B = np.asarray(ap[sxp, syp, szp])
+        assert np.allclose(A, B, atol=1e-12), (
+            f"{name}: max diff {np.abs(A - B).max()}")
+    assert np.allclose(np.asarray(si.eta[sxi, syi, :]),
+                       np.asarray(sp.eta[sxp, syp, :]), atol=1e-12)
+
+
+def test_tracer_conservation_over_seamount():
+    """Wet-volume tracer content is conserved by the masked flux-form
+    advection + diffusion (fluxes zeroed through the boundary)."""
+    grid = seamount_grid(nz=12)
+    m = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=SplitExplicitFreeSurface(substeps=10),
+        tracers=("c",), momentum_advection=VectorInvariant(),
+        tracer_advection=WENO(5),
+        closure=ScalarDiffusivity(nu=0.0, kappa=1e-4))
+    s = m.initial_state(
+        u=lambda x, y, z: 0.1 * jnp.ones_like(x),
+        c=lambda x, y, z: jnp.exp(-((x - 0.3) ** 2 + (y - 0.5) ** 2)
+                                  / 0.05))
+    total0 = wet_volume_integral(grid, s.tracers["c"])
+    step = jax.jit(lambda st: m.step(st, 2e-3))
+    for _ in range(20):
+        s = step(s)
+    total = wet_volume_integral(grid, s.tracers["c"])
+    assert np.isclose(total, total0, rtol=1e-10)
+    assert bool(jnp.all(jnp.isfinite(s.tracers["c"])))
+
+
+def test_no_diffusive_leak_into_solid():
+    """A uniform wet tracer under pure diffusion stays exactly uniform:
+    without flux masking it would diffuse into the (zero-masked) solid."""
+    grid = seamount_grid(nz=12)
+    m = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=SplitExplicitFreeSurface(substeps=8),
+        tracers=("c",), momentum_advection=None, tracer_advection=None,
+        closure=ScalarDiffusivity(nu=0.0, kappa=1e-2))
+    s = m.initial_state(c=1.0)
+    step = jax.jit(lambda st: m.step(st, 0.01))
+    for _ in range(10):
+        s = step(s)
+    sx, sy, sz = grid.interior_slices
+    wet = ~grid.solid_c
+    cw = jnp.where(wet, s.tracers["c"], 1.0)[sx, sy, sz]
+    assert float(jnp.max(jnp.abs(cw - 1.0))) < 1e-13
+
+
+def test_flow_over_seamount_stable_and_masked():
+    """Stratified flow over a seamount: stable, finite, solid region
+    exactly zero, and w responds to the topography."""
+    grid = seamount_grid(nz=16)
+    m = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=SplitExplicitFreeSurface(substeps=12),
+        tracers=("b",), buoyancy=BuoyancyTracer(),
+        momentum_advection=VectorInvariant(),
+        tracer_advection=WENO(5),
+        closure=ScalarDiffusivity(nu=1e-4, kappa=1e-5))
+    s = m.initial_state(u=lambda x, y, z: 0.1 * jnp.ones_like(x),
+                        b=lambda x, y, z: 1e-3 * z)
+    step = jax.jit(lambda st: m.step(st, 2e-3))
+    for _ in range(30):
+        s = step(s)
+    assert bool(jnp.all(jnp.isfinite(s.u)))
+    assert bool(jnp.all(jnp.isfinite(s.w)))
+    assert float(jnp.max(jnp.abs(jnp.where(grid.solid_u, s.u, 0.0)))) == 0.0
+    assert float(jnp.max(jnp.abs(jnp.where(grid.solid_w, s.w, 0.0)))) == 0.0
+    # flow over the obstacle generates vertical motion
+    assert float(jnp.max(jnp.abs(s.w))) > 1e-4
+
+
+def test_matrix_free_surface_with_bathymetry():
+    grid = seamount_grid(nx=16, ny=12, nz=10)
+    m = HydrostaticFreeSurfaceModel(
+        grid=grid,
+        free_surface=ImplicitFreeSurface(solver_method="matrix"),
+        tracers=("b",), buoyancy=BuoyancyTracer())
+    s = m.initial_state(
+        eta=lambda x, y: 0.01 * jnp.sin(2 * np.pi * x))
+    step = jax.jit(lambda st: m.step(st, 0.05))
+    sx, sy, _ = grid.interior_slices
+    mean0 = float(jnp.mean(s.eta[sx, sy, :]))
+    for _ in range(10):
+        s = step(s)
+    assert bool(jnp.all(jnp.isfinite(s.eta)))
+    assert np.isclose(float(jnp.mean(s.eta[sx, sy, :])), mean0, atol=1e-12)
+    # the wave must have moved
+    assert float(jnp.max(jnp.abs(s.eta - m.initial_state(
+        eta=lambda x, y: 0.01 * jnp.sin(2 * np.pi * x)).eta))) > 1e-5
