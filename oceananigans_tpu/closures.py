@@ -591,6 +591,58 @@ def _as_tuple(closure):
     return (closure,)
 
 
+def _max_closure_diffusivity(c, d):
+    """Conservative estimate of a closure's largest diffusivity: the max
+    over its computed diffusivity-field arrays plus its static nu/kappa
+    coefficients. Over-estimating only makes the wizard's Δt smaller."""
+    vals = []
+    if d is not None:
+        import jax as _jax
+        for leaf in _jax.tree_util.tree_leaves(d):
+            if hasattr(leaf, "ndim") and getattr(leaf, "ndim", 0) >= 1:
+                vals.append(jnp.max(jnp.abs(leaf)))
+    for attr in ("nu", "kappa"):
+        a = getattr(c, attr, None)
+        if isinstance(a, (int, float)):
+            vals.append(abs(float(a)))
+        elif isinstance(a, dict):
+            vals.extend(abs(float(x)) for x in a.values()
+                        if isinstance(x, (int, float)))
+    if not vals:
+        return jnp.asarray(0.0)
+    out = vals[0]
+    for v in vals[1:]:
+        out = jnp.maximum(out, v)
+    return out
+
+
+def cell_diffusion_timescale(closure, grid, diffusivities=None):
+    """min over closures of Δmin^p / ν_max (p = 2 Laplacian, 4
+    biharmonic); reference ``src/Diagnostics/cfl.jl:33`` +
+    ``cell_diffusion_timescale``. Returns +inf with no closure."""
+    from oceananigans_tpu.grids.base import Center as _C, Face as _F
+    sx, sy, sz = grid.interior_slices
+    dmins = []
+    for a in (jnp.broadcast_to(grid.dx(_F, _C), grid.shape),
+              jnp.broadcast_to(grid.dy(_F, _C), grid.shape),
+              jnp.broadcast_to(grid.dz(_F), grid.shape)):
+        ai = a[sx, sy, sz]
+        if ai.size:
+            dmins.append(jnp.min(ai))
+    dmin = dmins[0]
+    for d in dmins[1:]:
+        dmin = jnp.minimum(dmin, d)
+    tau = jnp.asarray(jnp.inf)
+    ds = diffusivities if diffusivities is not None \
+        else (None,) * len(_as_tuple(closure))
+    for c, d in zip(_as_tuple(closure), ds):
+        nu_max = _max_closure_diffusivity(c, d)
+        p = 4 if isinstance(c, ScalarBiharmonicDiffusivity) else 2
+        tau = jnp.minimum(tau, jnp.where(nu_max > 0,
+                                         dmin ** p / nu_max, jnp.inf))
+    return tau
+
+
 def compute_diffusivities(closure, grid, u, v, w, tracers, buoyancy,
                           top_fluxes=None):
     out = []

@@ -533,6 +533,16 @@ class NonhydrostaticModel:
     def cfl_timescale(self, state):
         return cell_advection_timescale(self.grid, state.u, state.v, state.w)
 
+    def diffusion_timescale(self, state):
+        """Δmin²/ν_max for the configured closures (reference
+        ``cell_diffusion_timescale``, used by TimeStepWizard's
+        diffusive_cfl)."""
+        diff = closures_mod.compute_diffusivities(
+            self.closure, self.grid, state.u, state.v, state.w,
+            state.tracers, self.buoyancy)
+        return closures_mod.cell_diffusion_timescale(
+            self.closure, self.grid, diff)
+
     def __repr__(self):
         return (f"NonhydrostaticModel(grid={self.grid!r}, "
                 f"advection={self.advection!r}, "

