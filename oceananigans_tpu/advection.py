@@ -348,7 +348,17 @@ class WENO(AdvectionScheme):
             betas.append(b)
         return tuple(betas)
 
-    def _onesided(self, shifts, axis, o, reflect):
+    def _betas_of(self, s):
+        if self._beta_forms is None:
+            return _WENO_BETAS[self.order](s)
+        return self._betas_from_forms(s)
+
+    def _onesided(self, shifts, axis, o, reflect, smooth_shifts=None):
+        """``smooth_shifts``: optional list of shift-dicts of OTHER fields
+        whose summed Jiang-Shu indicators replace ψ's own — the whole-array
+        form of the reference's ``FunctionStencil``/``VelocityStencil``
+        smoothness measures (``weno_interpolants.jl:350-362,548-556``:
+        β from the smoothness field(s), sub-stencil values from ψ)."""
         order = self.order
         if reflect:
             s = {n: shifts[-1 - n] for n in shifts}
@@ -361,10 +371,15 @@ class WENO(AdvectionScheme):
             # standard nonuniform-mesh practice)
             subs, gammas = tables[(axis, o)][1 if reflect else 0]
             qs = [_apply_stencil_shifted(shifts, sub) for sub in subs]
-            if self._beta_forms is None:
-                betas = _WENO_BETAS[order](s)
+            if smooth_shifts is not None:
+                betas = None
+                for sm in smooth_shifts:
+                    smr = ({n: sm[-1 - n] for n in sm} if reflect else sm)
+                    bs = self._betas_of(smr)
+                    betas = bs if betas is None else tuple(
+                        b0 + b1 for b0, b1 in zip(betas, bs))
             else:
-                betas = self._betas_from_forms(s)
+                betas = self._betas_of(s)
             eps = self.epsilon
             tau = abs(betas[0] - betas[-1])
             alphas = [g * (1.0 + (tau / (b + eps)) ** 2)
@@ -377,10 +392,15 @@ class WENO(AdvectionScheme):
                 out = out + al * q
             return out / asum
         qs = [_apply_stencil_shifted(s, q) for q in self._qs]
-        if self._beta_forms is None:
-            betas = _WENO_BETAS[order](s)
+        if smooth_shifts is not None:
+            betas = None
+            for sm in smooth_shifts:
+                smr = ({n: sm[-1 - n] for n in sm} if reflect else sm)
+                bs = self._betas_of(smr)
+                betas = bs if betas is None else tuple(
+                    b0 + b1 for b0, b1 in zip(betas, bs))
         else:
-            betas = self._betas_from_forms(s)
+            betas = self._betas_of(s)
         gammas = self._gammas
         eps = self.epsilon
         tau = abs(betas[0] - betas[-1])
@@ -394,11 +414,20 @@ class WENO(AdvectionScheme):
             out = out + al * q
         return out / asum
 
-    def biased(self, a, axis, o):
+    def biased(self, a, axis, o, smooth=None):
+        """``smooth``: optional list of arrays (same location as ``a``)
+        whose summed smoothness indicators drive the nonlinear weights
+        (FunctionStencil/VelocityStencil, see ``_onesided``)."""
         B = self.required_halo
         shifts = {n: shift(a, n + o, axis) for n in range(-B, B)}
-        left = self._onesided(shifts, axis, o, reflect=False)
-        right = self._onesided(shifts, axis, o, reflect=True)
+        sm = None
+        if smooth is not None:
+            sm = [{n: shift(f, n + o, axis) for n in range(-B, B)}
+                  for f in smooth]
+        left = self._onesided(shifts, axis, o, reflect=False,
+                              smooth_shifts=sm)
+        right = self._onesided(shifts, axis, o, reflect=True,
+                               smooth_shifts=sm)
         return left, right
 
     def bind_grid(self, grid):
@@ -576,6 +605,20 @@ def _face_value(scheme, U, a, axis, o):
     if scheme.symmetric:
         return scheme.reconstruct(a, axis, o)
     left, right = scheme.biased(a, axis, o)
+    return jnp.where(U > 0, left, jnp.where(U < 0, right,
+                                            0.5 * (left + right)))
+
+
+def _face_value_smooth(scheme, U, a, axis, o, smooth=None):
+    """Like ``_face_value`` but, for WENO schemes, measures smoothness on
+    the ``smooth`` field(s) instead of ``a`` itself (the reference's
+    FunctionStencil/VelocityStencil machinery)."""
+    if getattr(scheme, "symmetric", False):
+        return scheme.reconstruct(a, axis, o)
+    if smooth is not None and isinstance(scheme, WENO):
+        left, right = scheme.biased(a, axis, o, smooth=smooth)
+    else:
+        left, right = scheme.biased(a, axis, o)
     return jnp.where(U > 0, left, jnp.where(U < 0, right,
                                             0.5 * (left + right)))
 

@@ -8,5 +8,7 @@ from oceananigans_tpu.models.shallow_water import (
 from oceananigans_tpu.models.hydrostatic import (
     HydrostaticFreeSurfaceModel, HydrostaticState,
     ExplicitFreeSurface, SplitExplicitFreeSurface, ImplicitFreeSurface,
-    VectorInvariant, PrescribedVelocityFields, ZCoordinate, ZStar,
+    VectorInvariant, WENOVectorInvariant,
+    OnlySelfUpwinding, CrossAndSelfUpwinding,
+    PrescribedVelocityFields, ZCoordinate, ZStar,
 )

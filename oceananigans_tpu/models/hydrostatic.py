@@ -46,7 +46,7 @@ from oceananigans_tpu.forcings import materialize_forcing
 from oceananigans_tpu.grids.base import Center, Face
 from oceananigans_tpu.models.nonhydrostatic import _ModelAux
 from oceananigans_tpu.ops.operators import (
-    div_xy_cc, dx_f, dy_f, dz_f, dx_c, dy_c,
+    div_xy_cc, dx_f, dy_f, dz_f, dx_c, dy_c, dz_c,
     ix_c, ix_f, iy_c, iy_f, iz_c, shift,
     vorticity_z_ff,
 )
@@ -55,7 +55,8 @@ from oceananigans_tpu.timesteppers import Clock, ab2_coefficients, tick
 __all__ = ["HydrostaticFreeSurfaceModel", "HydrostaticState",
            "ExplicitFreeSurface", "SplitExplicitFreeSurface",
            "ImplicitFreeSurface", "VectorInvariant",
-           "WENOVectorInvariant",
+           "WENOVectorInvariant", "OnlySelfUpwinding",
+           "CrossAndSelfUpwinding",
            "PrescribedVelocityFields", "ZCoordinate", "ZStar"]
 
 X, Y, Z = 0, 1, 2
@@ -65,110 +66,295 @@ X, Y, Z = 0, 1, 2
 # Momentum advection schemes
 # ---------------------------------------------------------------------------
 
+class OnlySelfUpwinding:
+    """Upwinding treatment of the VI divergence flux and KE gradient in
+    which only the terms in the TRANSPORTING velocity are upwinded; the
+    tangential (cross) terms use ``cross_scheme`` symmetrically
+    (reference ``vector_invariant_upwinding.jl:30-61`` +
+    ``vector_invariant_self_upwinding.jl``)."""
+
+    def __init__(self, cross_scheme=None):
+        if cross_scheme is None or not getattr(cross_scheme, "symmetric",
+                                               False):
+            # the reference extracts the centered advecting-velocity
+            # counterpart from upwind cross schemes
+            # (``extract_centered_scheme``)
+            cross_scheme = Centered(2)
+        self.cross_scheme = cross_scheme
+
+    def __eq__(self, other):
+        return (type(self) is type(other)
+                and self.cross_scheme == other.cross_scheme)
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.cross_scheme))
+
+    def __repr__(self):
+        return f"{type(self).__name__}(cross_scheme={self.cross_scheme!r})"
+
+
+class CrossAndSelfUpwinding(OnlySelfUpwinding):
+    """Both the self and tangential contributions of the divergence flux
+    are upwinded together as one reconstruction of δx(Ax u) + δy(Ay v);
+    the KE gradient keeps self-only upwinding (reference
+    ``vector_invariant_cross_upwinding.jl``)."""
+
+
 class VectorInvariant:
     """Rotational-form momentum advection (reference
     ``vector_invariant_advection.jl``): 𝐯·∇u = ζ ẑ×u + ∇K + w ∂z u.
 
-    ``vorticity_scheme``: "enstrophy_conserving" (default, reference
-    ``horizontal_advection_U(::VectorInvariantEnstrophyConserving)``:
-    ℑy(ζ)·v̂ with the LENGTH-weighted transverse velocity
-    v̂ = ℑxy(Δx v)/Δxᶠᶜᶜ) or "energy_conserving"
-    (ℑy(ζ·ℑx(Δx v))/Δxᶠᶜᶜ)."""
+    Full reference option matrix
+    (``vector_invariant_advection.jl:36-63``):
 
-    def __init__(self, vorticity_scheme="enstrophy_conserving"):
-        if vorticity_scheme not in ("enstrophy_conserving",
-                                    "energy_conserving"):
+    - ``vorticity_scheme``: "enstrophy_conserving" (default; ℑy(ζ)·v̂ with
+      the LENGTH-weighted transverse velocity v̂ = ℑxy(Δx v)/Δxᶠᶜᶜ),
+      "energy_conserving" (ℑy(ζ·ℑx(Δx v))/Δxᶠᶜᶜ), or a biased scheme
+      (``UpwindBiased``/``WENO``): ζ reconstructed transversely, biased
+      on the sign of v̂ (``horizontal_advection_U``,
+      ``vector_invariant_advection.jl:367-385``).
+    - ``vorticity_stencil``: "velocity" (default; WENO smoothness
+      measured on the tangential velocities ℑy(u), ℑx(v) — reference
+      ``VelocityStencil``) or "default" (smoothness of ζ itself).
+    - ``vertical_scheme``: "energy_conserving" (default; ℑz(ℑx(w)∂z u))
+      or a biased scheme — the vertical term becomes flux-form
+      δz(ℑx(Az w)·uᴿ) PLUS the upwinded horizontal divergence flux
+      (``vertical_advection_U``, ``vector_invariant_advection.jl:324-338``).
+    - ``divergence_scheme``: biased scheme for δx(Ax u) (defaults to
+      ``vertical_scheme`` when that is a scheme).
+    - ``kinetic_energy_gradient_scheme``: "energy_conserving" (∂x of the
+      centered horizontal KE) or a biased scheme for the self
+      KE-difference δx(u²/2) (defaults to ``divergence_scheme``).
+    - ``upwinding``: ``OnlySelfUpwinding()`` (default) or
+      ``CrossAndSelfUpwinding()``.
+    """
+
+    def __init__(self, vorticity_scheme="enstrophy_conserving",
+                 vorticity_stencil="velocity",
+                 vertical_scheme="energy_conserving",
+                 divergence_scheme=None,
+                 kinetic_energy_gradient_scheme=None,
+                 upwinding=None):
+        if isinstance(vorticity_scheme, str) and vorticity_scheme not in (
+                "enstrophy_conserving", "energy_conserving"):
             raise ValueError(
                 f"unknown vorticity_scheme {vorticity_scheme!r}")
+        if vorticity_stencil not in ("velocity", "default"):
+            raise ValueError(
+                f"unknown vorticity_stencil {vorticity_stencil!r}")
+        if isinstance(vertical_scheme, str) and \
+                vertical_scheme != "energy_conserving":
+            raise ValueError(
+                f"unknown vertical_scheme {vertical_scheme!r}")
         self.vorticity_scheme = vorticity_scheme
-
-    required_halo = property(lambda self: 2)
-
-    def __eq__(self, other):
-        return (type(self) is type(other)
-                and self.vorticity_scheme == other.vorticity_scheme)
-
-    def __hash__(self):
-        return hash(("VectorInvariant", self.vorticity_scheme))
-
-    def __repr__(self):
-        return f"VectorInvariant({self.vorticity_scheme})"
-
-    def _zeta_v(self, grid, zeta, v):
-        dxv = grid.dx(Center, Face) * v
-        if self.vorticity_scheme == "energy_conserving":
-            return iy_c(zeta * ix_f(dxv)) / grid.dx(Face, Center)
-        return iy_c(zeta) * ix_f(iy_c(dxv)) / grid.dx(Face, Center)
-
-    def _zeta_u(self, grid, zeta, u):
-        dyu = grid.dy(Center, Face) * u
-        if self.vorticity_scheme == "energy_conserving":
-            return ix_c(zeta * iy_f(dyu)) / grid.dy(Face, Center)
-        return ix_c(zeta) * iy_f(ix_c(dyu)) / grid.dy(Face, Center)
-
-    def u_tendency(self, grid, u, v, w):
-        """−[𝐯·∇u]ₓ at (f,c,c)."""
-        zeta = vorticity_z_ff(grid, u, v)   # (f,f,c)
-        zeta_v = self._zeta_v(grid, zeta, v)
-        K = 0.5 * (ix_c(u * u) + iy_c(v * v))
-        dKdx = dx_f(K) / grid.dx(Face, Center)
-        w_fcf = ix_f(w)
-        dudz = dz_f(u) / grid.dz(Face)
-        w_dudz = iz_c(w_fcf * dudz)
-        return zeta_v - dKdx - w_dudz
-
-    def v_tendency(self, grid, u, v, w):
-        zeta = vorticity_z_ff(grid, u, v)
-        zeta_u = self._zeta_u(grid, zeta, u)
-        K = 0.5 * (ix_c(u * u) + iy_c(v * v))
-        dKdy = dy_f(K) / grid.dy(Face, Center)
-        w_cff = iy_f(w)
-        dvdz = dz_f(v) / grid.dz(Face)
-        w_dvdz = iz_c(w_cff * dvdz)
-        return -zeta_u - dKdy - w_dvdz
-
-
-class WENOVectorInvariant(VectorInvariant):
-    """Vector-invariant momentum with the vorticity flux UPWINDED by a
-    WENO reconstruction of ζ along the transverse direction (reference
-    ``VectorInvariantUpwindVorticity``,
-    ``vector_invariant_advection.jl:367-385``: ζᴿ biased by sign(v̂),
-    term = v̂ ζᴿ). The implicit dissipation makes this the scheme of
-    choice for realistic sphere configurations."""
-
-    def __init__(self, vorticity_order=5):
-        from oceananigans_tpu.advection import WENO
-        self.vorticity_scheme = f"weno{vorticity_order}_upwind"
-        self.scheme = WENO(vorticity_order)
+        self.vorticity_stencil = vorticity_stencil
+        self.vertical_scheme = vertical_scheme
+        if divergence_scheme is None and \
+                not isinstance(vertical_scheme, str):
+            divergence_scheme = vertical_scheme
+        self.divergence_scheme = divergence_scheme
+        if kinetic_energy_gradient_scheme is None:
+            kinetic_energy_gradient_scheme = (
+                divergence_scheme if divergence_scheme is not None
+                else "energy_conserving")
+        self.kinetic_energy_gradient_scheme = kinetic_energy_gradient_scheme
+        self.upwinding = upwinding if upwinding is not None \
+            else OnlySelfUpwinding()
 
     @property
     def required_halo(self):
-        return max(2, self.scheme.required_halo)
+        h = 1
+        for s in (self.vorticity_scheme, self.vertical_scheme,
+                  self.divergence_scheme,
+                  self.kinetic_energy_gradient_scheme):
+            if s is not None and not isinstance(s, str):
+                h = max(h, s.required_halo)
+        # ζ itself consumes one halo on top of any upwinded stencil
+        # (reference ``required_halo_size_x(::VectorInvariant)``,
+        # vector_invariant_advection.jl:244-252)
+        return h + 1 if h > 1 else 2
+
+    def _key(self):
+        return ("VectorInvariant", self.vorticity_scheme,
+                self.vorticity_stencil, self.vertical_scheme,
+                self.divergence_scheme,
+                self.kinetic_energy_gradient_scheme, self.upwinding)
 
     def __eq__(self, other):
-        return (type(self) is type(other)
-                and self.scheme.order == other.scheme.order)
+        return isinstance(other, VectorInvariant) and \
+            self._key() == other._key()
 
     def __hash__(self):
-        return hash(("WENOVectorInvariant", self.scheme.order))
+        return hash(self._key())
 
     def __repr__(self):
-        return f"WENOVectorInvariant(order={self.scheme.order})"
+        return (f"VectorInvariant({self.vorticity_scheme!r}, "
+                f"vertical_scheme={self.vertical_scheme!r})")
 
-    def _zeta_v(self, grid, zeta, v):
-        from oceananigans_tpu.advection import _face_value
-        vhat = ix_f(iy_c(grid.dx(Center, Face) * v)) \
-            / grid.dx(Face, Center)
+    # -- vorticity term ---------------------------------------------------
+    def _zeta_smooth(self, u, v):
+        from oceananigans_tpu.advection import WENO
+        if self.vorticity_stencil == "velocity" and \
+                isinstance(self.vorticity_scheme, WENO):
+            # tangential velocities at ζ's (f,f,·) location (reference
+            # ``tangential_stencil_u/v``, weno_interpolants.jl:469-472)
+            return [iy_f(u), ix_f(v)]
+        return None
+
+    def _zeta_v(self, grid, zeta, u, v):
+        """+ζ-flux term of the u equation at (f,c,c)."""
+        dxv = grid.dx(Center, Face) * v
+        if self.vorticity_scheme == "energy_conserving":
+            return iy_c(zeta * ix_f(dxv)) / grid.dx(Face, Center)
+        if self.vorticity_scheme == "enstrophy_conserving":
+            return iy_c(zeta) * ix_f(iy_c(dxv)) / grid.dx(Face, Center)
+        from oceananigans_tpu.advection import _face_value_smooth
+        vhat = ix_f(iy_c(dxv)) / grid.dx(Face, Center)
         # ζ is y-face-located: reconstruct to y-centers (o = 1)
-        zr = _face_value(self.scheme, vhat, zeta, Y, 1)
+        zr = _face_value_smooth(self.vorticity_scheme, vhat, zeta, Y, 1,
+                                self._zeta_smooth(u, v))
         return vhat * zr
 
-    def _zeta_u(self, grid, zeta, u):
-        from oceananigans_tpu.advection import _face_value
-        uhat = iy_f(ix_c(grid.dy(Center, Face) * u)) \
-            / grid.dy(Face, Center)
-        zr = _face_value(self.scheme, uhat, zeta, X, 1)
+    def _zeta_u(self, grid, zeta, u, v):
+        dyu = grid.dy(Center, Face) * u
+        if self.vorticity_scheme == "energy_conserving":
+            return ix_c(zeta * iy_f(dyu)) / grid.dy(Face, Center)
+        if self.vorticity_scheme == "enstrophy_conserving":
+            return ix_c(zeta) * iy_f(ix_c(dyu)) / grid.dy(Face, Center)
+        from oceananigans_tpu.advection import _face_value_smooth
+        uhat = iy_f(ix_c(dyu)) / grid.dy(Face, Center)
+        zr = _face_value_smooth(self.vorticity_scheme, uhat, zeta, X, 1,
+                                self._zeta_smooth(u, v))
         return uhat * zr
+
+    # -- Bernoulli head ---------------------------------------------------
+    def _bernoulli_u(self, grid, u, v):
+        """∂x K at (f,c,c) (reference ``bernoulli_head_U``)."""
+        ke = self.kinetic_energy_gradient_scheme
+        if isinstance(ke, str):
+            K = 0.5 * (ix_c(u * u) + iy_c(v * v))
+            return dx_f(K) / grid.dx(Face, Center)
+        from oceananigans_tpu.advection import WENO, _face_value_smooth
+        du2 = dx_c(0.5 * u * u)          # δx(u²/2) at (c,c,c)
+        dv2 = dx_f(0.5 * v * v)          # δx(v²/2) at (f,f,c)
+        smooth = [ix_c(u)] if isinstance(ke, WENO) else None
+        duR = _face_value_smooth(ke, u, du2, X, 0, smooth)
+        dvS = self.upwinding.cross_scheme.reconstruct(dv2, Y, 1)
+        return (duR + dvS) / grid.dx(Face, Center)
+
+    def _bernoulli_v(self, grid, u, v):
+        ke = self.kinetic_energy_gradient_scheme
+        if isinstance(ke, str):
+            K = 0.5 * (ix_c(u * u) + iy_c(v * v))
+            return dy_f(K) / grid.dy(Face, Center)
+        from oceananigans_tpu.advection import WENO, _face_value_smooth
+        dv2 = dy_c(0.5 * v * v)          # (c,c,c)
+        du2 = dy_f(0.5 * u * u)          # (f,f,c)
+        smooth = [iy_c(v)] if isinstance(ke, WENO) else None
+        dvR = _face_value_smooth(ke, v, dv2, Y, 0, smooth)
+        duS = self.upwinding.cross_scheme.reconstruct(du2, X, 1)
+        return (dvR + duS) / grid.dy(Face, Center)
+
+    # -- vertical + divergence flux ---------------------------------------
+    def _div_terms(self, grid, u, v):
+        dxU = dx_c(grid.Ax(Face, Center, Center) * u)    # (c,c,c)
+        dyV = dy_c(grid.Ay(Center, Face, Center) * v)    # (c,c,c)
+        return dxU, dyV
+
+    def _vertical_u(self, grid, u, v, w):
+        """+[w ∂z u] term of 𝐯·∇u at (f,c,c) (reference
+        ``vertical_advection_U``)."""
+        vs = self.vertical_scheme
+        if isinstance(vs, str):
+            w_fcf = ix_f(w)
+            dudz = dz_f(u) / grid.dz(Face)
+            return iz_c(w_fcf * dudz)
+        from oceananigans_tpu.advection import (
+            WENO, _face_value, _face_value_smooth,
+        )
+        dxU, dyV = self._div_terms(grid, u, v)
+        ds = self.divergence_scheme
+        if isinstance(self.upwinding, CrossAndSelfUpwinding):
+            dR = _face_value_smooth(ds, u, dxU + dyV, X, 0, None)
+            phi = u * dR
+        else:
+            smooth = [dxU + dyV] if isinstance(ds, WENO) else None
+            duR = _face_value_smooth(ds, u, dxU, X, 0, smooth)
+            dvS = self.upwinding.cross_scheme.reconstruct(dyV, X, 0)
+            phi = u * (dvS + duR)
+        Wadv = ix_f(grid.Az(Center, Center) * w)         # (f,c,f)
+        uz = _face_value(vs, Wadv, u, Z, 0)
+        return (phi + dz_c(Wadv * uz)) / grid.V(Face, Center, Center)
+
+    def _vertical_v(self, grid, u, v, w):
+        vs = self.vertical_scheme
+        if isinstance(vs, str):
+            w_cff = iy_f(w)
+            dvdz = dz_f(v) / grid.dz(Face)
+            return iz_c(w_cff * dvdz)
+        from oceananigans_tpu.advection import (
+            WENO, _face_value, _face_value_smooth,
+        )
+        dxU, dyV = self._div_terms(grid, u, v)
+        ds = self.divergence_scheme
+        if isinstance(self.upwinding, CrossAndSelfUpwinding):
+            dR = _face_value_smooth(ds, v, dxU + dyV, Y, 0, None)
+            phi = v * dR
+        else:
+            smooth = [dxU + dyV] if isinstance(ds, WENO) else None
+            dvR = _face_value_smooth(ds, v, dyV, Y, 0, smooth)
+            duS = self.upwinding.cross_scheme.reconstruct(dxU, Y, 0)
+            phi = v * (duS + dvR)
+        Wadv = iy_f(grid.Az(Center, Center) * w)         # (c,f,f)
+        vz = _face_value(vs, Wadv, v, Z, 0)
+        return (phi + dz_c(Wadv * vz)) / grid.V(Center, Face, Center)
+
+    # -- tendencies -------------------------------------------------------
+    def u_tendency(self, grid, u, v, w):
+        """−[𝐯·∇u]ₓ at (f,c,c)."""
+        zeta = vorticity_z_ff(grid, u, v)   # (f,f,c)
+        return (self._zeta_v(grid, zeta, u, v)
+                - self._bernoulli_u(grid, u, v)
+                - self._vertical_u(grid, u, v, w))
+
+    def v_tendency(self, grid, u, v, w):
+        zeta = vorticity_z_ff(grid, u, v)
+        return (-self._zeta_u(grid, zeta, u, v)
+                - self._bernoulli_v(grid, u, v)
+                - self._vertical_v(grid, u, v, w))
+
+
+class WENOVectorInvariant(VectorInvariant):
+    """WENO vector-invariant convenience constructor (reference
+    ``WENOVectorInvariant``, ``vector_invariant_advection.jl:193-238``):
+    vorticity WENO(vorticity_order) with VelocityStencil smoothness,
+    flux-form WENO vertical advection + upwinded divergence flux and KE
+    gradient with ``OnlySelfUpwinding``. Reference defaults: vorticity
+    order 9, all others 5."""
+
+    def __init__(self, vorticity_order=None, order=None,
+                 vertical_order=None, divergence_order=None,
+                 kinetic_energy_gradient_order=None, upwinding=None,
+                 vorticity_stencil="velocity"):
+        from oceananigans_tpu.advection import WENO
+        vorticity_order = vorticity_order or order or 9
+        vertical_order = vertical_order or order or 5
+        divergence_order = divergence_order or order or 5
+        kinetic_energy_gradient_order = (kinetic_energy_gradient_order
+                                         or order or 5)
+        super().__init__(
+            vorticity_scheme=WENO(vorticity_order),
+            vorticity_stencil=vorticity_stencil,
+            vertical_scheme=WENO(vertical_order),
+            divergence_scheme=WENO(divergence_order),
+            kinetic_energy_gradient_scheme=WENO(
+                kinetic_energy_gradient_order),
+            upwinding=upwinding)
+
+    def __repr__(self):
+        return (f"WENOVectorInvariant(vorticity_order="
+                f"{self.vorticity_scheme.order}, vertical_order="
+                f"{self.vertical_scheme.order})")
 
 
 # ---------------------------------------------------------------------------

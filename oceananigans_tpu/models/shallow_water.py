@@ -259,9 +259,9 @@ class ShallowWaterModel:
             zeta = vorticity_z_ff(g, u, v)
             K = 0.5 * (ix_c(u * u) + iy_c(v * v))
             phi = K + self.g * eta
-            Guh = vi._zeta_v(g, zeta, v) \
+            Guh = vi._zeta_v(g, zeta, u, v) \
                 - dx_f(phi) / g.dx(Face, Center)
-            Gvh = -vi._zeta_u(g, zeta, u) \
+            Gvh = -vi._zeta_u(g, zeta, u, v) \
                 - dy_f(phi) / g.dy(Face, Center)
             if self.coriolis is not None:
                 Guh = Guh - self.coriolis.x_f_cross_U(g, u, v,
