@@ -68,7 +68,8 @@ from oceananigans_tpu.closures import (
     ExplicitTimeDiscretization, VerticallyImplicitTimeDiscretization,
 )
 from oceananigans_tpu.forcings import (
-    Forcing, Relaxation, GaussianMask, LinearTarget, MultipleForcings,
+    AdvectiveForcing, Forcing, Relaxation, GaussianMask, LinearTarget,
+    MultipleForcings,
 )
 from oceananigans_tpu.models import NonhydrostaticModel
 from oceananigans_tpu.simulation import Simulation, Callback, TimeStepWizard

@@ -13,7 +13,47 @@ from oceananigans_tpu.advection import cell_advection_timescale
 from oceananigans_tpu.fields import interior
 from oceananigans_tpu.grids.base import Face
 
-__all__ = ["AdvectiveCFL", "DiffusiveCFL", "CFL", "StateChecker"]
+__all__ = ["AdvectiveCFL", "DiffusiveCFL", "CFL", "StateChecker",
+           "seawater_density"]
+
+
+def seawater_density(model, state, temperature=None, salinity=None,
+                     geopotential_height=None):
+    """In-situ (or potential) seawater density ρ = ρ₀ (1 − b/g) at
+    (c,c,c) from the model's SeawaterBuoyancy equation of state
+    (reference ``src/Models/seawater_density.jl``: seawater_density
+    KernelFunctionOperation). ``geopotential_height``: defaults to the
+    cell-center z (in-situ density); pass a constant (e.g. ``0``) for a
+    potential density referenced to that height."""
+    from oceananigans_tpu.buoyancy import SeawaterBuoyancy
+
+    buoyancy = model.buoyancy
+    if hasattr(buoyancy, "formulation"):   # BuoyancyForce wrapper
+        buoyancy = buoyancy.formulation
+    if not isinstance(buoyancy, SeawaterBuoyancy):
+        raise ValueError("seawater_density requires a model with "
+                         f"SeawaterBuoyancy, got {buoyancy!r}")
+    T = temperature if temperature is not None else (
+        state.tracers["T"] if buoyancy.constant_temperature is None
+        else buoyancy.constant_temperature)
+    S = salinity if salinity is not None else (
+        state.tracers["S"] if buoyancy.constant_salinity is None
+        else buoyancy.constant_salinity)
+    Z = geopotential_height if geopotential_height is not None \
+        else model.grid.zC
+    eos = buoyancy.eos
+    g = buoyancy.g
+    if hasattr(eos, "rho0"):
+        rho0 = eos.rho0
+        try:
+            b = eos.buoyancy(g, T, S, z=Z)
+        except TypeError:
+            b = eos.buoyancy(g, T, S)
+        return rho0 * (1.0 - b / g)
+    # linear EOS carries no reference density: return the Boussinesq
+    # density anomaly ρ′ = −ρ₀ b / g with ρ₀ = 1 (per unit ρ₀)
+    b = eos.buoyancy(g, T, S)
+    return -b / g
 
 
 class AdvectiveCFL:

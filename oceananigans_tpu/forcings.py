@@ -24,6 +24,7 @@ from oceananigans_tpu.fields import location_coords
 
 __all__ = ["Forcing", "ContinuousForcing", "DiscreteForcing", "Relaxation",
            "GaussianMask", "LinearTarget", "MultipleForcings",
+           "AdvectiveForcing", "split_advective_forcings",
            "materialize_forcing"]
 
 
@@ -121,6 +122,61 @@ class MultipleForcings:
 
     def __init__(self, *forcings):
         self.forcings = tuple(forcings)
+
+
+class AdvectiveForcing:
+    """Forcing representing advection by an EXTRA velocity field
+    (u, v, w) — e.g. particle sinking (reference
+    ``advective_forcing.jl:9``). Following the reference's
+    ``with_advective_forcing``/``sum_of_velocities`` treatment, the extra
+    velocities are added to the model's advecting velocity inside the
+    forced tracer's own advection term, so the flux uses the model's
+    advection scheme (no separate lower-order divergence).
+
+    Components may be numbers or callables ``f(x, y, z)`` evaluated at the
+    staggered velocity locations. Only tracer fields support advective
+    forcing (as in practice in the reference; velocity advective forcing
+    raises at model construction).
+    """
+
+    def __init__(self, u=0.0, v=0.0, w=0.0):
+        self.u = u
+        self.v = v
+        self.w = w
+
+    def velocities(self, grid):
+        """(u', v', w') materialized at (f,c,c)/(c,f,c)/(c,c,f)."""
+        from oceananigans_tpu.fields import LOC_U, LOC_V, LOC_W, set_field
+        out = []
+        for comp, loc in ((self.u, LOC_U), (self.v, LOC_V),
+                          (self.w, LOC_W)):
+            if callable(comp):
+                f3 = lambda x, y, z, _c=comp: _c(x, y, z)
+                out.append(set_field(grid, f3, loc))
+            else:
+                out.append(set_field(grid, float(comp), loc))
+        return tuple(out)
+
+    def __repr__(self):
+        return f"AdvectiveForcing(u={self.u!r}, v={self.v!r}, w={self.w!r})"
+
+
+def split_advective_forcings(spec):
+    """Split a user forcing spec into (advective forcings tuple, rest):
+    AdvectiveForcing entries are pulled out (also from inside
+    MultipleForcings) to be summed into the advecting velocity; the rest
+    goes through ``materialize_forcing``."""
+    if isinstance(spec, AdvectiveForcing):
+        return (spec,), None
+    if isinstance(spec, MultipleForcings):
+        adv = tuple(f for f in spec.forcings
+                    if isinstance(f, AdvectiveForcing))
+        rest = tuple(f for f in spec.forcings
+                     if not isinstance(f, AdvectiveForcing))
+        if not adv:
+            return (), spec
+        return adv, (MultipleForcings(*rest) if rest else None)
+    return (), spec
 
 
 class FieldTimeSeriesForcing:

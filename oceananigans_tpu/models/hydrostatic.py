@@ -690,12 +690,23 @@ class HydrostaticFreeSurfaceModel:
         self.eta_bcs = regularize_field_boundary_conditions(
             boundary_conditions.get("eta"), grid, LOC_C)
 
+        # AdvectiveForcing entries are summed into the forced tracer's
+        # advecting velocity (reference with_advective_forcing,
+        # advective_forcing.jl:74-90)
+        from oceananigans_tpu.forcings import split_advective_forcings
         forcing = dict(forcing or {})
-        self.forcings = {
-            name: materialize_forcing(forcing.get(name), name,
-                                      self.locations[name])
-            for name in self.locations
-        }
+        self.forcings = {}
+        self.advective_forcings = {}
+        for name in self.locations:
+            adv, rest = split_advective_forcings(forcing.get(name))
+            if adv and name not in self.tracer_names:
+                raise ValueError(
+                    f"AdvectiveForcing is only supported on tracers, "
+                    f"got it for {name!r}")
+            if adv:
+                self.advective_forcings[name] = adv
+            self.forcings[name] = materialize_forcing(
+                rest, name, self.locations[name])
 
     tree_flatten = lambda self: ((self.grid,), _ModelAux(self))
 
@@ -941,7 +952,11 @@ class HydrostaticFreeSurfaceModel:
         Gtracers = {}
         for name in self.tracer_names:
             c = tracers[name]
-            Gc = -div_Uc(g, self.tracer_advection, u, v, w, c)
+            uta, vta, wta = u, v, w
+            for af in self.advective_forcings.get(name, ()):
+                ua, va, wa = af.velocities(g)
+                uta, vta, wta = uta + ua, vta + va, wta + wa
+            Gc = -div_Uc(g, self.tracer_advection, uta, vta, wta, c)
             Gc = Gc + closures_mod.tracer_flux_divergence(
                 self.closure, g, name, c, tracers, diffusivities,
                 include_implicit=False)

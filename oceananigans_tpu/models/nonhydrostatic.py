@@ -164,13 +164,24 @@ class NonhydrostaticModel:
         self.pressure_bcs = regularize_field_boundary_conditions(
             None, grid, LOC_C)
 
-        # forcings -> callables (grid, time, fields) -> array
+        # forcings -> callables (grid, time, fields) -> array;
+        # AdvectiveForcing entries are split out and summed into the
+        # advecting velocity of the forced tracer (reference
+        # with_advective_forcing, advective_forcing.jl:74-90)
+        from oceananigans_tpu.forcings import split_advective_forcings
         forcing = dict(forcing or {})
-        self.forcings = {
-            name: materialize_forcing(forcing.get(name), name,
-                                      self.locations[name])
-            for name in self.locations
-        }
+        self.forcings = {}
+        self.advective_forcings = {}
+        for name in self.locations:
+            adv, rest = split_advective_forcings(forcing.get(name))
+            if adv and name not in self.tracer_names:
+                raise ValueError(
+                    f"AdvectiveForcing is only supported on tracers, "
+                    f"got it for {name!r}")
+            if adv:
+                self.advective_forcings[name] = adv
+            self.forcings[name] = materialize_forcing(
+                rest, name, self.locations[name])
 
         self.pressure_solver = make_pressure_solver(grid)
 
@@ -378,6 +389,12 @@ class NonhydrostaticModel:
         Gtracers = {}
         for name in self.tracer_names:
             c = tracers[name]
+            # AdvectiveForcing velocities are summed into the advecting
+            # flow for this tracer (reference with_advective_forcing)
+            uta, vta, wta = ut, vt, wt
+            for af in self.advective_forcings.get(name, ()):
+                ua, va, wa = af.velocities(g)
+                uta, vta, wta = uta + ua, vta + va, wta + wa
             # tracers are advected by the TOTAL velocity; a background
             # tracer contributes its advection by the perturbation flow
             # (total·total minus background·background)
@@ -386,10 +403,10 @@ class NonhydrostaticModel:
                 ub0 = bg.get("u", jnp.zeros_like(u))
                 vb0 = bg.get("v", jnp.zeros_like(v))
                 wb0 = bg.get("w", jnp.zeros_like(w))
-                Gc = -(div_Uc(g, self.advection, ut, vt, wt, c + cb)
+                Gc = -(div_Uc(g, self.advection, uta, vta, wta, c + cb)
                        - div_Uc(g, self.advection, ub0, vb0, wb0, cb))
             else:
-                Gc = -div_Uc(g, self.advection, ut, vt, wt, c)
+                Gc = -div_Uc(g, self.advection, uta, vta, wta, c)
             Gc = Gc + closures_mod.tracer_flux_divergence(
                 self.closure, g, name, c, tracers, diffusivities,
                 include_implicit=False)

@@ -15,7 +15,78 @@ from oceananigans_tpu.ops.operators import (
     dz_f, ix_c, ix_f, iy_c, iy_f, iz_c, iz_f,
 )
 
-__all__ = ["UniformStokesDrift"]
+__all__ = ["UniformStokesDrift", "StokesDrift"]
+
+
+class StokesDrift:
+    """Spatially-varying Stokes drift uˢ(x, y, z, t) (reference
+    ``StokesDrifts.jl`` `StokesDrift`): supplies every component of the
+    pseudovorticity ∇×𝐯ˢ plus the wave-field time tendencies, and the
+    model adds the Craik-Leibovich vortex force
+    (``x/y/z_curl_Uˢ_cross_U``, StokesDrifts.jl:289-335).
+
+    All arguments are callables ``f(x, y, z, t)`` (broadcast over the
+    staggered node arrays):
+
+    - ``dx_vs``, ``dx_ws``: ∂x vˢ, ∂x wˢ
+    - ``dy_us``, ``dy_ws``: ∂y uˢ, ∂y wˢ
+    - ``dz_us``, ``dz_vs``: ∂z uˢ, ∂z vˢ
+    - ``dt_us``, ``dt_vs``, ``dt_ws``: ∂t uˢ, ∂t vˢ, ∂t wˢ
+    """
+
+    def __init__(self, dx_vs=None, dx_ws=None, dy_us=None, dy_ws=None,
+                 dz_us=None, dz_vs=None, dt_us=None, dt_vs=None,
+                 dt_ws=None):
+        # zeros in the grid's dtype (never promote float32 state under x64)
+        zero = lambda x, y, z, t: jnp.zeros_like(x + y + z)
+        self.dx_vs = dx_vs or zero
+        self.dx_ws = dx_ws or zero
+        self.dy_us = dy_us or zero
+        self.dy_ws = dy_ws or zero
+        self.dz_us = dz_us or zero
+        self.dz_vs = dz_vs or zero
+        self.dt_us = dt_us or zero
+        self.dt_vs = dt_vs or zero
+        self.dt_ws = dt_ws or zero
+
+    def _at(self, grid, loc):
+        from oceananigans_tpu.fields import location_coords
+        return location_coords(grid, loc)
+
+    def x_tendency(self, grid, u, v, w, time):
+        """∂t uˢ + wᶠᶜᶜ(∂z uˢ − ∂x wˢ) − vᶠᶜᶜ(∂x vˢ − ∂y uˢ) at (f,c,c)
+        (reference ``x_curl_Uˢ_cross_U``, StokesDrifts.jl:289-302)."""
+        from oceananigans_tpu.grids.base import Center
+        x, y, z = self._at(grid, (Face, Center, Center))
+        w_fcc = ix_f(iz_c(w))
+        v_fcc = ix_f(iy_c(v))
+        return (self.dt_us(x, y, z, time)
+                + w_fcc * (self.dz_us(x, y, z, time)
+                           - self.dx_ws(x, y, z, time))
+                - v_fcc * (self.dx_vs(x, y, z, time)
+                           - self.dy_us(x, y, z, time)))
+
+    def y_tendency(self, grid, u, v, w, time):
+        from oceananigans_tpu.grids.base import Center
+        x, y, z = self._at(grid, (Center, Face, Center))
+        w_cfc = iy_f(iz_c(w))
+        u_cfc = iy_f(ix_c(u))
+        return (self.dt_vs(x, y, z, time)
+                + u_cfc * (self.dx_vs(x, y, z, time)
+                           - self.dy_us(x, y, z, time))
+                - w_cfc * (self.dy_ws(x, y, z, time)
+                           - self.dz_vs(x, y, z, time)))
+
+    def z_tendency(self, grid, u, v, w, time):
+        from oceananigans_tpu.grids.base import Center
+        x, y, z = self._at(grid, (Center, Center, Face))
+        u_ccf = iz_f(ix_c(u))
+        v_ccf = iz_f(iy_c(v))
+        return (self.dt_ws(x, y, z, time)
+                + v_ccf * (self.dy_ws(x, y, z, time)
+                           - self.dz_vs(x, y, z, time))
+                - u_ccf * (self.dz_us(x, y, z, time)
+                           - self.dx_ws(x, y, z, time)))
 
 
 class UniformStokesDrift:
