@@ -79,7 +79,7 @@ from oceananigans_tpu.utils.schedules import (
 )
 from oceananigans_tpu.output import (
     HDF5Writer, JLD2Writer, Checkpointer, FieldTimeSeries,
-    load_field_time_series,
+    FileSizeLimit, InMemory, OnDisk, load_field_time_series,
 )
 
 __version__ = "0.1.0"

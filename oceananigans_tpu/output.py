@@ -28,7 +28,8 @@ from oceananigans_tpu.utils.schedules import (
     AveragedTimeInterval, IterationInterval, TimeInterval,
 )
 
-__all__ = ["HDF5Writer", "JLD2Writer", "Checkpointer", "OrbaxCheckpointer", "FieldTimeSeries",
+__all__ = ["HDF5Writer", "JLD2Writer", "Checkpointer", "OrbaxCheckpointer",
+           "FieldTimeSeries", "FileSizeLimit", "InMemory", "OnDisk",
            "load_field_time_series", "WindowedTimeAverage"]
 
 
@@ -59,17 +60,46 @@ class HDF5Writer:
     """
 
     def __init__(self, outputs, filename, schedule, array_type=np.float32,
-                 overwrite_existing=True, with_halos=False):
+                 overwrite_existing=True, with_halos=False,
+                 file_splitting=None):
         self.outputs = outputs
-        self.filename = str(filename)
+        self.base_filename = str(filename)
         self.schedule = schedule
         self.array_type = array_type
         self.with_halos = with_halos
+        #: ``FileSizeLimit(bytes)`` or any schedule (e.g. TimeInterval):
+        #: when triggered, subsequent writes go to ``_part2``, ``_part3``…
+        #: files (reference ``jld2_writer.jl`` file_splitting)
+        self.file_splitting = file_splitting
+        self.part = 1
+        self.filename = self._part_filename()
         if overwrite_existing and os.path.exists(self.filename):
             os.remove(self.filename)
         os.makedirs(os.path.dirname(os.path.abspath(self.filename)),
                     exist_ok=True)
         self._initialized = False
+
+    def _part_filename(self):
+        if self.file_splitting is None or self.part == 1:
+            return self.base_filename
+        root, ext = os.path.splitext(self.base_filename)
+        return f"{root}_part{self.part}{ext}"
+
+    def _maybe_split(self, sim):
+        fs = self.file_splitting
+        if fs is None or not self._initialized:
+            return
+        if isinstance(fs, FileSizeLimit):
+            split = (os.path.exists(self.filename)
+                     and os.path.getsize(self.filename) >= fs.size_limit)
+        else:   # any schedule object
+            split = fs.actuates(sim.state.clock)
+        if split:
+            self.part += 1
+            self.filename = self._part_filename()
+            if os.path.exists(self.filename):
+                os.remove(self.filename)
+            self._initialized = False
 
     def _init_file(self, sim, shapes):
         with h5py.File(self.filename, "a") as f:
@@ -92,6 +122,7 @@ class HDF5Writer:
         self._initialized = True
 
     def write(self, sim):
+        self._maybe_split(sim)
         data = {name: _fetch(sim.model, sim.state, out, self.with_halos)
                 for name, out in self.outputs.items()}
         if not self._initialized:
@@ -327,37 +358,105 @@ class OrbaxCheckpointer:
         return self._ckpt.restore(path, abstract)
 
 
-class FieldTimeSeries:
-    """In-memory 4-D (time, x, y, z) series read from an HDF5Writer file,
-    with linear time interpolation (reference
-    ``field_time_series.jl:219``, ``field_time_series_indexing.jl``)."""
+class FileSizeLimit:
+    """File-splitting trigger by size in bytes (reference
+    ``output_writer_utils.jl`` FileSizeLimit): pass as
+    ``HDF5Writer(file_splitting=FileSizeLimit(200e6))``."""
 
-    def __init__(self, times, data, name=""):
+    def __init__(self, size_limit):
+        self.size_limit = int(size_limit)
+
+    def __repr__(self):
+        return f"FileSizeLimit({self.size_limit})"
+
+
+class InMemory:
+    """FieldTimeSeries backend keeping ``length`` snapshots in host
+    memory as a moving window (reference ``field_time_series.jl:37-51``
+    InMemory(length)); ``InMemory()`` holds the whole series."""
+
+    def __init__(self, length=None):
+        if length is not None and length < 2:
+            raise ValueError("InMemory length must be >= 2")
+        self.length = length
+
+
+class OnDisk:
+    """Lazy FieldTimeSeries backend: every index reads from the file
+    (reference ``field_time_series.jl:63-70`` OnDisk)."""
+
+
+class FieldTimeSeries:
+    """4-D (time, x, y, z) series read from an HDF5Writer file, with
+    linear time interpolation (reference ``field_time_series.jl:219``,
+    ``field_time_series_indexing.jl``).
+
+    ``backend``: ``InMemory()`` (default, all data in host memory),
+    ``InMemory(n)`` (moving window of n snapshots — long series that
+    don't fit in memory), or ``OnDisk()`` (every access reads the file).
+    """
+
+    def __init__(self, times, data, name="", filename=None,
+                 backend=None):
         self.times = np.asarray(times)
-        self.data = data
+        self.data = data                # None for OnDisk / windowed
         self.name = name
+        self.filename = filename
+        self.backend = backend or InMemory()
+        self._window_start = 0
+        self._window = None
+        if isinstance(self.backend, InMemory) and \
+                self.backend.length is not None and filename is None:
+            raise ValueError("windowed InMemory backend needs filename=")
+        if isinstance(self.backend, OnDisk) and filename is None:
+            raise ValueError("OnDisk backend needs filename=")
 
     def __len__(self):
         return len(self.times)
 
+    def _read(self, i):
+        with h5py.File(self.filename, "r") as f:
+            return np.asarray(f["fields"][self.name][i])
+
     def __getitem__(self, i):
-        return self.data[i]
+        if isinstance(self.backend, OnDisk):
+            return self._read(i)
+        if self.backend.length is None:
+            return self.data[i]
+        # moving window
+        n = self.backend.length
+        i = int(i)
+        if self._window is None or not (
+                self._window_start <= i < self._window_start + n):
+            start = min(max(i, 0), max(len(self.times) - n, 0))
+            with h5py.File(self.filename, "r") as f:
+                self._window = np.asarray(
+                    f["fields"][self.name][start:start + n])
+            self._window_start = start
+        return self._window[i - self._window_start]
 
     def at_time(self, t):
         """Linear interpolation (clamped extrapolation) in time."""
         times = self.times
         t = float(t)
         if t <= times[0]:
-            return self.data[0]
+            return self[0]
         if t >= times[-1]:
-            return self.data[-1]
+            return self[len(times) - 1]
         i = int(np.searchsorted(times, t) - 1)
         f = (t - times[i]) / (times[i + 1] - times[i])
-        return (1 - f) * self.data[i] + f * self.data[i + 1]
+        return (1 - f) * self[i] + f * self[i + 1]
 
 
-def load_field_time_series(filename, name):
+def load_field_time_series(filename, name, backend=None):
+    """Open a series written by HDF5Writer. ``backend``: ``InMemory()``
+    (default), ``InMemory(n)``, or ``OnDisk()``. Multi-part files from
+    ``file_splitting`` are NOT auto-concatenated; open each part."""
+    backend = backend or InMemory()
     with h5py.File(filename, "r") as f:
         times = np.asarray(f["times"])
-        data = np.asarray(f["fields"][name])
-    return FieldTimeSeries(times, data, name)
+        data = None
+        if isinstance(backend, InMemory) and backend.length is None:
+            data = np.asarray(f["fields"][name])
+    return FieldTimeSeries(times, data, name, filename=filename,
+                           backend=backend)

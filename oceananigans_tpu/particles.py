@@ -96,7 +96,43 @@ class LagrangianParticles:
         x = self._enforce_boundaries(grid, particles.x + dt * up, 0)
         y = self._enforce_boundaries(grid, particles.y + dt * vp, 1)
         z = self._enforce_boundaries(grid, particles.z + dt * wp, 2)
+        x, y, z = self._bounce_immersed(grid, particles, x, y, z)
         return dataclasses.replace(particles, x=x, y=y, z=z)
+
+    def _bounce_immersed(self, grid, prev, x, y, z):
+        """Particles landing in a solid immersed cell are bounced off the
+        boundary with the restitution coefficient, by reflecting the
+        overshoot back into the previous (wet) cell's bounds — the
+        reference's ``bounce_immersed_particle``
+        (``lagrangian_particle_advection.jl:50-101``)."""
+        solid = getattr(grid, "solid_c", None)
+        if solid is None:
+            return x, y, z
+        faces = []
+        for name in "xyz":
+            f = np.asarray(getattr(grid, f"{name}F")).reshape(-1)
+            faces.append(jnp.asarray(f))
+
+        def idx(f, q):
+            return jnp.clip(jnp.searchsorted(f, q, side="right") - 1,
+                            0, max(f.shape[0] - 2, 0))
+
+        dest = solid[idx(faces[0], x), idx(faces[1], y), idx(faces[2], z)]
+        r = self.restitution
+        out = []
+        for axis, (q, qp, f) in enumerate(
+                ((x, prev.x, faces[0]), (y, prev.y, faces[1]),
+                 (z, prev.z, faces[2]))):
+            if grid.axis_topo(axis) == Flat or grid.N[axis] == 1:
+                out.append(q)
+                continue
+            ip = idx(f, qp)
+            lo, hi = f[ip], f[ip + 1]
+            qb = jnp.where(q > hi, hi - r * (q - hi), q)
+            qb = jnp.where(qb < lo, lo + r * (lo - qb), qb)
+            qb = jnp.clip(qb, lo, hi)
+            out.append(jnp.where(dest, qb, q))
+        return tuple(out)
 
     def update_properties(self, grid, particles: ParticleState, fields):
         props = {}

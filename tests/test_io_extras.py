@@ -86,3 +86,57 @@ def test_logger():
     log = get_logger("test_oc", level=logging.DEBUG)
     log.info("hello from the logger")   # should not raise
     assert log.handlers
+
+
+def test_fts_backends_agree(tmp_path):
+    """OnDisk and windowed InMemory backends return the same data as the
+    fully-in-memory reader (reference field_time_series.jl:34-70)."""
+    from oceananigans_tpu import IterationInterval, load_field_time_series
+    from oceananigans_tpu.output import InMemory, OnDisk
+
+    model = small_model()
+    sim = Simulation(model, dt=0.01, stop_iteration=8)
+    path = str(tmp_path / "series.h5")
+    sim.output_writers["f"] = HDF5Writer(
+        outputs={"c": "c"}, filename=path, schedule=IterationInterval(1))
+    sim.state = model.initial_state(
+        c=lambda x, y, z: jnp.sin(2 * np.pi * x) * jnp.exp(z))
+    sim.run()
+
+    full = load_field_time_series(path, "c")
+    disk = load_field_time_series(path, "c", backend=OnDisk())
+    win = load_field_time_series(path, "c", backend=InMemory(3))
+    assert len(full) == len(disk) == len(win) == 9
+    assert win.data is None and disk.data is None  # nothing preloaded
+    for i in (0, 4, 8, 2, 7):   # exercise window reloads out of order
+        np.testing.assert_array_equal(full[i], disk[i])
+        np.testing.assert_array_equal(full[i], win[i])
+    t = 0.033
+    np.testing.assert_allclose(full.at_time(t), win.at_time(t), atol=1e-7)
+    np.testing.assert_allclose(full.at_time(t), disk.at_time(t), atol=1e-7)
+
+
+def test_file_splitting_by_size(tmp_path):
+    """FileSizeLimit splits output into _part2, _part3... files
+    (reference jld2_writer.jl file_splitting)."""
+    from oceananigans_tpu import IterationInterval
+    from oceananigans_tpu.output import FileSizeLimit, load_field_time_series
+    import os
+
+    model = small_model()
+    base = str(tmp_path / "split.h5")
+    sim = Simulation(model, dt=0.01, stop_iteration=12)
+    sim.output_writers["f"] = HDF5Writer(
+        outputs={"c": "c", "u": "u"}, filename=base,
+        schedule=IterationInterval(1),
+        file_splitting=FileSizeLimit(20_000))
+    sim.run()
+    parts = sorted(p for p in os.listdir(tmp_path) if p.startswith("split"))
+    assert len(parts) >= 2, parts
+    # every part is a readable series and together they cover 13 writes
+    total = 0
+    for p in parts:
+        fts = load_field_time_series(str(tmp_path / p), "c")
+        assert len(fts) >= 1
+        total += len(fts)
+    assert total == 13
