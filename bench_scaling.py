@@ -26,21 +26,58 @@ from oceananigans_tpu.parallel import Distributed, Partition, shard_state, \
     sharded_step_fn
 
 
-def run(n_devices, base=32, nz=32, inner=5):
+def count_collectives(jitted, *args):
+    """Collective instructions in the compiled HLO — the per-step
+    communication bound (VERDICT r1 #5: must be independent of the
+    advection order on the explicit-halo path)."""
+    import re
+    hlo = jitted.lower(*args).compile().as_text()
+    return {op: len(re.findall(rf"= {op}(\.\d+)?\(", hlo))
+            for op in ("collective-permute", "all-reduce", "all-gather",
+                       "all-to-all", "reduce-scatter")}
+
+
+def run(n_devices, base=32, nz=32, inner=5, path="explicit"):
+    """``path``: "explicit" = shard_map + ppermute halo exchange (bounded
+    collectives; parallel/shard_step.py) or "gspmd" = compiler-partitioned
+    whole-array stencils."""
     dist = Distributed(Partition(None, None),
                        devices=jax.devices()[:n_devices])
     px, py = dist.partition
     H = 3
-    grid = RectilinearGrid(size=(base * px - 2 * H, base * py - 2 * H, nz),
-                           extent=(1.0, 1.0, 1.0),
+    if path == "explicit":
+        # interior must divide the mesh (local-halos layout)
+        nx, ny = base * px, base * py
+    else:
+        # GSPMD shards the halo-extended global array directly
+        nx, ny = base * px - 2 * H, base * py - 2 * H
+    grid = RectilinearGrid(size=(nx, ny, nz), extent=(1.0, 1.0, 1.0),
                            topology=(Periodic, Periodic, Bounded), halo=H)
-    model = NonhydrostaticModel(grid=grid, advection=WENO(5), tracers=("b",),
-                                buoyancy=BuoyancyTracer())
+
+    def make_model(g):
+        return NonhydrostaticModel(grid=g, advection=WENO(5),
+                                   tracers=("b",),
+                                   buoyancy=BuoyancyTracer())
+
+    model = make_model(grid)
     state = model.initial_state(
         u=lambda x, y, z: 0.01 * jnp.sin(2 * np.pi * x),
         b=lambda x, y, z: 1e-5 * z)
-    state = shard_state(dist, state)
-    step = sharded_step_fn(model, dist, 1e-4)
+    colls = None
+    if path == "explicit" and n_devices > 1:
+        from jax.sharding import Mesh
+        from oceananigans_tpu.parallel import DistributedStep
+        mesh = dist.mesh if hasattr(dist, "mesh") else Mesh(
+            np.array(jax.devices()[:n_devices]).reshape(px, py),
+            ("x", "y"))
+        dstep = DistributedStep(make_model, grid, mesh)
+        f = dstep.step_fn()
+        state = dstep.to_local_state(state)
+        step = lambda s: f(s, 1e-4)
+        colls = count_collectives(f, state, 1e-4)
+    else:
+        state = shard_state(dist, state)
+        step = sharded_step_fn(model, dist, 1e-4)
     state = jax.block_until_ready(step(state))      # compile
     t0 = time.perf_counter()
     for _ in range(inner):
@@ -48,7 +85,7 @@ def run(n_devices, base=32, nz=32, inner=5):
     jax.block_until_ready(state.u)
     el = (time.perf_counter() - t0) / inner
     pts = grid.Nx * grid.Ny * grid.Nz
-    return el, pts
+    return el, pts, colls
 
 
 def main():
@@ -61,14 +98,16 @@ def main():
     results = []
     t1 = None
     for n in counts:
-        el, pts = run(n)
+        el, pts, colls = run(n)
         if t1 is None:
             t1 = el
         eff = t1 / el            # weak scaling: ideal keeps time constant
         results.append({"devices": n, "ms_per_step": el * 1e3,
-                        "points": pts, "weak_efficiency": eff})
+                        "points": pts, "weak_efficiency": eff,
+                        "collectives_per_step": colls})
         print(f"{n} devices: {el*1e3:8.2f} ms/step  {pts:9d} pts  "
-              f"weak eff {eff:5.1%}")
+              f"weak eff {eff:5.1%}  collectives/step "
+              f"{sum(colls.values()) if colls else 0}")
     print(json.dumps({"metric": "weak_scaling_efficiency",
                       "value": results[-1]["weak_efficiency"],
                       "unit": f"t(1)/t({counts[-1]}) at fixed pts/device",

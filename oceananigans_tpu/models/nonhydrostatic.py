@@ -258,6 +258,17 @@ class NonhydrostaticModel:
     # ---------------------------------------------------------------------
     # update_state: halo fills (reference update_nonhydrostatic_model_state)
     # ---------------------------------------------------------------------
+    def _fill_field(self, a, bcs, loc, t, dt=None):
+        """Halo fill, routed through the distributed ppermute exchange
+        when this model runs inside the explicit-halo shard_map step
+        (parallel/shard_step.py sets ``dist_halo``)."""
+        ctx = getattr(self, "dist_halo", None)
+        if ctx is not None:
+            from oceananigans_tpu.parallel.shard_step import dist_fill_halos
+            return dist_fill_halos(a, self.grid, bcs, loc, t, dt, ctx,
+                                   self.dist_topo)
+        return fill_halo_regions(a, self.grid, bcs, loc, t, dt=dt)
+
     def fill_state_halos(self, state):
         from oceananigans_tpu.immersed import mask_immersed_field
         t = state.clock.time
@@ -267,11 +278,11 @@ class NonhydrostaticModel:
         v = mask_immersed_field(self.grid, state.v, LOC_V)
         w = mask_immersed_field(self.grid, state.w, LOC_W)
         dtl = state.clock.last_dt
-        u = fill_halo_regions(u, self.grid, self.bcs["u"], LOC_U, t, dt=dtl)
-        v = fill_halo_regions(v, self.grid, self.bcs["v"], LOC_V, t, dt=dtl)
-        w = fill_halo_regions(w, self.grid, self.bcs["w"], LOC_W, t, dt=dtl)
+        u = self._fill_field(u, self.bcs["u"], LOC_U, t, dt=dtl)
+        v = self._fill_field(v, self.bcs["v"], LOC_V, t, dt=dtl)
+        w = self._fill_field(w, self.bcs["w"], LOC_W, t, dt=dtl)
         tracers = {
-            name: fill_halo_regions(c, self.grid, self.bcs[name], LOC_C, t)
+            name: self._fill_field(c, self.bcs[name], LOC_C, t)
             for name, c in state.tracers.items()
         }
         return _replace(state, u=u, v=v, w=w, tracers=tracers)

@@ -7,3 +7,6 @@ from oceananigans_tpu.parallel.halo_exchange import (
 from oceananigans_tpu.parallel.distributed_fft import (
     DistributedFFTPoissonSolver,
 )
+from oceananigans_tpu.parallel.shard_step import (
+    DistributedStep, dist_fill_halos,
+)
