@@ -315,11 +315,16 @@ class WENO(AdvectionScheme):
     branch-free array expressions; XLA fuses the whole thing into one pass.
     """
 
-    def __init__(self, order: int = 5, epsilon: float = 1e-8):
+    def __init__(self, order: int = 5, epsilon: float = 1e-8, bounds=None):
         if order % 2 == 0 or not 3 <= order <= 11:
             raise ValueError(f"WENO order must be odd in 3..11, got {order}")
         self.order = order
         self.epsilon = epsilon
+        # (lo, hi) tracer bounds: activates the positivity-preserving
+        # limited flux divergence in div_Uc (reference PositiveWENO,
+        # ``positivity_preserving_tracer_advection_operators.jl``)
+        self.bounds = None if bounds is None else (float(bounds[0]),
+                                                   float(bounds[1]))
         if order in _WENO_Q:
             self._qs = _WENO_Q[order]
             self._gammas = _WENO_GAMMA[order]
@@ -441,7 +446,7 @@ class WENO(AdvectionScheme):
         if not axes:
             return self
         k = (self.order + 1) // 2
-        new = WENO(self.order, self.epsilon)
+        new = WENO(self.order, self.epsilon, bounds=self.bounds)
         new._tables = {}
         for axis in axes:
             for o in (0, 1):
@@ -460,12 +465,15 @@ class WENO(AdvectionScheme):
 
     def __eq__(self, other):
         return (type(self) is type(other) and self.order == other.order
-                and self.epsilon == other.epsilon)
+                and self.epsilon == other.epsilon
+                and self.bounds == other.bounds)
 
     def __hash__(self):
-        return hash(("WENO", self.order, self.epsilon))
+        return hash(("WENO", self.order, self.epsilon, self.bounds))
 
     def __repr__(self):
+        if self.bounds is not None:
+            return f"WENO(order={self.order}, bounds={self.bounds})"
         return f"WENO(order={self.order})"
 
 
@@ -580,7 +588,8 @@ def adapt_advection_order(scheme, grid):
         if order % 2 == 0:
             order -= 1
         if isinstance(s, WENO):
-            return WENO(max(3, order)) if order >= 3 else UpwindBiased(1)
+            return WENO(max(3, order), bounds=s.bounds) if order >= 3 \
+                else UpwindBiased(1)
         return UpwindBiased(order)
 
     per_axis = [clamp(scheme, grid.N[ax]) for ax in range(3)]
@@ -658,11 +667,58 @@ def _face_value_ib(grid, scheme, U, a, axis, o, a_loc):
     return jnp.where(near, _face_value(fb, U, a, axis, o), fv)
 
 
+# Zhang-Shu positivity limiter constants (reference
+# ``positivity_preserving_tracer_advection_operators.jl:3-5``): ω̂₁ = ω̂ₙ =
+# 5/18 are the endpoint weights of the 3-point Gauss-Lobatto quadrature
+# through which the cell mean bounds the reconstruction polynomial.
+_GL_W = 5.0 / 18.0
+_GL_EPS = 1e-20
+
+
+def _bounded_axis_flux(grid, scheme, U, c, axis, A):
+    """Limited upwind tracer flux on ``axis`` faces: each cell's outgoing
+    face reconstructions are scaled toward the cell mean by θ ∈ [0, 1] so
+    the implied quadrature stays inside ``scheme.bounds`` (reference
+    ``bounded_tracer_flux_divergence_x`` et al.; whole-array form)."""
+    lo, hi = scheme.bounds
+    left, right = scheme.biased(c, axis, 0)
+    # cell i's reconstructions at its own faces: lower face (right-biased,
+    # face i) and upper face (left-biased, face i+1)
+    c_up_L = shift(left, 1, axis)
+    c_lo_R = right
+    p = (c - _GL_W * c_lo_R - _GL_W * c_up_L) / (1.0 - 2.0 * _GL_W)
+    M = jnp.maximum(p, jnp.maximum(c_up_L, c_lo_R))
+    m = jnp.minimum(p, jnp.minimum(c_up_L, c_lo_R))
+    theta = jnp.minimum(jnp.minimum(
+        jnp.abs((hi - c) / (M - c + _GL_EPS)),
+        jnp.abs((lo - c) / (m - c + _GL_EPS))), jnp.asarray(1.0, c.dtype))
+    # face i values: left from cell i-1 (its limited upper-face value),
+    # right from cell i (its limited lower-face value)
+    cm = shift(c, -1, axis)
+    lim_left = shift(theta, -1, axis) * (left - cm) + cm
+    lim_right = theta * (c_lo_R - c) + c
+    face = jnp.where(U > 0, lim_left,
+                     jnp.where(U < 0, lim_right,
+                               0.5 * (lim_left + lim_right)))
+    return A * U * face
+
+
+def _bounded_div_Uc(grid, scheme, u, v, w, c):
+    fx = _bounded_axis_flux(grid, scheme, u, c, X,
+                            grid.Ax(Face, Center, Center))
+    fy = _bounded_axis_flux(grid, scheme, v, c, Y,
+                            grid.Ay(Center, Face, Center))
+    fz = _bounded_axis_flux(grid, scheme, w, c, Z, grid.Az(Center, Center))
+    return (dx_c(fx) + dy_c(fy) + dz_c(fz)) / grid.V(Center, Center, Center)
+
+
 def div_Uc(grid, scheme, u, v, w, c):
     """Tracer advective flux divergence ∇·(𝐯c) at (c,c,c) (reference
     ``tracer_advection_operators.jl`` `div_Uc`)."""
     if scheme is None:
         return jnp.zeros_like(c)
+    if getattr(scheme, "bounds", None) is not None:
+        return _bounded_div_Uc(grid, scheme, u, v, w, c)
     sx, sy, sz = (_scheme_for(scheme, ax) for ax in range(3))
     LC = (Center, Center, Center)
     fx = grid.Ax(Face, Center, Center) * u * _face_value_ib(grid, sx, u, c,

@@ -158,3 +158,61 @@ def test_bound_preserving_no_undershoot():
     assert c_bp.max() <= 1.0 + 1e-4
     # still sharp: the front is resolved within a few cells
     assert (np.abs(np.diff(c_bp)) > 0.2).sum() >= 2
+
+
+def test_positive_weno_strict_bounds():
+    """WENO(5, bounds=(0, 1)) — the reference's PositiveWENO Zhang-Shu
+    limiter (``positivity_preserving_tracer_advection_operators.jl``) —
+    keeps a step profile strictly inside the bounds under SSP-RK3
+    (Shu-Osher) stepping, to roundoff."""
+    import jax
+
+    N = 64
+    grid = periodic_1d_grid(N, halo=0)
+    c0 = set_field(grid, lambda x, y, z: jnp.where(
+        jnp.abs(x - np.pi) < 0.8, 1.0, 0.0))
+    u = set_field(grid, 1.0)
+    zero = jnp.zeros_like(u)
+    dt = 0.2 * (2 * np.pi / N)
+
+    def run(scheme, c):
+        @jax.jit
+        def step(c):
+            def rhs(c):
+                return -div_Uc(grid, scheme, u, zero, zero, c)
+            c1 = c + dt * rhs(c)
+            c2 = 0.75 * c + 0.25 * (c1 + dt * rhs(c1))
+            return c / 3.0 + 2.0 / 3.0 * (c2 + dt * rhs(c2))
+        for _ in range(150):
+            c = step(c)
+        return np.asarray(interior(grid, c)).ravel()
+
+    c_pos = run(WENO(5, bounds=(0.0, 1.0)), c0)
+    assert c_pos.min() >= -1e-12, c_pos.min()
+    assert c_pos.max() <= 1.0 + 1e-12, c_pos.max()
+    # the unlimited scheme DOES overshoot under the same stepping
+    c_raw = run(WENO(5), c0)
+    assert c_raw.min() < -1e-6 or c_raw.max() > 1.0 + 1e-6
+    # front stays sharp
+    assert (np.abs(np.diff(c_pos)) > 0.2).sum() >= 2
+    # conservation: the limiter only redistributes within cells
+    assert abs(c_pos.sum() - np.asarray(
+        interior(grid, c0)).ravel().sum()) < 1e-10
+
+
+def test_positive_weno_smooth_accuracy():
+    """On a smooth, strictly-in-bounds profile the limiter must be
+    inactive (θ = 1): bounded and raw WENO agree to roundoff."""
+    import jax
+
+    N = 64
+    grid = periodic_1d_grid(N, halo=0)
+    c0 = set_field(grid, lambda x, y, z: 0.5 + 0.25 * jnp.sin(x))
+    u = set_field(grid, 1.0)
+    zero = jnp.zeros_like(u)
+
+    g_raw = div_Uc(grid, WENO(5), u, zero, zero, c0)
+    g_pos = div_Uc(grid, WENO(5, bounds=(0.0, 1.0)), u, zero, zero, c0)
+    np.testing.assert_allclose(np.asarray(interior(grid, g_pos)),
+                               np.asarray(interior(grid, g_raw)),
+                               rtol=0, atol=1e-13)
