@@ -29,7 +29,7 @@ from oceananigans_tpu.grids import (
 )
 from oceananigans_tpu.immersed import (
     ImmersedBoundaryGrid, GridFittedBottom, GridFittedBoundary,
-    PartialCellBottom,
+    PartialCellBottom, ImmersedBoundaryCondition,
 )
 from oceananigans_tpu.boundary_conditions import (
     BoundaryCondition,

@@ -28,7 +28,9 @@ from oceananigans_tpu.ops.operators import dx_c, dx_f, dy_c, dy_f, dz_c, dz_f, s
 
 __all__ = ["ImmersedBoundaryGrid", "GridFittedBottom", "GridFittedBoundary",
            "PartialCellBottom", "mask_immersed_field", "solid_mask_at",
-           "mask_flux", "ImmersedPoissonSolver", "masked_laplacian"]
+           "mask_flux", "ImmersedPoissonSolver", "masked_laplacian",
+           "ImmersedBoundaryCondition", "immersed_flux_divergence",
+           "regularize_immersed_bc", "scalar_diffusivity_of"]
 
 X, Y, Z = 0, 1, 2
 
@@ -422,3 +424,145 @@ class ImmersedPoissonSolver:
         p_mean = jnp.sum(jnp.where(fluid, p, 0.0)[sx, sy, sz]) / nf
         p = jnp.where(fluid, p - p_mean, 0.0)
         return p[sx, sy, sz]
+
+
+# ---------------------------------------------------------------------------
+# ImmersedBoundaryCondition: per-interface BCs on the immersed boundary
+# (reference ``immersed_boundary_condition.jl`` +
+#  ``TurbulenceClosures/immersed_diffusive_fluxes.jl``)
+# ---------------------------------------------------------------------------
+
+class ImmersedBoundaryCondition:
+    """Conditions on individual wet-cell/solid-cell interfaces
+    ``west/east/south/north/bottom/top`` (reference
+    ``immersed_boundary_condition.jl:44-58``). Each side takes a
+    ``FluxBC``/``ValueBC``/``GradientBC`` (or ``None``); pass it as the
+    ``immersed=`` member of a field's :class:`FieldBoundaryConditions`."""
+
+    _sides = ("west", "east", "south", "north", "bottom", "top")
+
+    def __init__(self, west=None, east=None, south=None, north=None,
+                 bottom=None, top=None):
+        self.west, self.east = west, east
+        self.south, self.north = south, north
+        self.bottom, self.top = bottom, top
+
+    def __repr__(self):
+        parts = [f"{s}={getattr(self, s)!r}" for s in self._sides
+                 if getattr(self, s) is not None]
+        return f"ImmersedBoundaryCondition({', '.join(parts)})"
+
+
+def regularize_immersed_bc(bc, loc):
+    """Expand a plain BC into a 6-sided :class:`ImmersedBoundaryCondition`
+    and drop the sides normal to ``Face``-located axes (reference
+    ``regularize_immersed_boundary_condition``,
+    ``immersed_boundary_condition.jl:72-93``: a Face-located field lies ON
+    the boundary in its normal direction, so it has no boundary-normal
+    immersed interface)."""
+    if bc is None:
+        return None
+    if not isinstance(bc, ImmersedBoundaryCondition):
+        bc = ImmersedBoundaryCondition(*(bc,) * 6)
+    sides = {}
+    for i, s in enumerate(ImmersedBoundaryCondition._sides):
+        axis = i // 2
+        v = getattr(bc, s)
+        sides[s] = None if loc[axis] == Face else v
+    out = ImmersedBoundaryCondition(**sides)
+    if all(getattr(out, s) is None for s in out._sides):
+        return None
+    return out
+
+
+def _immersed_bc_value(bc, grid, loc, time):
+    """Evaluate a side condition at the 3-D nodes of ``loc``: scalars and
+    broadcastable arrays pass through; callables are continuous boundary
+    functions ``f(x, y, z, t)`` (the reference regularizes immersed-side
+    ``ContinuousBoundaryFunction``s with all three coordinates)."""
+    cond = bc.condition
+    if cond is None:
+        return None
+    if callable(cond):
+        from oceananigans_tpu.fields import location_coords
+        x, y, z = location_coords(grid, loc)
+        return cond(x, y, z, 0.0 if time is None else time)
+    return cond
+
+
+def immersed_flux_divergence(grid, ibc, loc, c, kappa, time=None):
+    """Tendency contribution of the immersed-interface fluxes of field
+    ``c`` at ``loc`` (ADD to G; reference ``immersed_flux_divergence``,
+    ``immersed_diffusive_fluxes.jl:189-214``, via the stated convention
+    that positive fluxes increase boundary-adjacent cell values).
+
+    A wet node has an immersed interface on a side iff its neighbor node
+    (same location, shifted along the axis) is solid. Per side:
+
+    - ``FluxBC(q)``: + A q / V   (inward-normal flux, both sides)
+    - ``ValueBC(cb)``: + A κ 2 (cb - c) / (Δ V)  (one-sided gradient,
+      ``right_gradient``/``left_gradient``, immersed_diffusive_fluxes.jl)
+    - ``GradientBC(g)``: ∓ A κ g / V  (-κg through the face; sign from
+      which side the solid is on)
+
+    ``kappa`` is the scalar-diffusivity coefficient (ν for momentum, κ for
+    the tracer); the reference likewise applies Value/Gradient immersed
+    conditions only for ``AbstractScalarDiffusivity`` closures and falls
+    back to zero flux otherwise."""
+    from oceananigans_tpu.boundary_conditions import FLUX, GRADIENT, VALUE
+
+    solid = solid_mask_at(grid, loc)
+    if solid is None or ibc is None:
+        return 0.0
+    wet = ~solid
+    V = grid.V(*loc)
+    flip = [Center if l == Face else Face for l in loc]
+    areas = (grid.Ax(flip[0], loc[1], loc[2]),
+             grid.Ay(loc[0], flip[1], loc[2]),
+             grid.Az(loc[0], loc[1]))
+    spacings = (grid.dx(*loc[:2]), grid.dy(*loc[:2]), grid.dz(loc[2]))
+    out = 0.0
+    for i, side in enumerate(ImmersedBoundaryCondition._sides):
+        bc = getattr(ibc, side)
+        if bc is None:
+            continue
+        axis, right = i // 2, i % 2
+        if grid.N[axis] == 1:
+            continue
+        mask = wet & shift(solid, 1 if right else -1, axis)
+        A, d = areas[axis], spacings[axis]
+        if bc.classification == FLUX:
+            q = _immersed_bc_value(bc, grid, loc, time)
+            if q is None:
+                continue
+            term = A * q / V
+        elif bc.classification == VALUE:
+            cb = _immersed_bc_value(bc, grid, loc, time)
+            term = A * kappa * 2.0 * (cb - c) / (d * V)
+        elif bc.classification == GRADIENT:
+            gv = _immersed_bc_value(bc, grid, loc, time)
+            term = (1.0 if right else -1.0) * A * kappa * gv / V
+        else:
+            raise ValueError(
+                f"unsupported immersed boundary condition "
+                f"{bc.classification!r} on side {side!r}")
+        out = out + jnp.where(mask, term, 0.0)
+    return out
+
+
+def scalar_diffusivity_of(closure, tracer=None):
+    """Constant ν (``tracer=None``) or κ(tracer) summed over the
+    scalar-diffusivity members of ``closure`` — the coefficient the
+    immersed Value/Gradient fluxes use. Non-scalar closures contribute
+    zero (the reference's non-ASD fallback,
+    ``immersed_diffusive_fluxes.jl:157``)."""
+    if closure is None:
+        return 0.0
+    if isinstance(closure, (tuple, list)):
+        return sum(scalar_diffusivity_of(cl, tracer) for cl in closure)
+    from oceananigans_tpu.closures import ScalarDiffusivity, _kappa_for
+    if not isinstance(closure, ScalarDiffusivity):
+        return 0.0
+    if tracer is None:
+        return closure.nu
+    return _kappa_for(closure.kappa, tracer)

@@ -690,6 +690,22 @@ class HydrostaticFreeSurfaceModel:
         self.eta_bcs = regularize_field_boundary_conditions(
             boundary_conditions.get("eta"), grid, LOC_C)
 
+        # per-interface immersed BCs (reference ImmersedBoundaryCondition)
+        from oceananigans_tpu.immersed import (
+            ImmersedBoundaryGrid as _IBG, regularize_immersed_bc,
+            scalar_diffusivity_of,
+        )
+        self.immersed_bcs = {}
+        if isinstance(grid, _IBG):
+            for name, loc in self.locations.items():
+                rib = regularize_immersed_bc(self.bcs[name].immersed, loc)
+                if rib is not None:
+                    self.immersed_bcs[name] = rib
+        self._ib_kappa = {
+            name: scalar_diffusivity_of(
+                closure, None if name in ("u", "v", "w") else name)
+            for name in self.immersed_bcs}
+
         # AdvectiveForcing entries are summed into the forced tracer's
         # advecting velocity (reference with_advective_forcing,
         # advective_forcing.jl:74-90)
@@ -945,7 +961,19 @@ class HydrostaticFreeSurfaceModel:
 
         Gu = apply_flux_bcs(Gu, g, self.bcs["u"], LOC_U, time)
         Gv = apply_flux_bcs(Gv, g, self.bcs["v"], LOC_V, time)
-        from oceananigans_tpu.immersed import mask_immersed_field
+        from oceananigans_tpu.immersed import (
+            immersed_flux_divergence, mask_immersed_field,
+        )
+        for name, vel, loc in (("u", u, LOC_U), ("v", v, LOC_V)):
+            ib = self.immersed_bcs.get(name)
+            if ib is None:
+                continue
+            term = immersed_flux_divergence(g, ib, loc, vel,
+                                            self._ib_kappa[name], time)
+            if name == "u":
+                Gu = Gu + term
+            else:
+                Gv = Gv + term
         Gu = mask_immersed_field(g, Gu, LOC_U)
         Gv = mask_immersed_field(g, Gv, LOC_V)
 
@@ -974,6 +1002,10 @@ class HydrostaticFreeSurfaceModel:
             if f is not None:
                 Gc = Gc + f(g, time, fields)
             Gc = apply_flux_bcs(Gc, g, self.bcs[name], LOC_C, time)
+            ib = self.immersed_bcs.get(name)
+            if ib is not None:
+                Gc = Gc + immersed_flux_divergence(
+                    g, ib, LOC_C, c, self._ib_kappa[name], time)
             Gtracers[name] = mask_immersed_field(g, Gc, LOC_C)
 
         if self.biogeochemistry is not None:

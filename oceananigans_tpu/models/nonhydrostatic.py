@@ -164,6 +164,24 @@ class NonhydrostaticModel:
         self.pressure_bcs = regularize_field_boundary_conditions(
             None, grid, LOC_C)
 
+        # per-interface immersed boundary conditions (reference
+        # ImmersedBoundaryCondition) + the scalar diffusivity their
+        # Value/Gradient fluxes use
+        from oceananigans_tpu.immersed import (
+            ImmersedBoundaryGrid, regularize_immersed_bc,
+            scalar_diffusivity_of,
+        )
+        self.immersed_bcs = {}
+        if isinstance(grid, ImmersedBoundaryGrid):
+            for name, loc in self.locations.items():
+                rib = regularize_immersed_bc(self.bcs[name].immersed, loc)
+                if rib is not None:
+                    self.immersed_bcs[name] = rib
+        self._ib_kappa = {
+            name: scalar_diffusivity_of(
+                closure, None if name in ("u", "v", "w") else name)
+            for name in self.immersed_bcs}
+
         # forcings -> callables (grid, time, fields) -> array;
         # AdvectiveForcing entries are split out and summed into the
         # advecting velocity of the forced tracer (reference
@@ -397,6 +415,22 @@ class NonhydrostaticModel:
         Gv = apply_flux_bcs(Gv, g, self.bcs["v"], LOC_V, time)
         Gw = apply_flux_bcs(Gw, g, self.bcs["w"], LOC_W, time)
 
+        if self.immersed_bcs:
+            from oceananigans_tpu.immersed import immersed_flux_divergence
+            for name, vel, loc in (("u", u, LOC_U), ("v", v, LOC_V),
+                                   ("w", w, LOC_W)):
+                ib = self.immersed_bcs.get(name)
+                if ib is None:
+                    continue
+                term = immersed_flux_divergence(g, ib, loc, vel,
+                                                self._ib_kappa[name], time)
+                if name == "u":
+                    Gu = Gu + term
+                elif name == "v":
+                    Gv = Gv + term
+                else:
+                    Gw = Gw + term
+
         Gtracers = {}
         for name in self.tracer_names:
             c = tracers[name]
@@ -434,6 +468,13 @@ class NonhydrostaticModel:
             if f is not None:
                 Gc = Gc + f(g, time, fields)
             Gc = apply_flux_bcs(Gc, g, self.bcs[name], LOC_C, time)
+            ib = self.immersed_bcs.get(name)
+            if ib is not None:
+                from oceananigans_tpu.immersed import (
+                    immersed_flux_divergence,
+                )
+                Gc = Gc + immersed_flux_divergence(
+                    g, ib, LOC_C, c, self._ib_kappa[name], time)
             Gtracers[name] = Gc
 
         if self.biogeochemistry is not None:

@@ -148,3 +148,120 @@ def test_partial_cell_bottom():
     for _ in range(10):
         state = step(state)
     assert bool(jnp.all(jnp.isfinite(state.u)))
+
+
+# ---------------------------------------------------------------------------
+# ImmersedBoundaryCondition (reference immersed_boundary_condition.jl +
+# immersed_diffusive_fluxes.jl)
+# ---------------------------------------------------------------------------
+
+def _step_bottom_grid(N=16, depth=0.5):
+    base = RectilinearGrid(size=(N, N), x=(0.0, 1.0), z=(0.0, 1.0),
+                           topology=(Periodic, Flat, Bounded))
+    return ImmersedBoundaryGrid(base, GridFittedBottom(
+        lambda x, y: depth + 0 * x))
+
+
+def test_immersed_flux_bc_budget():
+    """A constant FluxBC on the immersed bottom interface injects tracer
+    at exactly rate q * A_boundary (reference convention: positive flux
+    increases boundary-adjacent cells)."""
+    from oceananigans_tpu import FieldBoundaryConditions, FluxBC
+    from oceananigans_tpu.immersed import ImmersedBoundaryCondition
+
+    grid = _step_bottom_grid()
+    q = 1e-3
+    model = NonhydrostaticModel(
+        grid=grid, tracers=("c",),
+        boundary_conditions={"c": FieldBoundaryConditions(
+            immersed=ImmersedBoundaryCondition(bottom=FluxBC(q)))})
+    state = model.initial_state()
+    dt = 0.01
+    step = jax.jit(lambda s: model.step(s, dt))
+    nsteps = 10
+    for _ in range(nsteps):
+        state = step(state)
+    g = grid
+    dV = np.asarray(jnp.broadcast_to(
+        g.V(*LOC_C), g.shape)[g.interior_slices])
+    c = np.asarray(interior(g, state.tracers["c"]))
+    solid = np.asarray(g.solid_c[g.interior_slices])
+    content = (c * dV * ~solid).sum()
+    # boundary area: one z-face per wet column above the flat bottom
+    Az = np.asarray(jnp.broadcast_to(g.Az(None, None), g.shape)
+                    [g.interior_slices])
+    wet_above_solid = (~solid) & np.roll(solid, 1, 2) \
+        & (np.arange(solid.shape[2]) > 0)
+    A_boundary = (Az * wet_above_solid).sum()
+    expected = q * A_boundary * dt * nsteps
+    np.testing.assert_allclose(content, expected, rtol=1e-6)
+
+
+def test_immersed_value_bc_relaxes_to_boundary_value():
+    """ValueBC(cb) + ScalarDiffusivity: boundary-adjacent cells move
+    toward cb; cells away from the boundary are untouched at step one."""
+    from oceananigans_tpu import FieldBoundaryConditions, ValueBC
+    from oceananigans_tpu.closures import ScalarDiffusivity
+    from oceananigans_tpu.immersed import ImmersedBoundaryCondition
+
+    grid = _step_bottom_grid()
+    cb = 2.0
+    model = NonhydrostaticModel(
+        grid=grid, tracers=("c",),
+        closure=ScalarDiffusivity(kappa=1e-3),
+        boundary_conditions={"c": FieldBoundaryConditions(
+            immersed=ImmersedBoundaryCondition(bottom=ValueBC(cb)))})
+    state = model.initial_state(c=lambda x, y, z: 1.0 + 0 * x)
+    _, _, _, Gt, _ = model.compute_tendencies(model.fill_state_halos(state))
+    Gc = np.asarray(interior(grid, Gt["c"]))
+    solid = np.asarray(grid.solid_c[grid.interior_slices])
+    adj = (~solid) & np.roll(solid, 1, 2) & (np.arange(solid.shape[2]) > 0)
+    assert (Gc[adj] > 0).all()          # c=1 < cb=2: relaxes upward
+    interior_wet = (~solid) & ~adj
+    np.testing.assert_allclose(Gc[interior_wet], 0.0, atol=1e-14)
+    # rate = kappa * 2 (cb - c) / (dz * dz) for the uniform-kappa case
+    dz = 1.0 / 16
+    np.testing.assert_allclose(Gc[adj], 1e-3 * 2 * (cb - 1.0) / dz ** 2,
+                               rtol=1e-6)
+
+
+def test_immersed_momentum_drag_flux():
+    """A negative FluxBC on u's bottom immersed interface decelerates
+    only the bottom-adjacent u cells."""
+    from oceananigans_tpu import FieldBoundaryConditions, FluxBC
+    from oceananigans_tpu.immersed import ImmersedBoundaryCondition
+
+    grid = _step_bottom_grid()
+    tau = -1e-4
+    model = NonhydrostaticModel(
+        grid=grid,
+        boundary_conditions={"u": FieldBoundaryConditions(
+            immersed=ImmersedBoundaryCondition(bottom=FluxBC(tau)))})
+    state = model.initial_state(u=lambda x, y, z: 0.1 + 0 * x)
+    Gu, _, _, _, _ = model.compute_tendencies(
+        model.fill_state_halos(state))[:5]
+    Gu = np.asarray(interior(grid, Gu))
+    solid_u = np.asarray(grid.solid_u[grid.interior_slices])
+    adj = (~solid_u) & np.roll(solid_u, 1, 2) \
+        & (np.arange(solid_u.shape[2]) > 0)
+    dz = 1.0 / 16
+    np.testing.assert_allclose(Gu[adj], tau / dz, rtol=1e-6)
+    # pure advection of uniform flow contributes nothing elsewhere
+    away = (~solid_u) & ~adj
+    np.testing.assert_allclose(Gu[away], 0.0, atol=1e-12)
+
+
+def test_immersed_bc_face_normal_sides_dropped():
+    """regularize_immersed_bc drops sides normal to Face axes (u has no
+    west/east immersed interface) and returns None when nothing is left."""
+    from oceananigans_tpu import FluxBC
+    from oceananigans_tpu.fields import LOC_U, LOC_W
+    from oceananigans_tpu.immersed import (
+        ImmersedBoundaryCondition, regularize_immersed_bc,
+    )
+
+    rib = regularize_immersed_bc(FluxBC(1.0), LOC_U)
+    assert rib.west is None and rib.east is None
+    assert rib.bottom is not None and rib.north is not None
+    only_z = ImmersedBoundaryCondition(bottom=FluxBC(1.0))
+    assert regularize_immersed_bc(only_z, LOC_W) is None

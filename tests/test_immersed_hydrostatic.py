@@ -215,3 +215,38 @@ def test_matrix_free_surface_with_bathymetry():
     # the wave must have moved
     assert float(jnp.max(jnp.abs(s.eta - m.initial_state(
         eta=lambda x, y: 0.01 * jnp.sin(2 * np.pi * x)).eta))) > 1e-5
+
+
+def test_hydrostatic_immersed_bottom_drag_bc():
+    """ImmersedBoundaryCondition works in the hydrostatic model: a linear
+    bottom-drag FluxBC on u decelerates exactly the cells adjacent to the
+    seamount (reference u_immersed_bottom_drag pattern)."""
+    from oceananigans_tpu import FieldBoundaryConditions, FluxBC
+    from oceananigans_tpu.fields import LOC_U, interior
+    from oceananigans_tpu.immersed import ImmersedBoundaryCondition
+
+    # flat immersed bottom: uniform u has no lateral immersed walls, so
+    # the drag flux is the ONLY u tendency
+    base = RectilinearGrid(size=(24, 16, 16), x=(0, 1.0), y=(0, 1.0),
+                           z=(0.0, 1.0),
+                           topology=(Periodic, Periodic, Bounded))
+    grid = ImmersedBoundaryGrid(base, GridFittedBottom(
+        lambda x, y: 0.4 + 0 * x))
+    tau = -2e-5
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=ExplicitFreeSurface(),
+        boundary_conditions={"u": FieldBoundaryConditions(
+            immersed=ImmersedBoundaryCondition(bottom=FluxBC(tau)))})
+    state = model.initial_state(u=lambda x, y, z: 0.05 + 0 * x)
+    state = model.fill_state_halos(state)
+    Gu = model.compute_tendencies(state)[0]
+    Gu = np.asarray(interior(grid, Gu))
+    solid_u = np.asarray(grid.solid_u[grid.interior_slices])
+    adj = (~solid_u) & np.roll(solid_u, 1, 2) \
+        & (np.arange(solid_u.shape[2]) > 0)
+    assert adj.any()
+    dzs = np.asarray(jnp.broadcast_to(grid.dz(), grid.shape)
+                     [grid.interior_slices])
+    np.testing.assert_allclose(Gu[adj], tau / dzs[adj], rtol=1e-6)
+    away = (~solid_u) & ~adj
+    np.testing.assert_allclose(Gu[away], 0.0, atol=1e-12)
