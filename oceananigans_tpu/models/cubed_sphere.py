@@ -423,13 +423,42 @@ class CubedSphereHydrostaticModel:
                  rotation_rate=OMEGA_EARTH,
                  tracer_advection=None,
                  tracers=("b",),
+                 closure=None,
+                 forcing=None,
                  corner_upwind_width=4):
+        """``closure``: any closure (or tuple) from the main stack — it is
+        applied per panel through the standard
+        ``closures.compute_diffusivities`` / flux-divergence /
+        ``implicit_vertical_diffusion_step`` machinery (vertically-implicit
+        closures like CATKE get the same column Thomas solve the
+        rectilinear hydrostatic model uses). ``forcing``: dict
+        ``name -> f(lam_deg, phi_deg, z, t)`` for tracers, evaluated at
+        panel cell centers each RK stage (the reference's multi-region
+        `@apply_regionally` forcing dispatch)."""
         self.corner_upwind_width = int(corner_upwind_width)
         self.grid = grid
         self.g = float(gravitational_acceleration)
         self.rotation_rate = float(rotation_rate or 0.0)
         self.tracer_advection = tracer_advection or Centered(2)
+        from oceananigans_tpu import closures as closures_mod
+        tracers = tuple(tracers)
+        for cl in closures_mod._as_tuple(closure):
+            for t in getattr(cl, "required_tracers", ()):
+                if t not in tracers:
+                    tracers = tracers + (t,)
         self.tracer_names = tuple(tracers)
+        self.closure = closure
+        self.forcings = dict(forcing or {})
+        for name in self.forcings:
+            if name not in self.tracer_names:
+                raise ValueError(
+                    f"cubed-sphere forcing supports tracers only, got "
+                    f"{name!r}")
+        # closures that need a buoyancy model see the 'b' tracer as
+        # buoyancy (this model's BuoyancyTracer semantics)
+        from oceananigans_tpu.buoyancy import BuoyancyTracer
+        self._closure_buoyancy = (BuoyancyTracer()
+                                  if "b" in self.tracer_names else None)
         g = grid.panel_grid
         N, H = grid.N_panel, g.Hx
         nx, ny, _ = g.shape
@@ -454,6 +483,15 @@ class CubedSphereHydrostaticModel:
             | (idx >= H + N - self.corner_upwind_width)
         self._corner_mask = (near[:, None]
                              & near[None, :]).astype(float)[..., None]
+        # full-shape geographic coordinates for forcing evaluation (halo
+        # columns carry zeros; forcing tendencies are interior-masked)
+        if self.forcings:
+            lam = np.zeros((6, nx, ny, 1))
+            phi = np.zeros((6, nx, ny, 1))
+            lam[:, H:H + N, H:H + N, 0] = grid.lam_cc
+            phi[:, H:H + N, H:H + N, 0] = grid.phi_cc
+            self._lam_full, self._phi_full = lam, phi
+            self._z_row = np.asarray(g.zC).reshape(1, 1, 1, -1)
 
     # ------------------------------------------------------------------
     def initial_state(self, u=None, v=None, eta=0.0, time=0.0, **tracers):
@@ -621,31 +659,89 @@ class CubedSphereHydrostaticModel:
         Ft = {n: (*cubed_sphere_sync_edge_fluxes(fx_, fy_, self.grid),
                   fz_) for n, (fx_, fy_, fz_) in Ft.items()}
         Geta, Gt = jax.vmap(self._panel_divergences)(Fx, Fy, Ft)
+
+        diffusivities = None
+        if self.closure is not None:
+            from oceananigans_tpu import closures as closures_mod
+            g = self.grid.panel_grid
+
+            def panel_closure(u, v, tracers):
+                w = self._panel_w(u, v)
+                diff = closures_mod.compute_diffusivities(
+                    self.closure, g, u, v, w, tracers,
+                    self._closure_buoyancy)
+                du, dv, _ = closures_mod.momentum_flux_divergences(
+                    self.closure, g, u, v, w, tracers, diff,
+                    include_implicit=False)
+                gt = {n: closures_mod.tracer_flux_divergence(
+                    self.closure, g, n, tracers[n], tracers, diff,
+                    include_implicit=False) for n in tracers}
+                # fully-implicit closures return scalar zeros here; vmap
+                # needs array outputs
+                du = du + jnp.zeros_like(u)
+                dv = dv + jnp.zeros_like(v)
+                gt = {n: t + jnp.zeros_like(tracers[n])
+                      for n, t in gt.items()}
+                return du, dv, gt, diff
+
+            du, dv, gtc, diffusivities = jax.vmap(panel_closure)(
+                state.u, state.v, state.tracers)
+            Gu = Gu + du
+            Gv = Gv + dv
+            Gt = {n: Gt[n] + gtc[n] for n in Gt}
+
+        if self.forcings:
+            t = state.clock.time
+            for name, fn in self.forcings.items():
+                Gt[name] = Gt[name] + fn(self._lam_full, self._phi_full,
+                                         self._z_row, t)
+
         mu = jnp.asarray(self._mask_u, state.u.dtype)
         mv = jnp.asarray(self._mask_v, state.u.dtype)
         mc = jnp.asarray(self._mask_c, state.u.dtype)
-        return (Gu * mu, Gv * mv, Geta * mc,
-                {n: G * mc for n, G in Gt.items()})
+        # z-interior indicator: tendencies must not accumulate in the z
+        # halo levels (only one ghost level is re-mirrored per fill, so
+        # un-masked halo tendencies would grow without bound)
+        gz = self.grid.panel_grid
+        k = jnp.arange(gz.shape[2])
+        kin = ((k >= gz.Hz) & (k < gz.Hz + gz.Nz)).astype(state.u.dtype)
+        kin = kin.reshape(1, 1, 1, -1)
+        return (Gu * mu * kin, Gv * mv * kin, Geta * mc,
+                {n: G * mc * kin for n, G in Gt.items()}, diffusivities)
 
     # ------------------------------------------------------------------
     def step(self, state, dt):
-        """SSP (Shu-Osher) RK3 with per-stage exchange."""
+        """SSP (Shu-Osher) RK3 with per-stage exchange; vertically-
+        implicit closures get the per-stage column Thomas solve the
+        rectilinear hydrostatic split-RK3 uses."""
+        from oceananigans_tpu import closures as closures_mod
         dt = jnp.asarray(dt, state.u.dtype)
         psi = (state.u, state.v, state.eta,
                {n: state.tracers[n] for n in self.tracer_names})
         s = state
+        implicit = self.closure is not None and \
+            closures_mod.closure_is_vertically_implicit(self.closure)
+        g = self.grid.panel_grid
         for gamma, zeta_c in ((1.0, 0.0), (0.25, 0.75),
                               (2.0 / 3.0, 1.0 / 3.0)):
             s = self.fill_state_halos(s)
-            Gu, Gv, Geta, Gt = self.compute_tendencies(s)
+            Gu, Gv, Geta, Gt, diff = self.compute_tendencies(s)
+            u = zeta_c * psi[0] + gamma * (s.u + dt * Gu)
+            v = zeta_c * psi[1] + gamma * (s.v + dt * Gv)
+            tracers = {n: zeta_c * psi[3][n]
+                       + gamma * (s.tracers[n] + dt * Gt[n])
+                       for n in self.tracer_names}
+            if implicit:
+                def panel_implicit(u, v, tracers, diff):
+                    return closures_mod.implicit_vertical_diffusion_step(
+                        g, self.closure, diff, gamma * dt, u=u, v=v,
+                        tracers=tracers)
+                u, v, tracers = jax.vmap(panel_implicit)(u, v, tracers,
+                                                         diff)
             s = dataclasses.replace(
-                s,
-                u=zeta_c * psi[0] + gamma * (s.u + dt * Gu),
-                v=zeta_c * psi[1] + gamma * (s.v + dt * Gv),
+                s, u=u, v=v,
                 eta=zeta_c * psi[2] + gamma * (s.eta + dt * Geta),
-                tracers={n: zeta_c * psi[3][n]
-                         + gamma * (s.tracers[n] + dt * Gt[n])
-                         for n in self.tracer_names})
+                tracers=tracers)
         s = dataclasses.replace(s, clock=tick(s.clock, dt))
         return self.fill_state_halos(s)
 
@@ -668,24 +764,41 @@ class CubedSphereHydrostaticModel:
                 f"Nz={self.grid.panel_grid.Nz})")
 
 
-def cubed_sphere_partition(devices=None):
-    """Distribute the stacked panel axis over devices (the reference's
-    ``CubedSpherePartition``, ``cubed_sphere_partitions.jl`` — there a
-    rank-per-panel MPI layout; here a ``Mesh`` over the leading axis:
-    the inter-panel gather maps become GSPMD collectives automatically
-    and the per-panel vmapped tendencies stay local).
+def cubed_sphere_partition(devices=None, R=1, panels=6):
+    """Distribute the stacked panel axis — and, with ``R > 1``, an
+    ``R x R`` within-panel block grid — over devices (the reference's
+    ``CubedSpherePartition(R=...)``, ``cubed_sphere_partitions.jl:21-34``:
+    Rx = Ry = R ranks per panel dimension, 6 R² total. There a
+    rank-per-region MPI layout; here a ``("panel", "x", "y")`` ``Mesh``
+    over the stacked array axes: the per-panel vmapped tendencies
+    partition locally, the roll stencils become edge collective-permutes,
+    and the inter-panel gather maps become GSPMD collectives
+    automatically).
+
+    ``panels``: how many ways to split the panel axis (divisor of 6; with
+    fewer than ``6 R²`` devices pass e.g. ``panels=2`` so
+    ``2 · R · R == len(devices)``).
 
     Returns ``(mesh, shard_state)`` where ``shard_state`` places every
-    leading-6 array of a state pytree on the panel mesh."""
+    leading-6 array of a state pytree on the mesh."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
+    need = panels * R * R
     if devices is None:
-        devices = jax.devices()[:6]
-    if len(devices) != 6:
-        raise ValueError("cubed_sphere_partition needs 6 devices "
-                         f"(got {len(devices)})")
-    mesh = Mesh(np.array(devices), ("panel",))
-    sharding = NamedSharding(mesh, PartitionSpec("panel"))
+        devices = jax.devices()[:need]
+    if len(devices) != need:
+        raise ValueError(f"cubed_sphere_partition(R={R}, panels={panels}) "
+                         f"needs {need} devices (got {len(devices)})")
+    if 6 % panels:
+        raise ValueError(f"panels={panels} must divide 6")
+    if R == 1 and panels == 6:
+        mesh = Mesh(np.array(devices), ("panel",))
+        spec = PartitionSpec("panel")
+    else:
+        mesh = Mesh(np.array(devices).reshape(panels, R, R),
+                    ("panel", "x", "y"))
+        spec = PartitionSpec("panel", "x", "y")
+    sharding = NamedSharding(mesh, spec)
 
     def shard_state(tree):
         def put(x):

@@ -5,6 +5,7 @@ et al. (1992) shallow-water test suite the reference validates against).
 
 import jax
 import numpy as np
+import jax.numpy as jnp
 
 from oceananigans_tpu.grids.cubed_sphere_grid import (
     ConformalCubedSphereGrid,
@@ -230,3 +231,163 @@ def test_cubed_sphere_partition_matches_serial():
     assert "panel" in str(s2.h.sharding)
     assert float(jnp.abs(s1.h - s2.h).max()) < 1e-10
     assert float(jnp.abs(s1.u - s2.u).max()) < 1e-11
+
+
+def test_hydrostatic_cubed_sphere_closure_viscous_decay():
+    """Composition with the main closure stack (VERDICT r1 #8): a
+    ScalarDiffusivity run decays kinetic energy, keeps the rest state
+    exactly at rest, and conserves tracer."""
+    # horizontal-only diffusivities: with dz ~ 167 m, explicit vertical
+    # diffusion of this magnitude would violate the diffusive CFL at
+    # dt = 300 s (the reference would configure it the same way)
+    from oceananigans_tpu.closures import HorizontalScalarDiffusivity
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+
+    a = 6.37122e6
+    grid = ConformalCubedSphereGrid((8, 6), z=(-1000.0, 0.0), radius=a,
+                                    halo=3)
+    model = CubedSphereHydrostaticModel(
+        grid, closure=HorizontalScalarDiffusivity(nu=1e5, kappa=1e4))
+    # rest state stays at rest under the closure
+    s = model.initial_state(b=lambda lam, phi, z: 1e-5 * z)
+    step = jax.jit(lambda s: model.step(s, 300.0))
+    for _ in range(5):
+        s = step(s)
+    assert float(np.abs(np.asarray(s.u)).max()) == 0.0
+
+    # a solid-body-like flow (u = U cos(phi), cartesian U z_hat x P) decays
+    from oceananigans_tpu.models.cubed_sphere import (
+        panel_vector_components,
+    )
+    u0, v0 = panel_vector_components(
+        grid, lambda P: 10.0 * np.cross(np.array([0.0, 0.0, 1.0]), P))
+    nz = grid.panel_grid.shape[2]
+    u0 = jnp.broadcast_to(u0, (*u0.shape[:3], nz))
+    v0 = jnp.broadcast_to(v0, (*v0.shape[:3], nz))
+    model2 = CubedSphereHydrostaticModel(
+        grid, rotation_rate=0.0,
+        closure=HorizontalScalarDiffusivity(nu=1e6))
+    s = model2.initial_state(u=u0, v=v0, b=lambda lam, phi, z: 1e-5 * z)
+    ke0 = float(jnp.sum(s.u ** 2 + s.v ** 2))
+    b0 = float(model2.total_tracer(s, "b"))
+    step2 = jax.jit(lambda s: model2.step(s, 300.0))
+    for _ in range(20):
+        s = step2(s)
+    s = jax.block_until_ready(s)
+    ke = float(jnp.sum(s.u ** 2 + s.v ** 2))
+    # nu k^2 ~ 1e6 (2/a)^2 ~ 1e-7 /s over 6000 s -> ~0.06-0.1% decay
+    assert np.isfinite(ke) and ke < ke0 * (1 - 2e-4), (ke, ke0)
+    b1 = float(model2.total_tracer(s, "b"))
+    assert abs(b1 - b0) < 1e-9 * abs(b0)
+
+
+def test_hydrostatic_cubed_sphere_catke():
+    """CATKE (vertically-implicit) composes with the cubed sphere: an
+    unstable surface layer mixes, the TKE tracer 'e' is auto-added, and
+    the run stays finite."""
+    from oceananigans_tpu.closures_ocean import CATKEVerticalDiffusivity
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+
+    a = 6.37122e6
+    grid = ConformalCubedSphereGrid((8, 16), z=(-100.0, 0.0), radius=a,
+                                    halo=3)
+    model = CubedSphereHydrostaticModel(
+        grid, closure=CATKEVerticalDiffusivity())
+    assert "e" in model.tracer_names
+
+    def b0(lam, phi, z):
+        # unstably-stratified surface slab over stable interior
+        return np.where(z > -30.0, -1e-4 * (z + 30.0) * 0.01, 1e-5 * z)
+
+    s = model.initial_state(b=b0)
+    g = grid.panel_grid
+    sz = slice(g.Hz, g.Hz + g.Nz)
+    prof0 = np.asarray(s.tracers["b"][0, g.Hx + 4, g.Hx + 4, sz])
+    step = jax.jit(lambda s: model.step(s, 60.0))
+    for _ in range(30):
+        s = step(s)
+    s = jax.block_until_ready(s)
+    assert np.isfinite(np.asarray(s.tracers["b"])).all()
+    assert np.isfinite(np.asarray(s.tracers["e"])).all()
+    prof = np.asarray(s.tracers["b"][0, g.Hx + 4, g.Hx + 4, sz])
+    # mixing reduces the unstable near-surface buoyancy inversion
+    def inversion(p):
+        d = np.diff(p)        # db/dz * dz (bottom->top)
+        return -d[d < 0].sum()
+    assert inversion(prof) < 0.7 * inversion(prof0), \
+        (inversion(prof0), inversion(prof))
+
+
+def test_hydrostatic_cubed_sphere_forcing_budget():
+    """Tracer forcing f(lam, phi, z, t) injects content at exactly the
+    volume-integrated rate."""
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+
+    a = 6.37122e6
+    grid = ConformalCubedSphereGrid((8, 4), z=(-1000.0, 0.0), radius=a,
+                                    halo=3)
+    rate = 1e-8
+    model = CubedSphereHydrostaticModel(
+        grid, tracers=("c",),
+        forcing={"c": lambda lam, phi, z, t: rate + 0 * (lam + z)})
+    s = model.initial_state(c=0.0)
+    c0 = float(model.total_tracer(s, "c"))
+    dt, n = 300.0, 10
+    step = jax.jit(lambda s: model.step(s, dt))
+    for _ in range(n):
+        s = step(s)
+    s = jax.block_until_ready(s)
+    c1 = float(model.total_tracer(s, "c"))
+    # total volume of the shell
+    g = grid.panel_grid
+    sx, sy, sz = g.interior_slices
+    from oceananigans_tpu.grids.base import Center
+    dV = (g.Az(Center, Center)[sx, sy, :1]
+          * jnp.broadcast_to(g.dz(), g.shape)[sx, sy, sz])
+    Vtot = 6 * float(jnp.sum(dV))
+    np.testing.assert_allclose(c1 - c0, rate * Vtot * dt * n, rtol=1e-6)
+
+
+def test_cubed_sphere_subpanel_partition_matches_serial():
+    """R>1 sub-panel partitioning (reference CubedSpherePartition(R=...)):
+    the sharded hydrostatic step on a (panel=2, x=2, y=2) 8-device mesh
+    matches the unsharded step to roundoff."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel, cubed_sphere_partition,
+    )
+
+    grid = ConformalCubedSphereGrid((8, 4), z=(-1000.0, 0.0),
+                                    radius=6.37122e6, halo=3)
+    model = CubedSphereHydrostaticModel(grid)
+
+    def eta0(lam, phi, z):
+        r = np.deg2rad(phi) ** 2 \
+            + np.deg2rad(((lam + 180) % 360) - 180) ** 2
+        return np.exp(-r / 0.1) + 0 * z
+
+    g = grid.panel_grid
+    e0 = grid.set_tracer(eta0)[..., g.Hz:g.Hz + 1]
+    state = model.initial_state(eta=e0, b=lambda lam, phi, z: 1e-5 * z)
+    step = jax.jit(lambda s: model.step(s, 150.0))
+    s_serial = state
+    for _ in range(5):
+        s_serial = step(s_serial)
+
+    mesh, shard = cubed_sphere_partition(jax.devices()[:8], R=2, panels=2)
+    ss = shard(state)
+    for _ in range(5):
+        ss = step(ss)
+    ss = jax.block_until_ready(ss)
+    for name in ("u", "v", "eta"):
+        a = np.asarray(getattr(s_serial, name))
+        b = np.asarray(getattr(ss, name))
+        scale = max(np.abs(a).max(), 1e-30)
+        assert np.abs(a - b).max() < 1e-11 * scale, \
+            (name, np.abs(a - b).max(), scale)
