@@ -203,19 +203,30 @@ class NonhydrostaticModel:
 
         self.pressure_solver = make_pressure_solver(grid)
 
-        # fused Pallas tendency kernel (opt-in; validated bitwise against
+        # fused Pallas tendency kernels (auto on TPU; validated against
+        # the XLA path — bitwise for Centered(2), <= ~2e-7 relative for
+        # WENO-5 whose weight reciprocals use the VPU fast-reciprocal +
+        # Newton refinement). ``self.fused_kernels`` is False or the
+        # kernel tag ("centered2" | "weno5").
         from oceananigans_tpu.ops.pallas_kernels import pallas_available
-        applicable = (pallas_available(grid, advection)
-                      and not self.background_fields)
+        from oceananigans_tpu.ops.pallas_weno import weno5_available
+        kernel = None
+        if not self.background_fields:
+            if pallas_available(grid, advection):
+                kernel = "centered2"
+            elif weno5_available(grid, advection):
+                kernel = "weno5"
         if fused_kernels == "auto":
-            # on TPU the fused kernel is validated bitwise against the
-            # XLA path and strictly faster (one HBM pass for the whole
-            # momentum tendency); CPU/interpret stays on the XLA path
+            # on TPU the fused kernels are strictly faster (one HBM pass
+            # for the whole momentum tendency); CPU/interpret stays on
+            # the XLA path
             import jax as _jax
-            self.fused_kernels = (applicable
-                                  and _jax.default_backend() != "cpu")
+            self.fused_kernels = (kernel if kernel is not None
+                                  and _jax.default_backend() != "cpu"
+                                  else False)
         else:
-            self.fused_kernels = bool(fused_kernels) and applicable
+            self.fused_kernels = (kernel if bool(fused_kernels)
+                                  and kernel is not None else False)
 
     # -- pytree protocol: grid is a child, config is aux ------------------
     def tree_flatten(self):
@@ -353,13 +364,21 @@ class NonhydrostaticModel:
                    - div_vv(g, self.advection, ub, vb, wb))
             Gw = -(div_vw(g, self.advection, ut, vt, wt)
                    - div_vw(g, self.advection, ub, vb, wb))
-        elif self.fused_kernels:
+        elif self.fused_kernels == "centered2":
             from oceananigans_tpu.ops.pallas_kernels import (
                 centered2_momentum_tendency,
             )
             bg = {}
             ut, vt, wt = u, v, w
             Gu, Gv, Gw = centered2_momentum_tendency(g, u, v, w)
+        elif self.fused_kernels == "weno5":
+            from oceananigans_tpu.ops.pallas_weno import (
+                weno5_momentum_tendency,
+            )
+            bg = {}
+            ut, vt, wt = u, v, w
+            Gu, Gv, Gw = weno5_momentum_tendency(
+                g, u, v, w, epsilon=self.advection.epsilon)
         else:
             bg = {}
             ut, vt, wt = u, v, w

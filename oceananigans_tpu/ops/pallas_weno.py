@@ -1,0 +1,283 @@
+"""Fused WENO-5 momentum-tendency Pallas kernel (the roofline kernel).
+
+The XLA whole-array WENO path materializes dozens of shifted intermediates
+per tendency; this kernel computes all three momentum tendencies in ONE
+HBM pass: read u, v, w once, write Gu, Gv, Gw once, with the entire
+WENO-Z reconstruction (sub-stencil values, Jiang-Shu smoothness
+indicators, nonlinear weights, upwind selection) evaluated on VMEM slabs.
+Hand-fused equivalent of the reference's per-point ``compute_Gu!`` kernels
+with WENO fluxes (``nonhydrostatic_tendency_kernel_functions.jl:47-78`` +
+``weno_interpolants.jl``), scheduled for the TPU memory hierarchy.
+
+Layout contract (same as ``pallas_kernels.centered2_momentum_tendency``):
+fields are (x, y, z) with z in the lane dimension; each program owns a
+(TX, ny, nz) output slab and DMAs a (TX + 6, ny, nz) window (WENO-5 needs
+3 halo rows each side on the sliced axis). y/z shifts are in-VMEM rolls:
+on halo-free periodic axes the roll wrap IS the boundary (exact); on
+halo >= 3 axes the wrap junk lands in halo slots the caller's next halo
+fill overwrites.
+
+Numerics match the XLA path (``advection.WENO(5)``) to float32 roundoff:
+identical coefficients, identical WENO-Z weight formula
+(tau = |b0 - b2|, alpha = gamma (1 + (tau/(b+eps))^2)); only the
+operation order inside fused multiply-adds may differ.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["weno5_momentum_tendency", "weno5_available"]
+
+H = 3   # WENO-5 buffer width
+
+
+def weno5_available(grid, advection) -> bool:
+    """True when the fused kernel applies: regular rectilinear grid,
+    plain WENO(5) advection (no stretched tables, no bounds), 3-D, and
+    per-axis halo compatibility: axis 0 (the DMA-sliced slab axis) needs
+    halo >= 3; axes 1 and 2 need either halo >= 3 (roll wrap junk lands
+    in halos) or a PERIODIC halo-free tile-aligned layout (the roll wrap
+    IS the periodic boundary — exact)."""
+    from oceananigans_tpu.advection import WENO
+    from oceananigans_tpu.grids.base import Periodic as _P
+    from oceananigans_tpu.grids.rectilinear import RectilinearGrid
+    if not (type(grid) is RectilinearGrid and grid.regular):
+        return False
+    if not (type(advection) is WENO and advection.order == 5
+            and advection.bounds is None
+            and getattr(advection, "_tables", None) is None):
+        return False
+    if grid.H[0] < H:
+        return False
+    for axis, tile in ((1, 8), (2, 128)):
+        if grid.N[axis] <= 1 or grid.H[axis] >= H:
+            continue
+        n_tot = grid.N[axis] + 2 * grid.H[axis]
+        if grid.axis_topo(axis) != _P or grid.H[axis] != 0 or n_tot % tile:
+            return False
+    return all(n > 1 for n in grid.N)
+
+
+def _recip(x):
+    """Reciprocal via the VPU's fast approximate-reciprocal instruction
+    plus one Newton-Raphson step: relative error ~1e-8, an order of
+    magnitude inside the kernel's 1e-6 match budget, and far cheaper
+    than the multi-pass exact f32 divide (the WENO-Z weights need 8
+    reciprocals per flux point — the kernel's hottest operation)."""
+    r = pl.reciprocal(x, approx=True)
+    return r * (2.0 - x * r)
+
+
+def _weno_face(s, U, eps):
+    """Upwind-selected WENO-5 face value from the 6 taps ``s[-3..2]``
+    (n = offset from the target face; o already folded in). Matches the
+    XLA path (``WENO._onesided`` with/without reflect + the upwind
+    select) to roundoff.
+
+    Both one-sided reconstructions are computed jointly with their
+    algebraically-shared pieces factored once: under the reflection
+    n -> -1-n the right-biased sub-stencil polynomials satisfy
+    q1R == q2L and q2R == q1L (only q0R is new), the Jiang-Shu
+    curvature terms (a - 2b + c)^2 coincide pairwise across sides, and
+    the middle-stencil (a - c)^2 terms are equal up to sign. This cuts
+    the flux-point operation count by ~40% vs two independent
+    evaluations (which neither XLA nor Mosaic CSE can discover: the
+    identities hold under tap reversal, not syntactically)."""
+    c1, c2 = 13.0 / 12.0, 0.25
+    # sub-stencil values (4 distinct polynomials serve both sides)
+    q0L = (2 / 6) * s[-3] + (-7 / 6) * s[-2] + (11 / 6) * s[-1]
+    q1L = (-1 / 6) * s[-2] + (5 / 6) * s[-1] + (2 / 6) * s[0]
+    q2L = (2 / 6) * s[-1] + (5 / 6) * s[0] + (-1 / 6) * s[1]
+    q0R = (11 / 6) * s[0] + (-7 / 6) * s[1] + (2 / 6) * s[2]
+    # smoothness indicators: curvature terms shared across sides
+    d3 = (s[-3] - 2 * s[-2] + s[-1]) ** 2
+    d2 = (s[-2] - 2 * s[-1] + s[0]) ** 2
+    d1 = (s[-1] - 2 * s[0] + s[1]) ** 2
+    d0 = (s[0] - 2 * s[1] + s[2]) ** 2
+    b0L = c1 * d3 + c2 * (s[-3] - 4 * s[-2] + 3 * s[-1]) ** 2
+    b1L = c1 * d2 + c2 * (s[-2] - s[0]) ** 2
+    b2L = c1 * d1 + c2 * (3 * s[-1] - 4 * s[0] + s[1]) ** 2
+    b0R = c1 * d0 + c2 * (s[2] - 4 * s[1] + 3 * s[0]) ** 2
+    b1R = c1 * d1 + c2 * (s[1] - s[-1]) ** 2
+    b2R = c1 * d2 + c2 * (3 * s[0] - 4 * s[-1] + s[-2]) ** 2
+
+    def combine(b0, b1, b2, q0, q1, q2):
+        tau = jnp.abs(b0 - b2)
+        a0 = (1 / 10) * (1.0 + (tau * _recip(b0 + eps)) ** 2)
+        a1 = (6 / 10) * (1.0 + (tau * _recip(b1 + eps)) ** 2)
+        a2 = (3 / 10) * (1.0 + (tau * _recip(b2 + eps)) ** 2)
+        return (a0 * q0 + a1 * q1 + a2 * q2) * _recip(a0 + a1 + a2)
+
+    left = combine(b0L, b1L, b2L, q0L, q1L, q2L)
+    right = combine(b0R, b1R, b2R, q0R, q2L, q1L)
+    # no U == 0 average branch: the face value is always multiplied by
+    # U, so the zero-velocity branch contributes U * anything == 0 to
+    # the flux exactly as the XLA path's 0.5 (L + R) does
+    return jnp.where(U > 0, left, right)
+
+
+def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, gw_ref,
+            u_s, v_s, w_s, sems, *, TX, inv_dx, inv_dy, inv_dz, eps):
+    i = pl.program_id(0)
+    x0 = i * TX
+
+    cps = []
+    for src, dst, s in ((u_hbm, u_s, 0), (v_hbm, v_s, 1), (w_hbm, w_s, 2)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(x0, TX + 2 * H)], dst,
+                                   sems.at[s])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    u = u_s[:]
+    v = v_s[:]
+    w = w_s[:]
+
+    def yn(a, n):   # a[j+n] in y (sublane) — roll wrap = periodic/halo junk
+        return pltpu.roll(a, (a.shape[1] - n) % a.shape[1], 1)
+
+    def zn(a, n):   # a[k+n] in z (lane)
+        return pltpu.roll(a, (a.shape[2] - n) % a.shape[2], 2)
+
+    C = slice(H, TX + H)          # output cells within the window
+    u_c, v_c, w_c = u[C], v[C], w[C]
+
+    # ------------------------------------------------------------------
+    # Gu at (f,c,c)
+    # ------------------------------------------------------------------
+    # x-flux at centers c in [H-1, H+TX): F = ix_c(u) * weno_x(u, o=1)
+    n_c = TX + 1
+    Uadv = 0.5 * (u[H - 1:H - 1 + n_c] + u[H:H + n_c])
+    taps = {m: u[H - 1 + m: H - 1 + m + n_c] for m in range(-2, 4)}
+    fxx = Uadv * _weno_face({n: taps[n + 1] for n in range(-3, 3)},
+                            Uadv, eps)
+    gu = -(fxx[1:] - fxx[:-1]) * inv_dx
+    # y-flux at (f,f,c): ix_f(v) * weno_y(u, o=0); dy_c: F[j+1] - F[j]
+    Vadv = 0.5 * (v[H - 1:H - 1 + TX] + v_c)
+    fxy = Vadv * _weno_face({n: yn(u_c, n) for n in range(-3, 3)},
+                            Vadv, eps)
+    gu = gu - (yn(fxy, 1) - fxy) * inv_dy
+    # z-flux at (f,c,f): ix_f(w) * weno_z(u, o=0); dz_c: F[k+1] - F[k]
+    Wadv = 0.5 * (w[H - 1:H - 1 + TX] + w_c)
+    fxz = Wadv * _weno_face({n: zn(u_c, n) for n in range(-3, 3)},
+                            Wadv, eps)
+    gu = gu - (zn(fxz, 1) - fxz) * inv_dz
+    gu_ref[:] = gu
+
+    # ------------------------------------------------------------------
+    # Gv at (c,f,c)
+    # ------------------------------------------------------------------
+    # x-flux at x-faces f in [H, H+TX]: F = iy_f(u) * weno_x(v, o=0)
+    n_f = TX + 1
+    u_f = u[H:H + n_f]
+    Uadv = 0.5 * (yn(u_f, -1) + u_f)
+    taps = {n: v[H + n: H + n + n_f] for n in range(-3, 3)}
+    fyx = Uadv * _weno_face(taps, Uadv, eps)
+    gv = -(fyx[1:] - fyx[:-1]) * inv_dx
+    # y-flux at centers: iy_c(v) * weno_y(v, o=1); dy_f: F[j] - F[j-1]
+    Vadv = 0.5 * (v_c + yn(v_c, 1))
+    fyy = Vadv * _weno_face({n: yn(v_c, n + 1) for n in range(-3, 3)},
+                            Vadv, eps)
+    gv = gv - (fyy - yn(fyy, -1)) * inv_dy
+    # z-flux at (c,f,f): iy_f(w) * weno_z(v, o=0); dz_c
+    Wadv = 0.5 * (yn(w_c, -1) + w_c)
+    fyz = Wadv * _weno_face({n: zn(v_c, n) for n in range(-3, 3)},
+                            Wadv, eps)
+    gv = gv - (zn(fyz, 1) - fyz) * inv_dz
+    gv_ref[:] = gv
+
+    # ------------------------------------------------------------------
+    # Gw at (c,c,f)
+    # ------------------------------------------------------------------
+    # x-flux at x-faces: F = iz_f(u) * weno_x(w, o=0)
+    Uadv = 0.5 * (zn(u_f, -1) + u_f)
+    taps = {n: w[H + n: H + n + n_f] for n in range(-3, 3)}
+    fzx = Uadv * _weno_face(taps, Uadv, eps)
+    gw = -(fzx[1:] - fzx[:-1]) * inv_dx
+    # y-flux at (c,f,f): iz_f(v) * weno_y(w, o=0); dy_c
+    Vadv = 0.5 * (zn(v_c, -1) + v_c)
+    fzy = Vadv * _weno_face({n: yn(w_c, n) for n in range(-3, 3)},
+                            Vadv, eps)
+    gw = gw - (yn(fzy, 1) - fzy) * inv_dy
+    # z-flux at z-centers: iz_c(w) * weno_z(w, o=1); dz_f: F[k] - F[k-1]
+    Wadv = 0.5 * (w_c + zn(w_c, 1))
+    fzz = Wadv * _weno_face({n: zn(w_c, n + 1) for n in range(-3, 3)},
+                            Wadv, eps)
+    gw = gw - (fzz - zn(fzz, -1)) * inv_dz
+    gw_ref[:] = gw
+
+
+def weno5_momentum_tendency(grid, u, v, w, epsilon=1e-8, tile_x=None,
+                            interpret=False):
+    """(Gu, Gv, Gw) = -div(v (x) v) with WENO-5 upwinded fluxes on a
+    regular rectilinear grid, fused in one Pallas pass. Inputs are full
+    halo-extended arrays with halos already filled; output halo rows are
+    junk (overwritten by the caller's next halo fill). Matches the XLA
+    path (``div_vu``/``div_vv``/``div_vw`` with ``WENO(5)``) to float32
+    roundoff."""
+    nx, ny0, nz0 = u.shape
+    ny = -(-ny0 // 8) * 8
+    nz = -(-nz0 // 128) * 128
+    if grid.H[1] == 0 and ny != ny0:
+        raise ValueError("halo-free periodic axis 1 must be a multiple "
+                         "of 8")
+    if grid.H[2] == 0 and nz != nz0:
+        raise ValueError("halo-free periodic axis 2 must be a multiple "
+                         "of 128")
+    if tile_x is None:
+        # WENO's live intermediate set is much larger than Centered(2)'s:
+        # budget ~2 MB of declared window blocks (auto-shrinks further on
+        # small grids where the slab plane is narrow)
+        budget = 2 * 1024 * 1024
+        tile_x = 8
+        while tile_x > 1 and (3 * (tile_x + 2 * H) + 3 * tile_x) \
+                * ny * nz * u.dtype.itemsize > budget:
+            tile_x //= 2
+    if (ny, nz) != (ny0, nz0):
+        pad = ((0, 0), (0, ny - ny0), (0, nz - nz0))
+        u = jnp.pad(u, pad)
+        v = jnp.pad(v, pad)
+        w = jnp.pad(w, pad)
+    TX = tile_x
+    while TX > 1 and (nx - 2 * H) % TX:
+        TX //= 2
+    gx = (nx - 2 * H) // TX
+    inv_dx = float(grid.Nx / grid.Lx) if grid.N[0] > 1 else 0.0
+    inv_dy = float(grid.Ny / grid.Ly) if grid.N[1] > 1 else 0.0
+    inv_dz = float(grid.Nz / grid.Lz) if grid.N[2] > 1 else 0.0
+
+    kern = partial(_kernel, TX=TX, inv_dx=inv_dx, inv_dy=inv_dy,
+                   inv_dz=inv_dz, eps=float(epsilon))
+    out_shape = [jax.ShapeDtypeStruct((gx * TX, ny, nz), u.dtype)] * 3
+    out_spec = pl.BlockSpec((TX, ny, nz), index_map=lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    gu, gv, gw = pl.pallas_call(
+        kern,
+        grid=(gx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=[out_spec] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((TX + 2 * H, ny, nz), u.dtype),
+            pltpu.VMEM((TX + 2 * H, ny, nz), u.dtype),
+            pltpu.VMEM((TX + 2 * H, ny, nz), u.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(u, v, w)
+
+    def embed(g):
+        full = jnp.zeros((nx, ny0, nz0), u.dtype)
+        return full.at[H:H + gx * TX].set(g[:, :ny0, :nz0])
+
+    return embed(gu), embed(gv), embed(gw)
