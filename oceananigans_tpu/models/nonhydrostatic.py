@@ -451,6 +451,20 @@ class NonhydrostaticModel:
                     Gw = Gw + term
 
         Gtracers = {}
+        # fused WENO-5 tracer advection: one Pallas pass for every tracer
+        # that is advected by the plain resolved flow (velocities read
+        # once for all of them); tracers with advective forcings or
+        # background decompositions stay on the XLA path
+        fused_Gc = {}
+        if self.fused_kernels == "weno5":
+            from oceananigans_tpu.ops.pallas_weno import (
+                weno5_tracer_tendencies,
+            )
+            plain = {name: tracers[name] for name in self.tracer_names
+                     if name not in self.advective_forcings
+                     and name not in bg}
+            fused_Gc = weno5_tracer_tendencies(
+                g, ut, vt, wt, plain, epsilon=self.advection.epsilon)
         for name in self.tracer_names:
             c = tracers[name]
             # AdvectiveForcing velocities are summed into the advecting
@@ -462,7 +476,9 @@ class NonhydrostaticModel:
             # tracers are advected by the TOTAL velocity; a background
             # tracer contributes its advection by the perturbation flow
             # (total·total minus background·background)
-            if name in bg:
+            if name in fused_Gc:
+                Gc = fused_Gc[name]
+            elif name in bg:
                 cb = bg[name]
                 ub0 = bg.get("u", jnp.zeros_like(u))
                 vb0 = bg.get("v", jnp.zeros_like(v))

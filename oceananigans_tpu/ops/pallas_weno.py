@@ -33,7 +33,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["weno5_momentum_tendency", "weno5_available"]
+__all__ = ["weno5_momentum_tendency", "weno5_tracer_tendencies",
+           "weno5_available"]
 
 H = 3   # WENO-5 buffer width
 
@@ -281,3 +282,120 @@ def weno5_momentum_tendency(grid, u, v, w, epsilon=1e-8, tile_x=None,
         return full.at[H:H + gx * TX].set(g[:, :ny0, :nz0])
 
     return embed(gu), embed(gv), embed(gw)
+
+
+def _tracer_kernel(*refs, TX, NT, inv_dx, inv_dy, inv_dz, eps):
+    u_hbm, v_hbm, w_hbm = refs[:3]
+    c_hbms = refs[3:3 + NT]
+    g_refs = refs[3 + NT:3 + 2 * NT]
+    scratches = refs[3 + 2 * NT:3 + 2 * NT + 3 + NT]
+    sems = refs[-1]
+    i = pl.program_id(0)
+    x0 = i * TX
+
+    cps = []
+    for s, (src, dst) in enumerate(zip((u_hbm, v_hbm, w_hbm) + c_hbms,
+                                       scratches)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(x0, TX + 2 * H)], dst,
+                                   sems.at[s])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    u = scratches[0][:]
+    v = scratches[1][:]
+    w = scratches[2][:]
+
+    def yn(a, n):
+        return pltpu.roll(a, (a.shape[1] - n) % a.shape[1], 1)
+
+    def zn(a, n):
+        return pltpu.roll(a, (a.shape[2] - n) % a.shape[2], 2)
+
+    C = slice(H, TX + H)
+    n_f = TX + 1
+    u_f = u[H:H + n_f]          # u at x-faces [H, H+TX]
+    v_c, w_c = v[C], w[C]
+    for t in range(NT):
+        c = scratches[3 + t][:]
+        # x-flux at x-faces f in [H, H+TX]: u * weno_x(c, o=0); dx_c
+        taps = {n: c[H + n: H + n + n_f] for n in range(-3, 3)}
+        fx = u_f * _weno_face(taps, u_f, eps)
+        gc = -(fx[1:] - fx[:-1]) * inv_dx
+        c_c = c[C]
+        # y-flux at y-faces: v * weno_y(c, o=0); dy_c: F[j+1] - F[j]
+        fy = v_c * _weno_face({n: yn(c_c, n) for n in range(-3, 3)},
+                              v_c, eps)
+        gc = gc - (yn(fy, 1) - fy) * inv_dy
+        # z-flux at z-faces: w * weno_z(c, o=0); dz_c: F[k+1] - F[k]
+        fz = w_c * _weno_face({n: zn(c_c, n) for n in range(-3, 3)},
+                              w_c, eps)
+        gc = gc - (zn(fz, 1) - fz) * inv_dz
+        g_refs[t][:] = gc
+
+
+def weno5_tracer_tendencies(grid, u, v, w, tracers, epsilon=1e-8,
+                            tile_x=None, interpret=False):
+    """``{name: -div(v c)}`` with WENO-5 upwinded fluxes for every tracer
+    in ``tracers`` (dict name -> halo-extended array), fused in one
+    Pallas pass that reads the velocities ONCE for all tracers. Same
+    layout contract and availability conditions as
+    ``weno5_momentum_tendency`` (use ``weno5_available``); matches the
+    XLA ``div_Uc`` path to float32 roundoff."""
+    names = list(tracers)
+    NT = len(names)
+    if NT == 0:
+        return {}
+    nx, ny0, nz0 = u.shape
+    ny = -(-ny0 // 8) * 8
+    nz = -(-nz0 // 128) * 128
+    if grid.H[1] == 0 and ny != ny0:
+        raise ValueError("halo-free periodic axis 1 must be a multiple "
+                         "of 8")
+    if grid.H[2] == 0 and nz != nz0:
+        raise ValueError("halo-free periodic axis 2 must be a multiple "
+                         "of 128")
+    if tile_x is None:
+        budget = 2 * 1024 * 1024
+        tile_x = 8
+        while tile_x > 1 and ((3 + NT) * (tile_x + 2 * H) + NT * tile_x) \
+                * ny * nz * u.dtype.itemsize > budget:
+            tile_x //= 2
+    arrs = [u, v, w] + [tracers[n] for n in names]
+    if (ny, nz) != (ny0, nz0):
+        pad = ((0, 0), (0, ny - ny0), (0, nz - nz0))
+        arrs = [jnp.pad(a, pad) for a in arrs]
+    TX = tile_x
+    while TX > 1 and (nx - 2 * H) % TX:
+        TX //= 2
+    gx = (nx - 2 * H) // TX
+    inv_dx = float(grid.Nx / grid.Lx) if grid.N[0] > 1 else 0.0
+    inv_dy = float(grid.Ny / grid.Ly) if grid.N[1] > 1 else 0.0
+    inv_dz = float(grid.Nz / grid.Lz) if grid.N[2] > 1 else 0.0
+
+    kern = partial(_tracer_kernel, TX=TX, NT=NT, inv_dx=inv_dx,
+                   inv_dy=inv_dy, inv_dz=inv_dz, eps=float(epsilon))
+    out_shape = [jax.ShapeDtypeStruct((gx * TX, ny, nz), u.dtype)] * NT
+    out_spec = pl.BlockSpec((TX, ny, nz), index_map=lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(gx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (3 + NT),
+        out_specs=[out_spec] * NT,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((TX + 2 * H, ny, nz), u.dtype)
+                        ] * (3 + NT) + [pltpu.SemaphoreType.DMA((3 + NT,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(*arrs)
+    if NT == 1:
+        outs = (outs,) if not isinstance(outs, (list, tuple)) else outs
+
+    def embed(g):
+        full = jnp.zeros((nx, ny0, nz0), u.dtype)
+        return full.at[H:H + gx * TX].set(g[:, :ny0, :nz0])
+
+    return {n: embed(g) for n, g in zip(names, outs)}

@@ -75,6 +75,26 @@ def test_weno5_kernel_tile_sizes_agree():
                                        rtol=2e-6, atol=1e-7)
 
 
+def test_weno5_tracer_kernel_matches_xla_path():
+    from oceananigans_tpu.advection import div_Uc
+    from oceananigans_tpu.ops.pallas_weno import weno5_tracer_tendencies
+    N = 16
+    grid = RectilinearGrid(size=(N, N, N), extent=(1.0, 2.0, 3.0),
+                           topology=(Periodic,) * 3, halo=(3, 3, 3),
+                           dtype="float32")
+    sch = WENO(5)
+    u, v, w = _periodic_fields(N)
+    c1, c2 = _periodic_fields(N, seed=7)[:2]
+    got = weno5_tracer_tendencies(grid, u, v, w, {"a": c1, "b": c2},
+                                  interpret=True)
+    ii = (slice(3, -3),) * 3
+    for name, c in (("a", c1), ("b", c2)):
+        ref = np.asarray(-div_Uc(grid, sch, u, v, w, c))[ii]
+        b = np.asarray(got[name])[ii]
+        err = np.abs(ref - b).max() / np.abs(ref).max()
+        assert err < TOL, (name, err)
+
+
 def test_weno5_availability_gate():
     g_ok = RectilinearGrid(size=(16, 16, 128), extent=(1, 1, 1),
                            topology=(Bounded, Periodic, Periodic),
