@@ -341,24 +341,37 @@ def fill_zipper_north(a, grid, loc, sign):
       x-Face:   i' = (Nx - i) mod Nx   (sign unflipped on the wrap column)
       y-Center: halo row Hy+Ny-1+h  <- interior row Hy+Ny-1-h
       y-Face:   halo row Hy+Ny-1+h  <- interior row Hy+Ny-h
-    """
+
+    TPU-native/distributed form (reference
+    ``distributed_tripolar_grid.jl`` exchanges each x-rank with its
+    mirror rank): the fold reversal is expressed as ``jnp.flip`` (+
+    ``jnp.roll`` by one for x-Face fields) over the halo-extended,
+    periodically-pre-filled x axis — ``lax.rev``/``lax.rotate`` partition
+    under GSPMD into the same mirror-rank collective permutes, so the
+    fill is shardable over an x-partitioned mesh with no gather. Callers
+    fill the (periodic) x axis first (``fill_halo_regions`` axis order),
+    which makes the flipped extended row its own correctly-wrapped halo
+    image."""
     Nx, Ny = grid.Nx, grid.Ny
     Hx, Hy = grid.Hx, grid.Hy
+    L = a.shape[0]
     x_face = loc[0] == Face
     y_face = loc[1] == Face
 
-    # global i index array over the full extended x-range, mapped to the
-    # folded source column (also extended coordinates wrap periodically)
-    i = np.arange(a.shape[0])
+    # folded source plane: flip[i] = a[L-1-i] covers i' = Nx-1-i for
+    # x-periodic rows; x-Face adds a +1 rotate (i' = (Nx - i) mod Nx),
+    # whose wrapped-around column 0 needs the one periodic correction
+    flipped = jnp.flip(a, axis=0)
+    i = np.arange(L)
     i_int = (i - Hx) % Nx                      # interior x index 0..Nx-1
     if x_face:
-        ip = (Nx - i_int) % Nx
+        flipped = jnp.roll(flipped, 1, axis=0)
+        if 2 * Hx < L:
+            flipped = flipped.at[0].set(a[2 * Hx])
         wrap = (Nx - i_int) == Nx              # i_int == 0 wraps
         sgn = np.where(wrap, abs(sign), sign)
     else:
-        ip = Nx - 1 - i_int
         sgn = np.full_like(i, sign, dtype=float)
-    src_cols = ip + Hx
     sgn = jnp.asarray(sgn.reshape(-1, 1), a.dtype)
 
     out = a
@@ -368,13 +381,13 @@ def fill_zipper_north(a, grid, loc, sign):
             j_src = top - h
         else:
             j_src = top - 1 - h
-        row = a[src_cols, j_src] * sgn
+        row = flipped[:, j_src] * sgn
         out = out.at[:, top - 1 + h].set(row)
     if not y_face:
         # the Ny row itself is duplicated across the fold: overwrite its
         # redundant (second) half for consistency
         half = np.asarray(i_int >= Nx // 2).reshape(-1, 1)
-        row = a[src_cols, top - 1] * sgn
+        row = flipped[:, top - 1] * sgn
         out = out.at[:, top - 1].set(
             jnp.where(jnp.asarray(half), row, out[:, top - 1]))
     return out
