@@ -692,11 +692,16 @@ def closure_required_halo(closure):
 # (I − Δt ∂z κ ∂z) q* = q column-wise with the batched Thomas solver.
 # ---------------------------------------------------------------------------
 
-def _implicit_step_field(grid, q, kappa_ccf, dt, lz=Center):
+def _implicit_step_field(grid, q, kappa_ccf, dt, lz=Center,
+                         linear_ccc=None):
     """Backward-Euler vertical diffusion on one field. ``kappa_ccf`` is the
     vertical diffusivity at the z-faces bounding each cell (broadcastable).
     Operates on the full halo-extended array; only the interior Nz levels
-    participate (halo levels get identity rows)."""
+    participate (halo levels get identity rows). ``linear_ccc``: optional
+    diagonal coefficient L of an extra linear term ∂t q = L q solved
+    implicitly along with the diffusion (the reference's
+    ``implicit_linear_coefficient`` used by CATKE/k-ε destruction
+    terms)."""
     Hz, Nz = grid.Hz, grid.Nz
     shape = grid.shape
     dzC = jnp.broadcast_to(grid.dz(Center), shape)   # cell heights
@@ -717,6 +722,9 @@ def _implicit_step_field(grid, q, kappa_ccf, dt, lz=Center):
     lower = jnp.where((k_idx > Hz) & in_interior, lower, 0.0)
     upper = jnp.where((k_idx < Hz + Nz - 1) & in_interior, upper, 0.0)
     diag = 1.0 - lower - upper
+    if linear_ccc is not None:
+        L = jnp.broadcast_to(linear_ccc, shape)
+        diag = diag - dt * jnp.where(in_interior, L, 0.0)
     return tridiagonal_solve(lower, diag, upper, q, axis=Z)
 
 
@@ -732,14 +740,16 @@ def implicit_vertical_diffusion_step(grid, closure, diffusivities, dt,
             u = _implicit_step_field(grid, u, _face_z(nu), dt)
             v = _implicit_step_field(grid, v, _face_z(nu), dt)
         if tracers is not None:
+            lin_of = getattr(c, "implicit_linear_coefficient", None)
             new_tracers = {}
             for name, cf in tracers.items():
                 kap = c.vertical_kappa(grid, d, name)
-                if _is_zero(kap):
+                lin = lin_of(grid, d, name) if lin_of is not None else None
+                if _is_zero(kap) and lin is None:
                     new_tracers[name] = cf
                 else:
                     new_tracers[name] = _implicit_step_field(
-                        grid, cf, _face_z(kap), dt)
+                        grid, cf, _face_z(kap), dt, linear_ccc=lin)
             tracers = new_tracers
     return u, v, tracers
 

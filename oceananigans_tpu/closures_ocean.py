@@ -357,53 +357,188 @@ class CATKEVerticalDiffusivity(AbstractClosure):
         return "CATKEVerticalDiffusivity(reference coefficient set)"
 
 
+class VariableStabilityFunctions:
+    """Umlauf & Burchard (2005) second-order stability functions for k-ε
+    (reference ``tke_dissipation_stability_functions.jl``
+    ``VariableStabilityFunctions``): 𝕊(αᴺ, αᴹ) rational functions of the
+    stratification number αᴺ = τ²N² and shear number αᴹ = τ²S², with the
+    realizability clamps (free-convection minimum αᴺ scaled by a safety
+    factor, and the shear-anisotropy maximum αᴹ(αᴺ))."""
+
+    def __init__(self, Csigma_e=1.0, Csigma_eps=1.2,
+                 Cu0=0.1067, Cu1=0.0173, Cu2=-0.0001205,
+                 Cc0=0.1120, Cc1=0.003766, Cc2=0.0008871,
+                 Cd0=1.0, Cd1=0.2398, Cd2=0.02872, Cd3=0.005154,
+                 Cd4=0.006930, Cd5=-0.0003372, Su0=None):
+        self.Csigma_e = float(Csigma_e)
+        self.Csigma_eps = float(Csigma_eps)
+        self.Cu0, self.Cu1, self.Cu2 = float(Cu0), float(Cu1), float(Cu2)
+        self.Cc0, self.Cc1, self.Cc2 = float(Cc0), float(Cc1), float(Cc2)
+        self.Cd0, self.Cd1, self.Cd2 = float(Cd0), float(Cd1), float(Cd2)
+        self.Cd3, self.Cd4, self.Cd5 = float(Cd3), float(Cd4), float(Cd5)
+        if Su0 is None:
+            # log-layer equilibrium (production = dissipation), Umlauf &
+            # Burchard (2003) eq. (13) discussion
+            import math
+            a = self.Cd5 - self.Cu2
+            b = self.Cd2 - self.Cu0
+            c = self.Cd0
+            Su0 = (2 * a / (-b - math.sqrt(b * b - 4 * a * c))) ** 0.25
+        self.Su0 = float(Su0)
+
+    def minimum_stratification_number(self, safety):
+        """Free-convection realizability bound (Umlauf & Burchard 2005
+        eq. A.22), reduced by the safety factor."""
+        import math
+        a = self.Cd4 + self.Cc1
+        b = self.Cd1 + self.Cc0
+        c = self.Cd0
+        return safety * (-b + math.sqrt(b * b - 4 * a * c)) / (2 * a)
+
+    def maximum_shear_number(self, aN):
+        """Shear-anisotropy bound αᴹmax(αᴺ) (Umlauf & Burchard 2005
+        eq. 44)."""
+        n0, n1 = self.Cu0, self.Cu1
+        d0, d1, d2, d3, d4 = (self.Cd0, self.Cd1, self.Cd2, self.Cd3,
+                              self.Cd4)
+        e0 = d0 * n0
+        e1 = d0 * n1 + d1 * n0
+        e2 = d1 * n1 + d4 * n0
+        e3 = d4 * n1
+        e4 = d2 * n0
+        e5 = d2 * n1 + d3 * n0
+        e6 = d3 * n1
+        num = e0 + e1 * aN + e2 * aN ** 2 + e3 * aN ** 3
+        den = e4 + e5 * aN + e6 * aN ** 2
+        return num / den
+
+    def momentum_and_tracer(self, aN, aM):
+        den = (self.Cd0 + self.Cd1 * aN + self.Cd2 * aM
+               + self.Cd3 * aN * aM + self.Cd4 * aN ** 2
+               + self.Cd5 * aM ** 2)
+        Su = (self.Cu0 + self.Cu1 * aN + self.Cu2 * aM) / den
+        Sc = (self.Cc0 + self.Cc1 * aN + self.Cc2 * aM) / den
+        return Su, Sc
+
+    def __repr__(self):
+        return "VariableStabilityFunctions()"
+
+
 class TKEDissipationVerticalDiffusivity(AbstractClosure):
     """k-ε vertical closure: two prognostic tracers — TKE ``e`` and its
     dissipation rate ``eps`` (reference
-    ``TKEDissipationVerticalDiffusivities/`` k-epsilon implementation).
+    ``TKEBasedVerticalDiffusivities/tke_dissipation_vertical_diffusivity.jl``
+    + ``tke_dissipation_equations.jl``; Umlauf & Burchard 2003/2005,
+    Burchard & Bolding 2001).
 
-    ν = C_μ e²/ε, κ = ν/σ; e and ε evolve by shear production P,
-    buoyancy flux B, and dissipation:
-        ∂t e = P + B − ε + transport
-        ∂t ε = (ε/e)(C₁ P + C₃ B − C₂ ε) + transport
-    with the standard Launder-Spalding constants.
+    Reference-fidelity formulation:
+      - diffusivities κ(u,c,e,ε) = 𝕊 e★²/ε★ at (c,c,f) with the
+        ``VariableStabilityFunctions`` 𝕊(αᴺ, αᴹ) (realizability-clamped);
+      - dissipation floored by the stratified displacement scale
+        ℓst = Cᴺ √(e★/N²⁺): ε ≥ 𝕊u₀³ e★^{3/2} / min(Lz, ℓst)
+        (``StratifiedDisplacementScale``, ``minimum_dissipation``);
+      - sources split Patankar-style (``substep_tke_dissipation!``):
+        positive parts (P + wb⁺; ωϵ(Cᴾϵ P + [Cᵇϵ wb]⁺)) are explicit
+        tendencies, the destruction terms enter the vertically-implicit
+        solve as linear diagonal coefficients
+        Le = wb⁻/e − ωe, Lϵ = [Cᵇϵ wb]⁻/e★ − Cᵋϵ ωϵ
+        (``implicit_linear_coefficient``), with negative-TKE damping on
+        the ωe time scale.
     """
 
     time_discretization = VerticallyImplicitTimeDiscretization
     required_tracers = ("e", "eps")
 
-    def __init__(self, C_mu=0.09, C1=1.44, C2=1.92, C3_stable=-0.65,
-                 C3_unstable=1.44, sigma_k=1.0, sigma_e=1.3, Pr_t=1.0,
-                 minimum_tke=1e-9, minimum_eps=1e-12,
-                 minimum_kappa=1e-5, maximum_kappa=1.0):
-        self.C_mu = float(C_mu)
-        self.C1 = float(C1)
-        self.C2 = float(C2)
-        self.C3_stable = float(C3_stable)
-        self.C3_unstable = float(C3_unstable)
-        self.sigma_k = float(sigma_k)
-        self.sigma_e = float(sigma_e)
-        self.Pr_t = float(Pr_t)
+    def __init__(self, Ceps_eps=1.92, Cp_eps=1.44,
+                 Cb_eps_stable=-0.65, Cb_eps_unstable=-0.65,
+                 stability_functions=None,
+                 Cn_length=0.75, minimum_N2=1e-14,
+                 stratification_number_safety_factor=0.73,
+                 maximum_viscosity=float("inf"),
+                 maximum_tracer_diffusivity=float("inf"),
+                 maximum_tke_diffusivity=float("inf"),
+                 maximum_dissipation_diffusivity=float("inf"),
+                 minimum_tke=1e-6, minimum_eps=1e-12,
+                 negative_tke_damping_time_scale=60.0):
+        self.Ceps_eps = float(Ceps_eps)       # Cᵋϵ
+        self.Cp_eps = float(Cp_eps)           # Cᴾϵ
+        self.Cb_eps_stable = float(Cb_eps_stable)
+        self.Cb_eps_unstable = float(Cb_eps_unstable)
+        self.stability_functions = (stability_functions
+                                    or VariableStabilityFunctions())
+        self.Cn_length = float(Cn_length)     # StratifiedDisplacementScale
+        self.minimum_N2 = float(minimum_N2)
+        self.safety = float(stratification_number_safety_factor)
+        self.maximum_viscosity = float(maximum_viscosity)
+        self.maximum_tracer_diffusivity = float(maximum_tracer_diffusivity)
+        self.maximum_tke_diffusivity = float(maximum_tke_diffusivity)
+        self.maximum_dissipation_diffusivity = float(
+            maximum_dissipation_diffusivity)
         self.minimum_tke = float(minimum_tke)
         self.minimum_eps = float(minimum_eps)
-        self.minimum_kappa = float(minimum_kappa)
-        self.maximum_kappa = float(maximum_kappa)
+        self.neg_damping = float(negative_tke_damping_time_scale)
 
     def compute_diffusivities(self, grid, u, v, w, tracers, buoyancy):
         from oceananigans_tpu.buoyancy import buoyancy_frequency
-        e = jnp.maximum(iz_f(tracers["e"]), self.minimum_tke)
-        eps = jnp.maximum(iz_f(tracers["eps"]), self.minimum_eps)
-        nu = jnp.clip(self.C_mu * e * e / eps, self.minimum_kappa,
-                      self.maximum_kappa)
-        N2 = (buoyancy_frequency(grid, buoyancy, tracers)
-              if buoyancy is not None else jnp.zeros_like(e))
-        S2 = _shear_squared_ccf(grid, u, v)
-        return {"nu_z_ccf": nu,
-                "kappa_z_ccf": jnp.clip(nu / self.Pr_t, self.minimum_kappa,
-                                        self.maximum_kappa),
-                "e_ccf": e, "eps_ccf": eps, "N2_ccf": N2,
-                "P_ccf": nu * S2,
-                "B_ccf": -(nu / self.Pr_t) * N2}
+        sf = self.stability_functions
+        e_raw = tracers["e"]
+        eps_raw = tracers["eps"]
+        e_star = jnp.maximum(e_raw, self.minimum_tke)
+
+        N2_ccf = (buoyancy_frequency(grid, buoyancy, tracers)
+                  if buoyancy is not None else jnp.zeros_like(e_raw))
+        S2_ccf = _shear_squared_ccf(grid, u, v)
+
+        # stratified displacement dissipation floor (minimum_dissipation)
+        N2p_ccc = iz_c(jnp.maximum(N2_ccf, self.minimum_N2))
+        l_st = self.Cn_length * jnp.sqrt(e_star / N2p_ccc)
+        l_min = jnp.minimum(grid.Lz, l_st)
+        eps_floor = jnp.maximum(
+            self.minimum_eps, sf.Su0 ** 3 * e_star ** 1.5 / l_min)
+        eps_star = jnp.maximum(eps_raw, eps_floor)
+
+        # stability functions on the realizability-clamped numbers
+        tau2_ccf = iz_f((e_star / eps_star) ** 2)
+        aN_min = sf.minimum_stratification_number(self.safety)
+        aN = jnp.clip(tau2_ccf * N2_ccf, aN_min, 1e10)
+        aM = jnp.clip(tau2_ccf * S2_ccf, 0.0, sf.maximum_shear_number(aN))
+        Su, Sc = sf.momentum_and_tracer(aN, aM)
+
+        e2_over_eps = iz_f(e_star ** 2) / iz_f(eps_star)
+        ku = jnp.minimum(Su * e2_over_eps, self.maximum_viscosity)
+        kc = jnp.minimum(Sc * e2_over_eps,
+                         self.maximum_tracer_diffusivity)
+        ke = jnp.minimum(Su / sf.Csigma_e * e2_over_eps,
+                         self.maximum_tke_diffusivity)
+        keps = jnp.minimum(Su / sf.Csigma_eps * e2_over_eps,
+                           self.maximum_dissipation_diffusivity)
+
+        # source ingredients at centers (interior z-faces only)
+        mask = self._interior_faces_mask(grid)
+        P_ccc = iz_c(jnp.where(mask, ku * S2_ccf, 0.0))
+        wb_ccc = -iz_c(jnp.where(mask, kc * N2_ccf, 0.0))
+        omega_e = jnp.where(e_raw < 0, 1.0 / self.neg_damping,
+                            eps_star / e_star)
+        omega_eps = eps_raw / e_star
+        N2_ccc = iz_c(N2_ccf)
+        Cb = jnp.where(N2_ccc >= 0, self.Cb_eps_stable,
+                       self.Cb_eps_unstable)
+        Cb_wb = Cb * wb_ccc
+        wb_minus_over_e = jnp.where(
+            e_raw > self.minimum_tke,
+            jnp.minimum(wb_ccc, 0.0) / jnp.where(e_raw > self.minimum_tke,
+                                                 e_raw, 1.0), 0.0)
+
+        return {"nu_z_ccf": ku, "kappa_z_ccf": kc,
+                "kappa_e_ccf": ke, "kappa_eps_ccf": keps,
+                "P_ccc": P_ccc, "wb_ccc": wb_ccc,
+                "Le_ccc": wb_minus_over_e - omega_e,
+                "Leps_ccc": (jnp.minimum(Cb_wb, 0.0) / e_star
+                             - self.Ceps_eps * omega_eps),
+                "Ge_fast_ccc": P_ccc + jnp.maximum(wb_ccc, 0.0),
+                "Geps_fast_ccc": omega_eps * (self.Cp_eps * P_ccc
+                                              + jnp.maximum(Cb_wb, 0.0)),
+                "N2_ccf": N2_ccf}
 
     def momentum_flux_divergences(self, grid, u, v, w, tracers,
                                   diffusivities, include_implicit=True):
@@ -423,21 +558,12 @@ class TKEDissipationVerticalDiffusivity(AbstractClosure):
 
     def tracer_flux_divergence(self, grid, name, c, tracers, diffusivities,
                                include_implicit=True):
-        mask = self._interior_faces_mask(grid)
         if name == "e":
-            P = diffusivities["P_ccf"]
-            B = diffusivities["B_ccf"]
-            eps = diffusivities["eps_ccf"]
-            src = jnp.where(mask, P + B - eps, 0.0)
-            return iz_c(src)
+            # fast/positive sources only; destruction is in the linear
+            # implicit coefficient (reference substep_tke_dissipation!)
+            return diffusivities["Ge_fast_ccc"]
         if name == "eps":
-            e = diffusivities["e_ccf"]
-            eps = diffusivities["eps_ccf"]
-            P = diffusivities["P_ccf"]
-            B = diffusivities["B_ccf"]
-            C3 = jnp.where(B > 0, self.C3_unstable, self.C3_stable)
-            src = (eps / e) * (self.C1 * P + C3 * B - self.C2 * eps)
-            return iz_c(jnp.where(mask, src, 0.0))
+            return diffusivities["Geps_fast_ccc"]
         if not include_implicit:
             return jnp.zeros_like(c)
         kz = diffusivities["kappa_z_ccf"]
@@ -445,18 +571,29 @@ class TKEDissipationVerticalDiffusivity(AbstractClosure):
         zero = jnp.zeros_like(c)
         return _div_c_fluxes(grid, zero, zero, fz)
 
+    def implicit_linear_coefficient(self, grid, diffusivities, name):
+        """Diagonal L of ∂t q = L q + ..., solved implicitly along with
+        the vertical diffusion (reference
+        ``implicit_linear_coefficient``/``Le``/``Lϵ``)."""
+        if name == "e":
+            return diffusivities["Le_ccc"]
+        if name == "eps":
+            return diffusivities["Leps_ccc"]
+        return None
+
     def vertical_nu(self, grid, diffusivities):
         return diffusivities["nu_z_ccf"]
 
     def vertical_kappa(self, grid, diffusivities, name):
         if name == "e":
-            return diffusivities["nu_z_ccf"] / self.sigma_k
+            return diffusivities["kappa_e_ccf"]
         if name == "eps":
-            return diffusivities["nu_z_ccf"] / self.sigma_e
+            return diffusivities["kappa_eps_ccf"]
         return diffusivities["kappa_z_ccf"]
 
     def __repr__(self):
-        return f"TKEDissipationVerticalDiffusivity(Cμ={self.C_mu})"
+        return "TKEDissipationVerticalDiffusivity(k-epsilon, " \
+               "variable stability functions)"
 
 
 class LeithEnstrophyDiffusivity(AbstractClosure):

@@ -174,17 +174,18 @@ def test_gm_redi_operator_diffuses_along_isopycnals():
 
 
 def test_k_epsilon_convection():
-    """k-ε: an unstably-stratified column generates TKE and mixes."""
+    """k-ε: an unstably-stratified column generates TKE and mixes
+    (reference TKEDissipationVerticalDiffusivity: the stratified
+    displacement dissipation floor + stability functions bootstrap
+    shear-free convection from the TKE floor alone)."""
     from oceananigans_tpu.closures_ocean import (
         TKEDissipationVerticalDiffusivity,
     )
     grid = column_grid(Nz=32)
-    # minimum_kappa bootstraps the shear-free convective spin-up (pure
-    # convection has no shear production; e grows via the buoyancy flux)
     model = NonhydrostaticModel(
         grid=grid, advection=None, tracers=("b",),
         buoyancy=BuoyancyTracer(),
-        closure=TKEDissipationVerticalDiffusivity(minimum_kappa=1e-3))
+        closure=TKEDissipationVerticalDiffusivity())
     assert {"e", "eps"} <= set(model.tracer_names)
     state = model.initial_state(b=lambda x, y, z: -1e-5 * z,  # unstable
                                 e=1e-6, eps=1e-9)
@@ -198,6 +199,50 @@ def test_k_epsilon_convection():
     assert e1.max() > 1e-5                      # TKE generated
     assert np.var(b1) < 0.7 * np.var(b0)        # mixing happened
     np.testing.assert_allclose(b1.mean(), b0.mean(), rtol=1e-9)
+
+
+def test_k_epsilon_stability_function_constants():
+    """The derived Umlauf-Burchard constants match the reference's
+    documented values (tke_dissipation_stability_functions.jl: 𝕊u₀ is
+    computed from the log-layer equilibrium and ≈ 0.53; the free-
+    convection αᴺmin is negative)."""
+    from oceananigans_tpu.closures_ocean import VariableStabilityFunctions
+    sf = VariableStabilityFunctions()
+    np.testing.assert_allclose(sf.Su0, 0.533, atol=5e-3)
+    aN_min = sf.minimum_stratification_number(0.73)
+    assert -3.0 < aN_min < -1.5
+    # neutral log-layer: Su(aN=0, aM=aMmax-ish equilibrium) stays positive
+    # and bounded; clamps keep 𝕊 finite at the realizability edges
+    import jax.numpy as jnp
+    aN = jnp.asarray([aN_min, 0.0, 100.0])
+    aM = jnp.clip(jnp.asarray([0.0, 10.0, 1e6]), 0.0,
+                  sf.maximum_shear_number(aN))
+    Su, Sc = sf.momentum_and_tracer(aN, aM)
+    assert bool(jnp.all(jnp.isfinite(Su))) and bool(jnp.all(Su > 0))
+    assert bool(jnp.all(jnp.isfinite(Sc))) and bool(jnp.all(Sc > 0))
+
+
+def test_k_epsilon_stable_column_stays_quiet():
+    """A stably-stratified resting column must stay essentially
+    unmixed: the dissipation floor keeps diffusivities at background
+    levels (no spurious mixing — Umlauf & Burchard realizability)."""
+    from oceananigans_tpu.closures_ocean import (
+        TKEDissipationVerticalDiffusivity,
+    )
+    grid = column_grid(Nz=32)
+    model = NonhydrostaticModel(
+        grid=grid, advection=None, tracers=("b",),
+        buoyancy=BuoyancyTracer(),
+        closure=TKEDissipationVerticalDiffusivity())
+    state = model.initial_state(b=lambda x, y, z: 1e-5 * z,  # stable
+                                e=1e-6, eps=1e-9)
+    b0 = np.asarray(interior(grid, state.tracers["b"])).ravel()
+    step = jax.jit(lambda s: model.step(s, 60.0))
+    for _ in range(100):
+        state = step(state)
+    b1 = np.asarray(interior(grid, state.tracers["b"])).ravel()
+    # buoyancy profile essentially unchanged (kappa stays ~ floor level)
+    assert np.abs(b1 - b0).max() < 5e-3 * np.abs(b0).max()
 
 
 def test_dynamic_smagorinsky_runs():
