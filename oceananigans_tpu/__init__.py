@@ -72,7 +72,10 @@ from oceananigans_tpu.forcings import (
     MultipleForcings,
 )
 from oceananigans_tpu.models import NonhydrostaticModel
-from oceananigans_tpu.simulation import Simulation, Callback, TimeStepWizard
+from oceananigans_tpu.simulation import (
+    Callback, Simulation, TendencyCallsite, TimeStepCallsite,
+    TimeStepWizard, UpdateStateCallsite,
+)
 from oceananigans_tpu.utils.schedules import (
     TimeInterval, IterationInterval, WallTimeInterval, SpecifiedTimes,
     AveragedTimeInterval,

@@ -14,7 +14,8 @@ from oceananigans_tpu.fields import interior
 from oceananigans_tpu.grids.base import Face
 
 __all__ = ["AdvectiveCFL", "DiffusiveCFL", "CFL", "StateChecker",
-           "seawater_density"]
+           "seawater_density", "BoundaryAdjacentMean",
+           "boundary_adjacent_mean"]
 
 
 def seawater_density(model, state, temperature=None, salinity=None,
@@ -115,3 +116,45 @@ class StateChecker:
         lines = [f"{name}: min={mn:+.6e} max={mx:+.6e} mean={me:+.6e}"
                  for name, (mn, mx, me) in rows.items()]
         return "\n".join(lines)
+
+
+class BoundaryAdjacentMean:
+    """Area-weighted mean of a field over the interior plane adjacent to
+    one boundary side (reference ``src/Models/boundary_mean.jl``
+    ``BoundaryAdjacentMean``: the normal-area-weighted lateral mean used
+    to correct open-boundary matching schemes). Functional form: call
+    with (grid, field) and read ``.value``, or use the module function
+    ``boundary_adjacent_mean`` directly inside jit."""
+
+    def __init__(self, grid, side):
+        self.side = side
+        self.value = 0.0
+
+    def __call__(self, grid, field, loc=None):
+        self.value = boundary_adjacent_mean(grid, field, self.side,
+                                            loc=loc)
+        return self.value
+
+
+def boundary_adjacent_mean(grid, field, side, loc=None):
+    """Σ(q A_n)/Σ(A_n) over the first interior plane adjacent to
+    ``side`` ("west"/"east"/"south"/"north"/"bottom"/"top"), with A_n
+    the boundary-normal face area (``boundary_mean.jl``
+    ``boundary_normal_area``)."""
+    from oceananigans_tpu.grids.base import Center
+    axis = {"west": 0, "east": 0, "south": 1, "north": 1,
+            "bottom": 2, "top": 2}[side]
+    first = side in ("west", "south", "bottom")
+    sx, sy, sz = grid.interior_slices
+    sl = [sx, sy, sz]
+    H, N = grid.H[axis], grid.N[axis]
+    sl[axis] = slice(H, H + 1) if first else slice(H + N - 1, H + N)
+    if axis == 0:
+        A = grid.Ax(Face, Center, Center)
+    elif axis == 1:
+        A = grid.Ay(Center, Face, Center)
+    else:
+        A = grid.Az(Center, Center)
+    A = jnp.broadcast_to(A, grid.shape)[tuple(sl)]
+    q = field[tuple(sl)]
+    return jnp.sum(q * A) / jnp.sum(A)

@@ -1012,6 +1012,12 @@ class HydrostaticFreeSurfaceModel:
             Gtracers = self.biogeochemistry.update_tendencies(
                 g, Gtracers, time, fields)
 
+        for hook in getattr(self, "tendency_callbacks", ()):
+            G = {"u": Gu, "v": Gv, **Gtracers}
+            G = hook(g, state, G)
+            Gu, Gv = G["u"], G["v"]
+            Gtracers = {n: G[n] for n in Gtracers}
+
         return Gu, Gv, Gtracers, diffusivities
 
     # ------------------------------------------------------------------

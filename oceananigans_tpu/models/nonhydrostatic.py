@@ -202,6 +202,11 @@ class NonhydrostaticModel:
                 rest, name, self.locations[name])
 
         self.pressure_solver = make_pressure_solver(grid)
+        # TendencyCallsite hooks: pure (grid, state, {name: G}) -> {name:
+        # G} functions traced into compute_tendencies (the functional
+        # analog of the reference's Gⁿ-mutating callbacks; wired by
+        # Simulation for Callback(callsite=TendencyCallsite))
+        self.tendency_callbacks = ()
 
         # fused Pallas tendency kernels (auto on TPU; validated against
         # the XLA path — bitwise for Centered(2), <= ~2e-7 relative for
@@ -515,6 +520,12 @@ class NonhydrostaticModel:
         if self.biogeochemistry is not None:
             Gtracers = self.biogeochemistry.update_tendencies(
                 g, Gtracers, time, fields)
+
+        for hook in getattr(self, "tendency_callbacks", ()):
+            G = {"u": Gu, "v": Gv, "w": Gw, **Gtracers}
+            G = hook(g, state, G)
+            Gu, Gv, Gw = G["u"], G["v"], G["w"]
+            Gtracers = {n: G[n] for n in Gtracers}
 
         return Gu, Gv, Gw, Gtracers, diffusivities
 

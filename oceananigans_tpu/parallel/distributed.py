@@ -114,6 +114,14 @@ def sharded_step_fn(model, dist: Distributed, dt):
     """A jitted step with sharding constraints pinned on inputs/outputs so
     XLA partitions the whole step over the mesh."""
     dist.validate_grid(model.grid)
+    if getattr(model, "fused_kernels", False):
+        # Pallas custom-calls are opaque to GSPMD: the partitioner would
+        # replicate them (full-gathering every operand onto every
+        # device). The XLA whole-array path partitions cleanly, so the
+        # distributed step always uses it.
+        import copy
+        model = copy.copy(model)
+        model.fused_kernels = False
     fs = dist.field_sharding()
 
     def constrained(state):

@@ -30,12 +30,31 @@ from oceananigans_tpu.utils.pretty import prettytime
 __all__ = ["Simulation", "Callback", "TimeStepWizard"]
 
 
-class Callback:
-    """func(simulation) on a schedule (reference ``callback.jl:7``)."""
+# callback callsites (reference src/Oceananigans.jl:186-188):
+#   TimeStepCallsite   — after a completed time step (host-side)
+#   UpdateStateCallsite — right after the state update / halo fill,
+#                         before the time-step callbacks and writers
+#                         (host-side; also fired once at initialize)
+#   TendencyCallsite   — inside the compiled step: the callback is a PURE
+#                        function (grid, state, {name: G}) -> {name: G}
+#                        traced into compute_tendencies (the functional
+#                        analog of mutating model.timestepper.Gⁿ; its
+#                        schedule is ignored — it runs every step)
+TimeStepCallsite = "time_step"
+TendencyCallsite = "tendency"
+UpdateStateCallsite = "update_state"
 
-    def __init__(self, func, schedule=None):
+
+class Callback:
+    """func(simulation) on a schedule (reference ``callback.jl:7``);
+    ``callsite`` is one of ``TimeStepCallsite`` (default),
+    ``UpdateStateCallsite``, or ``TendencyCallsite`` (see the constants
+    above for the TPU-native semantics of each)."""
+
+    def __init__(self, func, schedule=None, callsite=TimeStepCallsite):
         self.func = func
         self.schedule = schedule or IterationInterval(1)
+        self.callsite = callsite
 
     def __call__(self, sim):
         return self.func(sim)
@@ -192,9 +211,34 @@ class Simulation:
         return n, dt
 
     # ------------------------------------------------------------------
+    def _host_callbacks(self):
+        """(update_state, time_step) host-side callbacks, in callsite
+        order; TendencyCallsite callbacks are traced into the step, not
+        fired from the host."""
+        upd = [cb for cb in self.callbacks.values()
+               if getattr(cb, "callsite", TimeStepCallsite)
+               == UpdateStateCallsite]
+        ts = [cb for cb in self.callbacks.values()
+              if getattr(cb, "callsite", TimeStepCallsite)
+              not in (UpdateStateCallsite, TendencyCallsite)]
+        return upd, ts
+
+    def _wire_tendency_callbacks(self):
+        """Attach TendencyCallsite callbacks to the model as pure traced
+        hooks (grid, state, {name: G}) -> {name: G} — the functional
+        analog of the reference's Gⁿ-mutating callbacks."""
+        funcs = tuple(cb.func for cb in self.callbacks.values()
+                      if getattr(cb, "callsite", None) == TendencyCallsite)
+        if funcs and funcs != getattr(self.model, "tendency_callbacks",
+                                      ()):
+            self.model.tendency_callbacks = funcs
+            self._stepn_cache = {}
+
     def initialize(self):
         """Actuate everything once at iteration 0 (reference run.jl:203-252)."""
-        for cb in self.callbacks.values():
+        self._wire_tendency_callbacks()
+        upd, ts = self._host_callbacks()
+        for cb in upd + ts:
             cb.schedule.initialize(self.state.clock)
             if cb.schedule.actuates(self.state.clock):
                 cb(self)
@@ -250,7 +294,8 @@ class Simulation:
                                             jnp.asarray(dt))
             self.run_wall_time += _time.monotonic() - t0
 
-            for cb in self.callbacks.values():
+            upd, ts = self._host_callbacks()
+            for cb in upd + ts:
                 if cb.schedule.actuates(self.state.clock):
                     cb(self)
             for w in self.output_writers.values():

@@ -228,3 +228,55 @@ def test_step_timer_and_trace(tmp_path):
         sim.run()
     assert any("ms/step" in ln for ln in lines)
     assert os.listdir(tmp_path / "trace")
+
+
+def test_callback_callsites():
+    """Callback callsites (reference src/Oceananigans.jl:186-188 +
+    callback.jl): UpdateStateCallsite fires before TimeStepCallsite
+    callbacks; a TendencyCallsite callback is traced into the step as a
+    pure G-dict transform."""
+    from oceananigans_tpu import (
+        TendencyCallsite, TimeStepCallsite, UpdateStateCallsite,
+    )
+
+    order = []
+    model = small_model()
+
+    def add_c_source(grid, state, G):
+        G = dict(G)
+        G["c"] = G["c"] + 1e-3
+        return G
+
+    sim = Simulation(model, dt=0.01, stop_iteration=4)
+    sim.callbacks["upd"] = Callback(lambda s: order.append("upd"),
+                                    IterationInterval(1),
+                                    callsite=UpdateStateCallsite)
+    sim.callbacks["ts"] = Callback(lambda s: order.append("ts"),
+                                   IterationInterval(1),
+                                   callsite=TimeStepCallsite)
+    sim.callbacks["tend"] = Callback(add_c_source,
+                                     callsite=TendencyCallsite)
+    state0 = sim.state
+    c0 = float(jnp.mean(interior(model.grid, state0.tracers["c"])))
+    sim.run()
+    # ordering within each actuation: update_state before time_step
+    pairs = [order[i:i + 2] for i in range(0, len(order), 2)]
+    assert all(p == ["upd", "ts"] for p in pairs if len(p) == 2)
+    # the traced tendency source injected c at 1e-3 per unit time
+    c1 = float(jnp.mean(interior(model.grid, sim.state.tracers["c"])))
+    t1 = float(sim.state.clock.time)
+    np.testing.assert_allclose(c1 - c0, 1e-3 * t1, rtol=1e-5)
+
+
+def test_boundary_adjacent_mean_diagnostic():
+    from oceananigans_tpu.diagnostics import boundary_adjacent_mean
+    from oceananigans_tpu.fields import set_field
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(3.0, 4.0, 5.0),
+                           topology=(Periodic, Periodic, Bounded))
+    c = set_field(grid, lambda x, y, z: jnp.sin(2 * jnp.pi * y / 4.0))
+    m = boundary_adjacent_mean(grid, c, "east")
+    assert abs(float(m)) < 1e-7
+    c2 = set_field(grid, lambda x, y, z: z)
+    np.testing.assert_allclose(float(boundary_adjacent_mean(grid, c2,
+                                                            "top")),
+                               -5.0 / 16, rtol=1e-6)
