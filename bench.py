@@ -31,10 +31,10 @@ BASELINE_PTS_PER_S = 256 ** 3 / 56.4e-3   # V100 Float64, benchmarks.md:107
 def main():
     N = int(os.environ.get("BENCH_N", "256"))
     # the axon tunnel charges ~50 ms of fixed dispatch+fetch latency per
-    # jitted call regardless of work; 50 steps per dispatch window
-    # amortizes that to ~1 ms/step (a real deployment pays it once per
+    # jitted call regardless of work; 150 steps per dispatch window
+    # amortizes that to ~0.3 ms/step (a real deployment pays it once per
     # output interval, not per step)
-    inner = int(os.environ.get("BENCH_INNER", "50"))
+    inner = int(os.environ.get("BENCH_INNER", "150"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     # TPU-native axis layout: the bounded (vertical) axis leads, the two

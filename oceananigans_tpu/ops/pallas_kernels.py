@@ -164,11 +164,11 @@ def centered2_momentum_tendency(grid, u, v, w, tile_x=None,
         raise ValueError("halo-free periodic axis 2 must be a multiple "
                          "of 128")
     if tile_x is None:
-        # pick the largest tile whose scratch + output blocks fit in the
-        # 15 MB scoped-vmem stack; Mosaic's temporaries (roll buffers
-        # etc.) cost ~3.7x the declared windows, so budget ~4 MB of
-        # declared blocks (256-cubed full-plane slabs land on TX=1)
-        budget = 4 * 1024 * 1024
+        # largest tile whose declared scratch + output blocks stay well
+        # inside the chip's VMEM (measured on v5e at 256³: TX=8 beats
+        # TX=1 — bigger slabs amortize the per-program DMA and window
+        # overlap)
+        budget = 48 * 1024 * 1024
         tile_x = 8
         while tile_x > 1 and (3 * (tile_x + 2) + 3 * tile_x) \
                 * ny * nz * u.dtype.itemsize > budget:
@@ -205,7 +205,7 @@ def centered2_momentum_tendency(grid, u, v, w, tile_x=None,
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(2 * vmem_bytes, 128 * 1024 * 1024)),
+            vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(u, v, w)
 

@@ -234,10 +234,10 @@ def weno5_momentum_tendency(grid, u, v, w, epsilon=1e-8, tile_x=None,
         raise ValueError("halo-free periodic axis 2 must be a multiple "
                          "of 128")
     if tile_x is None:
-        # WENO's live intermediate set is much larger than Centered(2)'s:
-        # budget ~2 MB of declared window blocks (auto-shrinks further on
-        # small grids where the slab plane is narrow)
-        budget = 2 * 1024 * 1024
+        # largest tile whose declared blocks stay well inside VMEM
+        # (measured on v5e at 256³: TX=8 is fastest — bigger slabs
+        # amortize the per-program DMA and the (TX+6)/TX window overlap)
+        budget = 48 * 1024 * 1024
         tile_x = 8
         while tile_x > 1 and (3 * (tile_x + 2 * H) + 3 * tile_x) \
                 * ny * nz * u.dtype.itemsize > budget:
@@ -357,7 +357,7 @@ def weno5_tracer_tendencies(grid, u, v, w, tracers, epsilon=1e-8,
         raise ValueError("halo-free periodic axis 2 must be a multiple "
                          "of 128")
     if tile_x is None:
-        budget = 2 * 1024 * 1024
+        budget = 48 * 1024 * 1024
         tile_x = 8
         while tile_x > 1 and ((3 + NT) * (tile_x + 2 * H) + NT * tile_x) \
                 * ny * nz * u.dtype.itemsize > budget:
