@@ -311,7 +311,8 @@ class DistributedStep:
                         time=state.clock.time + final_time_shift * dt,
                         iteration=state.clock.iteration + 1,
                         last_dt=jnp.asarray(dt, state.clock.time.dtype)
-                        + jnp.zeros_like(state.clock.last_dt))
+                        + jnp.zeros_like(state.clock.last_dt),
+                        epoch=state.clock.epoch)
                     state = _replace(state, clock=clock)
                     state = lmodel.fill_state_halos(state)
                 return state

@@ -26,26 +26,48 @@ __all__ = ["Clock", "RK3_STAGES", "ab2_coefficients", "tick"]
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Clock:
-    """Traced time/iteration/stage (reference ``clock.jl:16``)."""
+    """Traced time/iteration/stage (reference ``clock.jl:16``).
+
+    DateTime-capable (reference ``clock.jl`` supports ``time::DateTime``):
+    the TPU-native form keeps the traced device scalar in SECONDS and
+    carries the calendar origin as static pytree metadata (``epoch``, a
+    ``datetime.datetime`` or None) — the compiled step never touches
+    calendar arithmetic. Construct with ``Clock.start(datetime(...))``
+    and read ``clock.date``."""
     time: jnp.ndarray
     iteration: jnp.ndarray
     last_dt: jnp.ndarray
+    epoch: object = dataclasses.field(default=None,
+                                      metadata=dict(static=True))
 
     @classmethod
-    def start(cls, time=0.0, dtype=jnp.float64):
+    def start(cls, time=0.0, dtype=jnp.float64, epoch=None):
+        import datetime as _dt
+        if isinstance(time, _dt.datetime):
+            epoch, time = time, 0.0
         try:
             t = jnp.asarray(time, dtype)
         except TypeError:
             t = jnp.asarray(time, jnp.float32)
         return cls(time=t, iteration=jnp.asarray(0, jnp.int32),
-                   last_dt=jnp.zeros_like(t))
+                   last_dt=jnp.zeros_like(t), epoch=epoch)
+
+    @property
+    def date(self):
+        """Calendar time ``epoch + time`` seconds (host-side; None when
+        the clock has no epoch). Reference ``float_or_date_time``."""
+        if self.epoch is None:
+            return None
+        import datetime as _dt
+        return self.epoch + _dt.timedelta(seconds=float(self.time))
 
 
 def tick(clock: Clock, dt) -> Clock:
     return Clock(time=clock.time + dt,
                  iteration=clock.iteration + 1,
                  last_dt=jnp.asarray(dt, clock.time.dtype)
-                 + jnp.zeros_like(clock.last_dt))
+                 + jnp.zeros_like(clock.last_dt),
+                 epoch=clock.epoch)
 
 
 #: low-storage Wray RK3 (γⁿ, ζⁿ) per stage (reference

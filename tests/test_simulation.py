@@ -280,3 +280,22 @@ def test_boundary_adjacent_mean_diagnostic():
     np.testing.assert_allclose(float(boundary_adjacent_mean(grid, c2,
                                                             "top")),
                                -5.0 / 16, rtol=1e-6)
+
+
+def test_datetime_clock():
+    """DateTime-capable clock (reference clock.jl time::DateTime): the
+    traced scalar stays in seconds; the calendar origin is static pytree
+    metadata surviving jit."""
+    import datetime
+    import jax
+    model = small_model()
+    t0 = datetime.datetime(2021, 3, 1, 12, 0, 0)
+    state = model.initial_state(time=t0,
+                                u=lambda x, y, z: 0.01 * jnp.sin(x))
+    step = jax.jit(lambda s: model.step(s, 30.0))
+    for _ in range(3):
+        state = step(state)
+    assert state.clock.date == t0 + datetime.timedelta(seconds=90)
+    # epoch-less clocks report no date
+    s2 = model.initial_state()
+    assert s2.clock.date is None
