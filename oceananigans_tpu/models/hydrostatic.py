@@ -444,7 +444,13 @@ class ImplicitFreeSurface:
     """
 
     def __init__(self, gravitational_acceleration=g_Earth,
-                 solver_method="fft", maxiter=200, reltol=1e-9):
+                 solver_method="fft", maxiter=200, reltol=1e-9,
+                 preconditioner="jacobi"):
+        """``preconditioner`` (matrix method): "jacobi" or "spai"/int —
+        the Neumann-polynomial stencil approximate inverse (TPU-native
+        analog of the reference's SPAI option,
+        ``sparse_approximate_inverse.jl``; see
+        ``solvers/matrix_solver.py``)."""
         self.g = float(gravitational_acceleration)
         if solver_method not in ("fft", "cg", "matrix"):
             raise ValueError(f"unknown solver_method {solver_method!r} "
@@ -452,13 +458,17 @@ class ImplicitFreeSurface:
         self.solver_method = solver_method
         self.maxiter = maxiter
         self.reltol = reltol
+        self.preconditioner = preconditioner
 
     def __eq__(self, other):
         return (type(self) is type(other) and self.g == other.g
-                and self.solver_method == other.solver_method)
+                and self.solver_method == other.solver_method
+                and getattr(self, "preconditioner", "jacobi")
+                == getattr(other, "preconditioner", "jacobi"))
 
     def __hash__(self):
-        return hash(("ImplicitFS", self.g, self.solver_method))
+        return hash(("ImplicitFS", self.g, self.solver_method,
+                     str(self.preconditioner)))
 
     def __repr__(self):
         return (f"ImplicitFreeSurface(g={self.g:g}, "
@@ -1235,7 +1245,8 @@ class HydrostaticFreeSurfaceModel:
         A = StencilMatrix(ax=ax, ay=ay, extra=-Az / (dt * dt),
                           periodic=(per_x, per_y, False))
         solver = HeptadiagonalIterativeSolver(
-            A, maxiter=fs.maxiter, reltol=fs.reltol)
+            A, maxiter=fs.maxiter, reltol=fs.reltol,
+            preconditioner=getattr(fs, "preconditioner", "jacobi"))
         x, _, _ = solver.solve(Az * rhs[sx, sy, :])
         return jnp.zeros_like(state.eta).at[sx, sy, :].set(
             x.astype(state.eta.dtype))

@@ -80,22 +80,50 @@ class StencilMatrix:
 
 
 class HeptadiagonalIterativeSolver:
-    """Jacobi-preconditioned CG on a :class:`StencilMatrix` (reference
-    ``heptadiagonal_iterative_solver.jl`` with its diagonal/SPAI
-    preconditioning collapsed to the inverse diagonal)."""
+    """Preconditioned CG on a :class:`StencilMatrix` (reference
+    ``heptadiagonal_iterative_solver.jl``).
 
-    def __init__(self, matrix: StencilMatrix, maxiter=500, reltol=1e-10):
+    ``preconditioner``:
+      - ``"jacobi"`` — inverse diagonal (the reference's default-strength
+        choice);
+      - ``"spai"`` (or an int polynomial degree k >= 1) — truncated
+        Neumann-series approximate inverse
+        M = (I + N + ... + N^k) D⁻¹ with N = I − D⁻¹A: the TPU-native
+        analog of the reference's sparse approximate inverse
+        (``sparse_approximate_inverse.jl`` builds an explicit sparse
+        M ≈ A⁻¹ applied as a sparse matvec; here the approximate inverse
+        is applied as k extra dense-stencil matvecs, which is the form
+        the VPU vectorizes — no sparse gather/scatter). Symmetric, and
+        positive-definite for the diagonally-dominant conductance
+        stencils this solver sees, so CG theory still applies.
+        ``"spai"`` uses k = 2; an ILU analog is deliberately absent
+        (triangular solves serialize — wrong shape for the hardware).
+    """
+
+    def __init__(self, matrix: StencilMatrix, maxiter=500, reltol=1e-10,
+                 preconditioner="jacobi"):
         self.matrix = matrix
         self.maxiter = maxiter
         self.reltol = reltol
         d = matrix.diagonal()
         self._inv_diag = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d),
                                    0.0)
+        if preconditioner == "spai":
+            preconditioner = 2
+        self._poly_degree = (int(preconditioner)
+                             if not isinstance(preconditioner, str) else 0)
+
+    def _precondition(self, r):
+        y = r * self._inv_diag
+        for _ in range(self._poly_degree):
+            # y <- D⁻¹ r + (I − D⁻¹A) y  (Horner form of Σ N^j D⁻¹ r)
+            y = r * self._inv_diag + y - self.matrix(y) * self._inv_diag
+        return y
 
     def solve(self, b, x0=None):
         x0 = jnp.zeros_like(b) if x0 is None else x0
         x, it, res = conjugate_gradient(
             self.matrix, b, x0,
-            preconditioner=lambda r: r * self._inv_diag,
+            preconditioner=self._precondition,
             maxiter=self.maxiter, reltol=self.reltol)
         return x, it, res

@@ -60,3 +60,25 @@ def test_matrix_free_surface_latlon():
     e_cg = _run("cg", grid)
     e_mx = _run("matrix", grid)
     assert np.abs(e_mx - e_cg).max() < 1e-13
+
+
+def test_spai_preconditioner_reduces_iterations():
+    """The Neumann-polynomial stencil approximate inverse (reference
+    SPAI option, sparse_approximate_inverse.jl) must converge in fewer
+    CG iterations than Jacobi on an anisotropic conductance problem."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    nx, ny = 48, 48
+    ax = jnp.asarray(1.0 + 0.5 * rng.random((nx, ny, 1)))
+    ay = 30.0 * jnp.asarray(1.0 + 0.5 * rng.random((nx, ny, 1)))
+    A = StencilMatrix(ax=ax, ay=ay, extra=-0.3,
+                      periodic=(True, True, False))
+    b = jnp.asarray(rng.standard_normal((nx, ny, 1)))
+    x_j, it_j, res_j = HeptadiagonalIterativeSolver(
+        A, maxiter=500, reltol=1e-10).solve(b)
+    x_s, it_s, res_s = HeptadiagonalIterativeSolver(
+        A, maxiter=500, reltol=1e-10, preconditioner="spai").solve(b)
+    # both converge to the same solution
+    np.testing.assert_allclose(np.asarray(A(x_s)), np.asarray(b),
+                               atol=1e-6 * float(jnp.abs(b).max()))
+    assert int(it_s) < int(it_j), (int(it_s), int(it_j))
