@@ -66,10 +66,15 @@ def main():
         * jnp.sin(6 * np.pi * y))
     dt = jnp.float32(1e-4)
 
+    # the same window pattern Simulation.run dispatches: one defensive
+    # halo fill at window entry, then assume_filled steps (each step ends
+    # with a fill, so the leading fills of steps 2..n are redundant)
     @partial(jax.jit, donate_argnums=0)
     def multi_step(s):
-        return jax.lax.fori_loop(0, inner, lambda i, s_: model.step(s_, dt),
-                                 s)
+        s = model.fill_state_halos(s)
+        return jax.lax.fori_loop(
+            0, inner, lambda i, s_: model.step(s_, dt, assume_filled=True),
+            s)
 
     # warm-up/compile; if the fused kernel fails to compile in this
     # environment, fall back to the plain XLA path (bench must not die)
@@ -77,6 +82,8 @@ def main():
         state = jax.block_until_ready(multi_step(state))
     except Exception:
         model = build(False)
+        if hasattr(model.pressure_solver, "fused"):
+            model.pressure_solver.fused = False
         state = model.initial_state(
             u=lambda x, y, z: 0.01 * jnp.sin(8 * np.pi * x)
             * jnp.cos(6 * np.pi * y) * jnp.cos(2 * np.pi * z),
@@ -85,8 +92,10 @@ def main():
 
         @partial(jax.jit, donate_argnums=0)
         def multi_step(s):
-            return jax.lax.fori_loop(0, inner,
-                                     lambda i, s_: model.step(s_, dt), s)
+            s = model.fill_state_halos(s)
+            return jax.lax.fori_loop(
+                0, inner,
+                lambda i, s_: model.step(s_, dt, assume_filled=True), s)
 
         state = jax.block_until_ready(multi_step(state))
 

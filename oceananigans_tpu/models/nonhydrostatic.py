@@ -232,6 +232,14 @@ class NonhydrostaticModel:
         else:
             self.fused_kernels = (kernel if bool(fused_kernels)
                                   and kernel is not None else False)
+        # fused pressure-correction kernel: scheme-independent, so it
+        # engages whenever the layout allows, on the same auto gate
+        from oceananigans_tpu.ops.pallas_kernels import correction_available
+        import jax as _jax
+        self.fused_correction = (
+            correction_available(grid)
+            and _jax.default_backend() != "cpu"
+            and (fused_kernels == "auto" or bool(fused_kernels)))
 
     # -- pytree protocol: grid is a child, config is aux ------------------
     def tree_flatten(self):
@@ -435,9 +443,9 @@ class NonhydrostaticModel:
 
         # boundary fluxes into tendencies (reference apply_flux_bcs!,
         # compute_nonhydrostatic_tendencies.jl:202-208)
-        Gu = apply_flux_bcs(Gu, g, self.bcs["u"], LOC_U, time)
-        Gv = apply_flux_bcs(Gv, g, self.bcs["v"], LOC_V, time)
-        Gw = apply_flux_bcs(Gw, g, self.bcs["w"], LOC_W, time)
+        Gu = apply_flux_bcs(Gu, g, self.bcs["u"], LOC_U, time, fields)
+        Gv = apply_flux_bcs(Gv, g, self.bcs["v"], LOC_V, time, fields)
+        Gw = apply_flux_bcs(Gw, g, self.bcs["w"], LOC_W, time, fields)
 
         if self.immersed_bcs:
             from oceananigans_tpu.immersed import immersed_flux_divergence
@@ -507,7 +515,7 @@ class NonhydrostaticModel:
             f = self.forcings[name]
             if f is not None:
                 Gc = Gc + f(g, time, fields)
-            Gc = apply_flux_bcs(Gc, g, self.bcs[name], LOC_C, time)
+            Gc = apply_flux_bcs(Gc, g, self.bcs[name], LOC_C, time, fields)
             ib = self.immersed_bcs.get(name)
             if ib is not None:
                 from oceananigans_tpu.immersed import (
@@ -542,6 +550,14 @@ class NonhydrostaticModel:
         sx, sy, sz = g.interior_slices
         p = p.at[sx, sy, sz].set(phi_int)
         p = fill_halo_regions(p, g, self.pressure_bcs, LOC_C)
+        if getattr(self, "fused_correction", False):
+            # one Pallas pass: read p/u/v/w once, write u/v/w once
+            from oceananigans_tpu.ops.pallas_kernels import (
+                pressure_correction,
+            )
+            u, v, w = pressure_correction(g, p, state.u, state.v, state.w,
+                                          dt)
+            return _replace(state, u=u, v=v, w=w, pressure=p)
         gx = ddx_f(g, p, Center)
         gy = ddy_f(g, p, Center)
         gz = ddz_f(g, p)
@@ -569,13 +585,20 @@ class NonhydrostaticModel:
     # ---------------------------------------------------------------------
     # Steps
     # ---------------------------------------------------------------------
-    def step(self, state, dt):
-        """One full time step (pure; jit me)."""
+    def step(self, state, dt, assume_filled=False):
+        """One full time step (pure; jit me).
+
+        ``assume_filled=True`` skips the leading halo fill: every step
+        ENDS with a halo fill, so inside a multi-step window the leading
+        fill of steps 2..n re-fills already-consistent halos (the clock
+        time it would fill at is the same time the previous step's
+        trailing fill used). ``Simulation`` fills once at window entry
+        and passes ``assume_filled=True`` to the loop body."""
         dt = jnp.asarray(dt, state.u.dtype)
         if self.timestepper == "RungeKutta3":
-            state = self.rk3_step(state, dt)
+            state = self.rk3_step(state, dt, assume_filled=assume_filled)
         elif self.timestepper == "QuasiAdamsBashforth2":
-            state = self.ab2_step(state, dt)
+            state = self.ab2_step(state, dt, assume_filled=assume_filled)
         else:
             raise ValueError(f"unknown timestepper {self.timestepper!r}")
         # Lagrangian particles advect at the end of the step (reference
@@ -587,7 +610,7 @@ class NonhydrostaticModel:
             state = _replace(state, particles=parts)
         return state
 
-    def rk3_step(self, state, dt):
+    def rk3_step(self, state, dt, assume_filled=False):
         """3-stage Wray RK3 with per-stage projection (reference
         ``runge_kutta_3.jl:56-132``)."""
         Gu_prev, Gv_prev, Gw_prev = state.Gu, state.Gv, state.Gw
@@ -599,7 +622,8 @@ class NonhydrostaticModel:
             stage_clock = dataclasses.replace(
                 state.clock, time=t0 + stage_frac * dt)
             state = _replace(state, clock=stage_clock)
-            state = self.fill_state_halos(state)
+            if stage > 0 or not assume_filled:
+                state = self.fill_state_halos(state)
             Gu, Gv, Gw, Gt, diffusivities = self.compute_tendencies(state)
             stage_frac += gamma + zeta
             stage_dt = dt * (gamma + zeta)
@@ -622,10 +646,11 @@ class NonhydrostaticModel:
                                                         time=t0), dt))
         return self.fill_state_halos(state)
 
-    def ab2_step(self, state, dt, chi=0.1):
+    def ab2_step(self, state, dt, chi=0.1, assume_filled=False):
         """Quasi-AB2 with branch-free Euler first step (reference
         ``quasi_adams_bashforth_2.jl:74-175``)."""
-        state = self.fill_state_halos(state)
+        if not assume_filled:
+            state = self.fill_state_halos(state)
         Gu, Gv, Gw, Gt, diffusivities = self.compute_tendencies(state)
         c_now, c_prev = ab2_coefficients(state.clock.iteration, chi)
         u = state.u + dt * (c_now * Gu + c_prev * state.Gu)

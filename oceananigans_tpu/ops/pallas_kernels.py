@@ -26,7 +26,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["centered2_momentum_tendency", "pallas_available"]
+__all__ = ["centered2_momentum_tendency", "pallas_available",
+           "pressure_correction", "correction_available"]
 
 
 def pallas_available(grid, advection) -> bool:
@@ -142,6 +143,118 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, gw_ref,
     fzy = vbar_w * wybar
     gw = gw - (yp(fzy) - fzy) * inv_dy
     gw_ref[:] = gw
+
+
+def correction_available(grid) -> bool:
+    """True when the fused pressure-correction kernel applies: the same
+    layout constraints as the tendency kernel (regular rectilinear,
+    halo >= 1 on the slab axis, rollable y/z axes), minus the advection-
+    scheme requirement — the correction stencil is scheme-independent."""
+    from oceananigans_tpu.grids.base import Periodic as _P
+    from oceananigans_tpu.grids.rectilinear import RectilinearGrid
+    if not (type(grid) is RectilinearGrid and grid.regular):
+        return False
+    if grid.H[0] < 1:
+        return False
+    for axis, tile in ((1, 8), (2, 128)):
+        if grid.N[axis] <= 1 or grid.H[axis] >= 1:
+            continue
+        n_tot = grid.N[axis] + 2 * grid.H[axis]
+        if grid.axis_topo(axis) != _P or n_tot % tile:
+            return False
+    return all(n > 1 for n in grid.N)
+
+
+def _corr_kernel(dt_ref, p_hbm, u_hbm, v_hbm, w_hbm,
+                 u_ref, v_ref, w_ref, p_s, u_s, v_s, w_s, sems,
+                 *, TX, inv_dx, inv_dy, inv_dz):
+    i = pl.program_id(0)
+    x0 = i * TX
+
+    cps = []
+    for src, dst, s, lo, n in ((p_hbm, p_s, 0, x0, TX + 1),
+                               (u_hbm, u_s, 1, x0 + 1, TX),
+                               (v_hbm, v_s, 2, x0 + 1, TX),
+                               (w_hbm, w_s, 3, x0 + 1, TX)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(lo, n)], dst, sems.at[s])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    dt = dt_ref[0]
+    p = p_s[:]
+    p_c = p[1:TX + 1]
+    gx = (p_c - p[0:TX]) * inv_dx
+    # y/z differences via rolls (wrap junk lands in halo rows, or IS the
+    # periodic boundary on halo-free periodic axes)
+    gy = (p_c - pltpu.roll(p_c, 1, 1)) * inv_dy
+    gz = (p_c - pltpu.roll(p_c, 1, 2)) * inv_dz
+    u_ref[:] = u_s[:] - dt * gx
+    v_ref[:] = v_s[:] - dt * gy
+    w_ref[:] = w_s[:] - dt * gz
+
+
+def pressure_correction(grid, p, u, v, w, dt, tile_x=8, interpret=False):
+    """(u, v, w) -= dt * grad(p) fused in one Pallas pass: read p (with
+    its x-halo window) and u, v, w once, write the corrected velocities
+    once. ``p`` is the full halo-extended pressure with halos already
+    filled. Output halo rows are junk (the caller's next halo fill
+    overwrites them). Replaces three XLA gradient+update passes
+    (reference ``pressure_correction.jl`` `_pressure_correct_velocities!`)."""
+    nx, ny0, nz0 = u.shape
+    ny = -(-ny0 // 8) * 8
+    nz = -(-nz0 // 128) * 128
+    if grid.H[1] == 0 and ny != ny0:
+        raise ValueError("halo-free periodic axis 1 must be a multiple "
+                         "of 8")
+    if grid.H[2] == 0 and nz != nz0:
+        raise ValueError("halo-free periodic axis 2 must be a multiple "
+                         "of 128")
+    if (ny, nz) != (ny0, nz0):
+        pad = ((0, 0), (0, ny - ny0), (0, nz - nz0))
+        p = jnp.pad(p, pad)
+        u = jnp.pad(u, pad)
+        v = jnp.pad(v, pad)
+        w = jnp.pad(w, pad)
+    TX = tile_x
+    while TX > 1 and (nx - 2) % TX:
+        TX //= 2
+    gx = (nx - 2) // TX
+    inv_dx = float(grid.Nx / grid.Lx) if grid.N[0] > 1 else 0.0
+    inv_dy = float(grid.Ny / grid.Ly) if grid.N[1] > 1 else 0.0
+    inv_dz = float(grid.Nz / grid.Lz) if grid.N[2] > 1 else 0.0
+
+    kern = partial(_corr_kernel, TX=TX, inv_dx=inv_dx, inv_dy=inv_dy,
+                   inv_dz=inv_dz)
+    out_shape = [jax.ShapeDtypeStruct((gx * TX, ny, nz), u.dtype)] * 3
+    out_spec = pl.BlockSpec((TX, ny, nz), index_map=lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dt_arr = jnp.asarray(dt, u.dtype).reshape(1)
+    un, vn, wn = pl.pallas_call(
+        kern,
+        grid=(gx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=[out_spec] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((TX + 1, ny, nz), u.dtype),
+            pltpu.VMEM((TX, ny, nz), u.dtype),
+            pltpu.VMEM((TX, ny, nz), u.dtype),
+            pltpu.VMEM((TX, ny, nz), u.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(dt_arr, p, u, v, w)
+
+    def embed(gout):
+        full = jnp.zeros((nx, ny0, nz0), u.dtype)
+        return full.at[1:1 + gx * TX].set(gout[:, :ny0, :nz0])
+
+    return embed(un), embed(vn), embed(wn)
 
 
 def centered2_momentum_tendency(grid, u, v, w, tile_x=None,

@@ -114,14 +114,23 @@ def sharded_step_fn(model, dist: Distributed, dt):
     """A jitted step with sharding constraints pinned on inputs/outputs so
     XLA partitions the whole step over the mesh."""
     dist.validate_grid(model.grid)
-    if getattr(model, "fused_kernels", False):
+    if (getattr(model, "fused_kernels", False)
+            or getattr(model, "fused_correction", False)
+            or getattr(getattr(model, "pressure_solver", None),
+                       "fused", None) == "auto"):
         # Pallas custom-calls are opaque to GSPMD: the partitioner would
         # replicate them (full-gathering every operand onto every
         # device). The XLA whole-array path partitions cleanly, so the
-        # distributed step always uses it.
+        # distributed step always uses it — including the fused
+        # pressure-correction and fused Poisson middle-stage kernels.
         import copy
         model = copy.copy(model)
         model.fused_kernels = False
+        model.fused_correction = False
+        if hasattr(model, "pressure_solver"):
+            model.pressure_solver = copy.copy(model.pressure_solver)
+            if hasattr(model.pressure_solver, "fused"):
+                model.pressure_solver.fused = False
     fs = dist.field_sharding()
 
     def constrained(state):

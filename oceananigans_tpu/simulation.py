@@ -143,10 +143,23 @@ class Simulation:
     def _stepn(self, n):
         """Jitted n-step advance (one dispatch per window)."""
         if n not in self._stepn_cache:
+            import inspect
             model = self.model
+            # every step ends with a halo fill, so steps inside the
+            # window skip their (redundant) leading fill; one defensive
+            # fill at window entry covers host-side state mutations
+            # between windows (callbacks, pickup)
+            fastpath = "assume_filled" in inspect.signature(
+                model.step).parameters
 
             @jax.jit
             def stepn(state, dt):
+                if fastpath:
+                    state = model.fill_state_halos(state)
+                    return jax.lax.fori_loop(
+                        0, n,
+                        lambda i, s: model.step(s, dt, assume_filled=True),
+                        state)
                 return jax.lax.fori_loop(
                     0, n, lambda i, s: model.step(s, dt), state)
 

@@ -93,6 +93,9 @@ class MatmulPoissonSolver:
                       for a, l in enumerate(lams))
         self.inv_lam = np.where(lam_sum == 0, 0.0,
                                 1.0 / np.where(lam_sum == 0, 1.0, lam_sum))
+        self.lams = lams
+        #: "auto" (fused Pallas middle stage on TPU), True, or False
+        self.fused = "auto"
 
     def _apply(self, x, axis, transpose):
         T = self.T[axis]
@@ -106,6 +109,20 @@ class MatmulPoissonSolver:
 
     def solve(self, rhs):
         """rhs: interior-shaped (Nx, Ny, Nz) -> φ with zero mean."""
+        from oceananigans_tpu.ops.pallas_poisson import (
+            fused_middle_available, fused_middle_solve,
+        )
+        use_fused = (fused_middle_available(self, rhs.dtype)
+                     if self.fused == "auto" else bool(self.fused))
+        if use_fused:
+            # one Pallas pass for y/z transforms + λ⁻¹ scale: 5 HBM round
+            # trips -> 1 (the x-axis contraction needs the full extent,
+            # so it stays outside as two einsums)
+            x = self._apply(rhs, 0, transpose=False)
+            x = fused_middle_solve(x, self.T[1], self.T[2], self.lams[0],
+                                   self.lams[1], self.lams[2],
+                                   interpret=(self.fused == "interpret"))
+            return self._apply(x, 0, transpose=True)
         x = rhs
         for axis in range(3):
             x = self._apply(x, axis, transpose=False)

@@ -154,3 +154,43 @@ def test_generic_fused_weno_matches_operators():
                      (gw, -div_vw(grid, sch, u, v, w))):
         np.testing.assert_allclose(np.asarray(got[S]),
                                    np.asarray(ref[S]), atol=1e-12)
+
+
+def test_pallas_pressure_correction_matches_xla():
+    """The fused pressure-correction kernel (one pass: read p/u/v/w,
+    write corrected u/v/w) equals the XLA gradient+update path bitwise
+    under jit (interpret mode on CPU)."""
+    import dataclasses
+
+    import jax
+
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.ops.pallas_kernels import (
+        correction_available, pressure_correction,
+    )
+
+    grid = RectilinearGrid(size=(16, 12, 8), extent=(1.0, 2.0, 0.5),
+                           topology=(Bounded, Periodic, Periodic), halo=1)
+    assert correction_available(grid)
+    model = NonhydrostaticModel(grid=grid,
+                                timestepper="QuasiAdamsBashforth2")
+    rng = np.random.default_rng(7)
+    state = model.initial_state()
+    state = dataclasses.replace(
+        state,
+        u=jnp.asarray(rng.standard_normal(state.u.shape)),
+        v=jnp.asarray(rng.standard_normal(state.v.shape)),
+        w=jnp.asarray(rng.standard_normal(state.w.shape)))
+    state = model.fill_state_halos(state)
+    dt = jnp.asarray(1e-3, state.u.dtype)
+    assert model.fused_correction is False  # CPU backend -> auto off
+    ref = jax.jit(model._pressure_correct)(state, dt)
+    got = jax.jit(lambda p, u, v, w: pressure_correction(
+        grid, p, u, v, w, dt, interpret=True))(
+        ref.pressure, state.u, state.v, state.w)
+    sx, sy, sz = grid.interior_slices
+    for a, b in zip(got, (ref.u, ref.v, ref.w)):
+        # multiply-by-reciprocal vs divide-by-spacing: ulp-level only
+        np.testing.assert_allclose(np.asarray(a[sx, sy, sz]),
+                                   np.asarray(b[sx, sy, sz]),
+                                   rtol=0, atol=1e-12)

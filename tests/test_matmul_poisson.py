@@ -41,6 +41,28 @@ def test_matmul_poisson_2d():
     _check((Bounded, Flat, Bounded), (16, 8))
 
 
+def test_fused_middle_matches_einsum_path():
+    """The fused Pallas middle stage (y/z transforms + λ⁻¹ scale in one
+    VMEM pass, ``ops/pallas_poisson.py``) equals the six-einsum path in
+    interpret mode, including a tile-size-fallback shape."""
+    import jax
+
+    for size in ((32, 16, 128), (24, 16, 128)):
+        grid = RectilinearGrid(size=size, extent=(1.0, 2.0, 3.0),
+                               topology=(Bounded, Periodic, Periodic),
+                               halo=(1, 0, 0), dtype="float32")
+        s = MatmulPoissonSolver(grid)
+        rng = np.random.default_rng(3)
+        rhs = jnp.asarray(rng.standard_normal(size).astype(np.float32))
+        rhs = rhs - jnp.mean(rhs)
+        s.fused = False
+        ref = jax.jit(s.solve)(rhs)
+        s.fused = "interpret"
+        got = jax.jit(s.solve)(rhs)
+        err = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+        assert err < 1e-5, (size, err)
+
+
 def test_matmul_poisson_single_mode_exact():
     """A discrete Laplacian eigenmode solves exactly: φ = rhs/λ."""
     N = 32
