@@ -55,11 +55,18 @@ class BoundaryCondition:
     (broadcast-ready arrays) and time — the functional analog of the
     reference's ``ContinuousBoundaryFunction``
     (``src/BoundaryConditions/continuous_boundary_function.jl``).
+    ``field_dependencies`` names prognostic fields whose boundary-adjacent
+    interior values are passed positionally after ``t``
+    (``f(c1, c2, t, u, v, ...)`` — reference
+    ``FluxBoundaryCondition(f, field_dependencies=(:u, :v))``,
+    ``continuous_boundary_function.jl``); supported where the model
+    supplies its fields (flux BCs applied to tendencies).
     ``matching_scheme`` applies to Open boundaries only.
     """
     classification: str
     condition: Any = None
     matching_scheme: Any = None
+    field_dependencies: tuple = ()
 
     def __repr__(self):
         return f"BoundaryCondition({self.classification}, {self.condition})"
@@ -67,14 +74,16 @@ class BoundaryCondition:
 
 def _bc_flatten(bc):
     if callable(bc.condition):
-        return (), (bc.classification, bc.condition, bc.matching_scheme)
-    return (bc.condition,), (bc.classification, None, bc.matching_scheme)
+        return (), (bc.classification, bc.condition, bc.matching_scheme,
+                    bc.field_dependencies)
+    return (bc.condition,), (bc.classification, None, bc.matching_scheme,
+                             bc.field_dependencies)
 
 
 def _bc_unflatten(meta, leaves):
-    cls, fn, scheme = meta
+    cls, fn, scheme, deps = meta
     cond = fn if fn is not None else (leaves[0] if leaves else None)
-    return BoundaryCondition(cls, cond, scheme)
+    return BoundaryCondition(cls, cond, scheme, deps)
 
 
 jax.tree_util.register_pytree_node(BoundaryCondition, _bc_flatten,
@@ -85,8 +94,11 @@ def PeriodicBC():
     return BoundaryCondition(PERIODIC)
 
 
-def FluxBC(q=None):
-    return BoundaryCondition(FLUX, q)
+def FluxBC(q=None, field_dependencies=()):
+    if isinstance(field_dependencies, str):
+        field_dependencies = (field_dependencies,)
+    return BoundaryCondition(FLUX, q,
+                             field_dependencies=tuple(field_dependencies))
 
 
 def ValueBC(v):
@@ -245,13 +257,23 @@ def _transverse_coords(grid, axis, loc):
     return tuple(coords)
 
 
-def _bc_value(bc, grid, axis, loc, time):
+def _bc_value(bc, grid, axis, loc, time, fields=None, idx=None):
     cond = bc.condition
     if cond is None:
         return None
     if callable(cond):
         c1, c2 = _transverse_coords(grid, axis, loc)
         t = 0.0 if time is None else time
+        deps = getattr(bc, "field_dependencies", ())
+        if deps:
+            if fields is None or idx is None:
+                raise ValueError(
+                    "field-dependent boundary conditions are supported "
+                    "only where the model supplies its fields (flux BCs "
+                    "applied to tendencies)")
+            slabs = [fields[n][_axslice(axis, slice(idx, idx + 1))]
+                     for n in deps]
+            return cond(c1, c2, t, *slabs)
         return cond(c1, c2, t)
     return cond
 
@@ -399,8 +421,13 @@ def fill_halo_regions(a, grid, bcs=None, loc=(Center, Center, Center),
     zipper = getattr(grid, "zipper", False)
     for axis in range(3):
         lbc, rbc = bcs.sides(axis)
-        lval = _bc_value(lbc, grid, axis, loc, time) if lbc else None
-        rval = _bc_value(rbc, grid, axis, loc, time) if rbc else None
+        # flux halos are no-flux mirror fills: the condition value enters
+        # the tendency (apply_flux_bcs), never the halo — skip evaluating
+        # it here (it may be field-dependent)
+        lval = (_bc_value(lbc, grid, axis, loc, time)
+                if lbc and lbc.classification != FLUX else None)
+        rval = (_bc_value(rbc, grid, axis, loc, time)
+                if rbc and rbc.classification != FLUX else None)
         if zipper and axis == 1 and a.shape[1] == grid.shape[1]:
             # tripolar north fold: south side gets the ordinary bounded
             # fill, the north halo is the Zipper fold (reference
@@ -419,7 +446,8 @@ def fill_halo_regions(a, grid, bcs=None, loc=(Center, Center, Center),
 # Flux boundary conditions -> tendencies
 # ---------------------------------------------------------------------------
 
-def apply_flux_bcs(G, grid, bcs, loc=(Center, Center, Center), time=None):
+def apply_flux_bcs(G, grid, bcs, loc=(Center, Center, Center), time=None,
+                   fields=None):
     """Add boundary fluxes to a tendency array.
 
     Fluxes are oriented along the positive axis; a left-side flux ``q`` adds
@@ -439,7 +467,7 @@ def apply_flux_bcs(G, grid, bcs, loc=(Center, Center, Center), time=None):
                                     ("right", rbc, H + N - 1, -1.0)):
             if bc is None or bc.classification != FLUX or bc.condition is None:
                 continue
-            q = _bc_value(bc, grid, axis, loc, time)
+            q = _bc_value(bc, grid, axis, loc, time, fields=fields, idx=idx)
             sl = _axslice(axis, slice(idx, idx + 1))
             dcell = d[_axslice(axis, slice(idx, idx + 1))] if d.ndim == 3 else d
             G = G.at[sl].add(sign * q / dcell)

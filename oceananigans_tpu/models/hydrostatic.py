@@ -969,8 +969,8 @@ class HydrostaticFreeSurfaceModel:
                 else:
                     Gv = Gv + term
 
-        Gu = apply_flux_bcs(Gu, g, self.bcs["u"], LOC_U, time)
-        Gv = apply_flux_bcs(Gv, g, self.bcs["v"], LOC_V, time)
+        Gu = apply_flux_bcs(Gu, g, self.bcs["u"], LOC_U, time, fields)
+        Gv = apply_flux_bcs(Gv, g, self.bcs["v"], LOC_V, time, fields)
         from oceananigans_tpu.immersed import (
             immersed_flux_divergence, mask_immersed_field,
         )
@@ -1011,7 +1011,7 @@ class HydrostaticFreeSurfaceModel:
             f = self.forcings[name]
             if f is not None:
                 Gc = Gc + f(g, time, fields)
-            Gc = apply_flux_bcs(Gc, g, self.bcs[name], LOC_C, time)
+            Gc = apply_flux_bcs(Gc, g, self.bcs[name], LOC_C, time, fields)
             ib = self.immersed_bcs.get(name)
             if ib is not None:
                 Gc = Gc + immersed_flux_divergence(

@@ -283,8 +283,8 @@ class ShallowWaterModel:
                 else:
                     Gh = Gh + f(g, time, fields)
 
-        Guh = apply_flux_bcs(Guh, g, self.bcs["uh"], LOC_U, time)
-        Gvh = apply_flux_bcs(Gvh, g, self.bcs["vh"], LOC_V, time)
+        Guh = apply_flux_bcs(Guh, g, self.bcs["uh"], LOC_U, time, fields)
+        Gvh = apply_flux_bcs(Gvh, g, self.bcs["vh"], LOC_V, time, fields)
 
         Gtracers = {}
         for name in self.tracer_names:

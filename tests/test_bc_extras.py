@@ -76,3 +76,33 @@ def test_simulation_pickup(tmp_path):
         dirname=str(tmp_path), schedule=IterationInterval(5))
     sim2.run(pickup=True)
     assert int(sim2.state.clock.iteration) == 15
+
+
+def test_field_dependent_flux_bc():
+    """Quadratic bottom drag via field_dependencies (reference
+    ``FluxBoundaryCondition(drag, field_dependencies=(:u, :v))``,
+    ``continuous_boundary_function.jl``): the boundary-adjacent interior
+    velocity is passed to the boundary function, and the resulting flux
+    divides by the boundary cell spacing into the tendency."""
+    from oceananigans_tpu.boundary_conditions import FluxBC
+
+    cD = 2.5e-3
+    grid = RectilinearGrid(size=(8, 4, 6), extent=(1.0, 1.0, 1.0),
+                           topology=(Periodic, Periodic, Bounded))
+    drag = lambda x, y, t, u, v: -cD * jnp.sqrt(u**2 + v**2) * u
+    u_bcs = FieldBoundaryConditions(
+        bottom=FluxBC(drag, field_dependencies=("u", "v")))
+    model = NonhydrostaticModel(grid=grid, advection=None,
+                                boundary_conditions={"u": u_bcs},
+                                timestepper="QuasiAdamsBashforth2")
+    u0, v0 = 0.3, 0.4
+    state = model.initial_state(u=u0, v=v0)
+    state = model.fill_state_halos(state)
+    Gu = model.compute_tendencies(state)[0]
+    gi = interior(grid, Gu)
+    # left-side (bottom) flux q adds +q/dz to the bottom interior cell
+    dz = 1.0 / 6
+    expected = -cD * np.hypot(u0, v0) * u0 / dz
+    np.testing.assert_allclose(np.asarray(gi[:, :, 0]), expected,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gi[:, :, 1:]), 0.0, atol=1e-12)
