@@ -623,7 +623,7 @@ class HydrostaticFreeSurfaceModel:
                  closure=None, forcing=None, boundary_conditions=None,
                  vertical_coordinate=None, timestepper="quasi_ab2",
                  particles=None, biogeochemistry=None, stokes_drift=None,
-                 auxiliary_fields=None):
+                 auxiliary_fields=None, fused_kernels="auto"):
         # feature-parity fields of the reference struct
         # (hydrostatic_free_surface_model.jl:40-47)
         self.particles = particles
@@ -680,6 +680,16 @@ class HydrostaticFreeSurfaceModel:
 
         self.grid = grid
         self.momentum_advection = momentum_advection
+        # fused Pallas vector-invariant momentum kernel (ops/pallas_vi):
+        # "auto" engages it on TPU when the grid/scheme layout qualifies
+        from oceananigans_tpu.ops.pallas_vi import vi_available as _via
+        import jax as _jax
+        _ok = (isinstance(momentum_advection, VectorInvariant)
+               and _via(grid, momentum_advection))
+        if fused_kernels == "auto":
+            self.fused_kernels = _ok and _jax.default_backend() != "cpu"
+        else:
+            self.fused_kernels = _ok and bool(fused_kernels)
         b = getattr(tracer_advection, "bind_grid", None)
         self.tracer_advection = b(grid) if b is not None \
             else tracer_advection
@@ -926,8 +936,16 @@ class HydrostaticFreeSurfaceModel:
 
         ma = self.momentum_advection
         if isinstance(ma, VectorInvariant):
-            Gu = ma.u_tendency(g, u, v, w)
-            Gv = ma.v_tendency(g, u, v, w)
+            if getattr(self, "fused_kernels", False) and g is self.grid:
+                # one HBM pass for both momentum tendencies (the σ-scaled
+                # ZStar grid stays on the XLA path: metrics vary per step)
+                from oceananigans_tpu.ops.pallas_vi import (
+                    vi_momentum_tendency,
+                )
+                Gu, Gv = vi_momentum_tendency(self.grid, ma, u, v, w)
+            else:
+                Gu = ma.u_tendency(g, u, v, w)
+                Gv = ma.v_tendency(g, u, v, w)
         elif ma is None:
             Gu = jnp.zeros_like(u)
             Gv = jnp.zeros_like(v)

@@ -1,0 +1,354 @@
+"""Fused WENO vector-invariant momentum-tendency Pallas kernel.
+
+The realistic-ocean hot loop: ``HydrostaticFreeSurfaceModel`` with
+``WENOVectorInvariant()`` momentum advection (reference defaults:
+WENO(9) vorticity with VelocityStencil smoothness, WENO(5) vertical /
+divergence / KE-gradient with ``OnlySelfUpwinding``). The XLA
+whole-array path materializes dozens of shifted intermediates per
+tendency (the WENO-9 vorticity reconstruction alone reads ten shifted
+copies of ζ plus twenty of the two smoothness fields); this kernel
+computes BOTH horizontal momentum tendencies in one HBM pass: read u,
+v, w once, write Gu, Gv once, everything else staged through VMEM
+x-slabs.
+
+Hand-fused equivalent of the reference's
+``compute_hydrostatic_free_surface_Gu!/Gv!`` kernels with
+``VectorInvariant`` fluxes
+(``hydrostatic_free_surface_tendency_kernel_functions.jl:29-110`` +
+``vector_invariant_advection.jl:324-385``), scheduled for the TPU
+memory hierarchy.
+
+Numerics: the WENO reconstructions reuse the *same* generator code as
+the XLA path (``advection.WENO._onesided`` traces fine inside a Pallas
+kernel — it is pure jnp on dict-of-array taps), so sub-stencil
+coefficients, smoothness forms, and WENO-Z weights are identical by
+construction; only fused-multiply-add grouping differs (float32
+roundoff).
+
+Layout contract (same as ``pallas_weno``): fields are (x, y, z) with z
+in the lane dimension; each program owns a (TX, ny, nz) output slab and
+DMAs a (TX + 2·Hx, ny, nz) window of u, v, w where Hx is set by the
+widest x-direction stencil (the WENO-9 vorticity reconstruction of the
+v-equation: Hx = 5 at reference defaults). y/z shifts are in-VMEM
+rolls: exact on halo-free periodic tile-aligned axes, junk-in-halos on
+halo >= stencil axes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["vi_momentum_tendency", "vi_available", "vi_halo_x"]
+
+
+def _buffers(vi):
+    """(Bv, Bke, Bd, Bz) sub-stencil buffer widths of the four schemes."""
+    from oceananigans_tpu.advection import WENO
+    orders = []
+    for s in (vi.vorticity_scheme, vi.kinetic_energy_gradient_scheme,
+              vi.divergence_scheme, vi.vertical_scheme):
+        if type(s) is not WENO:
+            return None
+        orders.append((s.order + 1) // 2)
+    return tuple(orders)
+
+
+def vi_halo_x(vi):
+    """x-halo rows the DMA window needs on each side."""
+    b = _buffers(vi)
+    if b is None:
+        return None
+    Bv, Bke, Bd, _ = b
+    # vorticity x-reconstruction needs ζ rows ±Bv (ζ adds one v row on
+    # the left, absorbed by the o=1 target offset); KE/divergence
+    # x-reconstructions of δx quantities need u rows ±B
+    return max(Bv, Bke, Bd)
+
+
+def vi_available(grid, vi) -> bool:
+    """True when the fused kernel applies: regular 3-D rectilinear grid,
+    all four schemes plain WENO (no stretched tables), OnlySelfUpwinding
+    with a Centered(2) cross scheme, and per-axis halo compatibility
+    (axis 0 needs halo >= Hx; axes 1/2 need halo >= their stencil reach
+    or a halo-free periodic tile-aligned layout)."""
+    from oceananigans_tpu.advection import Centered
+    from oceananigans_tpu.grids.base import Periodic as _P
+    from oceananigans_tpu.grids.rectilinear import RectilinearGrid
+    from oceananigans_tpu.models.hydrostatic import (
+        CrossAndSelfUpwinding, OnlySelfUpwinding, VectorInvariant,
+    )
+    if not (type(grid) is RectilinearGrid and grid.regular):
+        return False
+    if not isinstance(vi, VectorInvariant):
+        return False
+    if vi.vorticity_stencil not in ("velocity", "default"):
+        return False
+    b = _buffers(vi)
+    if b is None:
+        return False
+    for s in (vi.vorticity_scheme, vi.kinetic_energy_gradient_scheme,
+              vi.divergence_scheme, vi.vertical_scheme):
+        if s.bounds is not None or getattr(s, "_tables", None) is not None:
+            return False
+    up = vi.upwinding
+    if type(up) is CrossAndSelfUpwinding or type(up) is not \
+            OnlySelfUpwinding:
+        return False
+    if not (type(up.cross_scheme) is Centered
+            and up.cross_scheme.order == 2):
+        return False
+    Bv, Bke, Bd, Bz = b
+    if grid.H[0] < vi_halo_x(vi):
+        return False
+    # y reach: ζ y-reconstruction (Bv taps around o=1 target, ζ itself
+    # one more u row) and the δy-based KE/divergence reconstructions
+    need_y = max(Bv + 1, Bke + 1, Bd + 1)
+    need_z = Bz + 1
+    for axis, tile, need in ((1, 8, need_y), (2, 128, need_z)):
+        if grid.N[axis] <= 1 or grid.H[axis] >= need:
+            continue
+        n_tot = grid.N[axis] + 2 * grid.H[axis]
+        if grid.axis_topo(axis) != _P or grid.H[axis] != 0 or n_tot % tile:
+            return False
+    return all(n > 1 for n in grid.N)
+
+
+def _sel2(U, left, right):
+    """Upwind select where the result is multiplied by U afterwards:
+    the XLA path's U == 0 average branch contributes U·anything == 0
+    either way, so two branches suffice."""
+    return jnp.where(U > 0, left, right)
+
+
+def _sel3(U, left, right):
+    """Exact XLA-path upwind select (the result is NOT multiplied by U
+    — the Bernoulli self-difference — so U == 0 must average)."""
+    return jnp.where(U > 0, left,
+                     jnp.where(U < 0, right, 0.5 * (left + right)))
+
+
+def _recon(scheme, taps, smooth, U, sel):
+    """Both one-sided WENO reconstructions (reusing the XLA path's
+    generator) + upwind select."""
+    left = scheme._onesided(taps, 0, 0, reflect=False, smooth_shifts=smooth)
+    right = scheme._onesided(taps, 0, 0, reflect=True, smooth_shifts=smooth)
+    return sel(U, left, right)
+
+
+def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, u_s, v_s, w_s, sems, *,
+            TX, HX, OFF, vi, dx, dy, dz):
+    i = pl.program_id(0)
+    x0 = i * TX + OFF          # window start: H0 + i·TX − HX
+    W = TX + 2 * HX
+
+    cps = []
+    for src, dst, s in ((u_hbm, u_s, 0), (v_hbm, v_s, 1), (w_hbm, w_s, 2)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(x0, W)], dst, sems.at[s])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    u = u_s[:]
+    v = v_s[:]
+    w = w_s[:]
+
+    Bv, Bke, Bd, Bz = _buffers(vi)
+    sv = vi.vorticity_scheme
+    ske = vi.kinetic_energy_gradient_scheme
+    sd = vi.divergence_scheme
+    sz = vi.vertical_scheme
+    velocity_stencil = vi.vorticity_stencil == "velocity"
+
+    Ax, Ay, Az = dy * dz, dx * dz, dx * dy
+    Vol = dx * dy * dz
+
+    def yn(a, n):   # a[j+n] in y (sublane)
+        return pltpu.roll(a, (a.shape[1] - n) % a.shape[1], 1)
+
+    def zn(a, n):   # a[k+n] in z (lane)
+        return pltpu.roll(a, (a.shape[2] - n) % a.shape[2], 2)
+
+    def xs(a, n, cnt=TX):
+        """a at output-relative x offset n over cnt rows."""
+        return a[HX + n: HX + n + cnt]
+
+    # shared derived slabs
+    u2 = 0.5 * u * u
+    v2 = 0.5 * v * v
+    au = Ax * u
+    av = Ay * v
+    aw = Az * w
+    u0, v0, w0 = xs(u, 0), xs(v, 0), xs(w, 0)
+
+    # ζ on the widened row range [-Bv+1, TX+Bv) (the v-equation
+    # reconstructs ζ transversely in x at o = 1, so taps span ζ offsets
+    # -Bv+1 .. TX+Bv-1): circulation form
+    # (dx_f(Δy v) − dy_f(Δx u)) / Az (operators.vorticity_z_ff).
+    # Zw[r] is ζ at output-relative x offset r - (Bv - 1).
+    WZ = TX + 2 * Bv - 1
+    dyv_w = dy * xs(v, -Bv + 1, WZ)
+    dyv_wm = dy * xs(v, -Bv, WZ)
+    dxu_w = dx * xs(u, -Bv + 1, WZ)
+    Zw = ((dyv_w - dyv_wm) - (dxu_w - yn(dxu_w, -1))) / Az
+    Z0 = Zw[Bv - 1:Bv - 1 + TX]
+
+    # VelocityStencil smoothness fields at ζ's (f,f) location
+    if velocity_stencil:
+        uw = xs(u, -Bv + 1, WZ)
+        S1w = 0.5 * (uw + yn(uw, -1))                      # ℑy(u)
+        S2w = 0.5 * (xs(v, -Bv + 1, WZ) + xs(v, -Bv, WZ))  # ℑx(v)
+        S1_0, S2_0 = S1w[Bv - 1:Bv - 1 + TX], S2w[Bv - 1:Bv - 1 + TX]
+
+    # ==================================================================
+    # Gu at (f,c,c):  +ζ·v̂ − ∂x K − w ∂z u  (VectorInvariant.u_tendency)
+    # ==================================================================
+    # -- ζ term: v̂ = ℑxℑy(Δx v)/Δx; ζ reconstructed to y-centers (o=1)
+    dxv0 = dx * v0
+    dxvm = dx * xs(v, -1)
+    t0 = 0.5 * (yn(dxv0, 1) + dxv0)
+    tm = 0.5 * (yn(dxvm, 1) + dxvm)
+    vhat = 0.5 * (t0 + tm) / dx
+    taps = {n: yn(Z0, n + 1) for n in range(-Bv, Bv)}
+    smooth = ([{n: yn(S1_0, n + 1) for n in range(-Bv, Bv)},
+               {n: yn(S2_0, n + 1) for n in range(-Bv, Bv)}]
+              if velocity_stencil else None)
+    gu = vhat * _recon(sv, taps, smooth, vhat, _sel2)
+
+    # -- Bernoulli head: δx(u²/2) upwinded on u + centered δx(v²/2)
+    taps = {n: xs(u2, n + 1) - xs(u2, n) for n in range(-Bke, Bke)}
+    smooth = [{n: 0.5 * (xs(u, n + 1) + xs(u, n))
+               for n in range(-Bke, Bke)}]
+    duR = _recon(ske, taps, smooth, u0, _sel3)
+    Dv2 = xs(v2, 0) - xs(v2, -1)                    # δx(v²/2) at (f,f,c)
+    dvS = 0.5 * Dv2 + 0.5 * yn(Dv2, 1)              # Centered(2), Y, o=1
+    gu = gu - (duR + dvS) / dx
+
+    # -- vertical + divergence flux (OnlySelfUpwinding)
+    taps = {n: xs(au, n + 1) - xs(au, n) for n in range(-Bd, Bd)}
+    dyv_c = {n: yn(xs(av, n), 1) - xs(av, n) for n in range(-Bd, Bd + 1)}
+    smooth = [{n: taps[n] + dyv_c[n] for n in range(-Bd, Bd)}]
+    duR = _recon(sd, taps, smooth, u0, _sel2)
+    dvS = 0.5 * dyv_c[-1] + 0.5 * dyv_c[0]          # Centered(2), X, o=0
+    phi = u0 * (dvS + duR)
+    Wadv = 0.5 * (xs(aw, 0) + xs(aw, -1))           # ℑx(Az w) at (f,c,f)
+    taps = {n: zn(u0, n) for n in range(-Bz, Bz)}
+    uz = _recon(sz, taps, None, Wadv, _sel2)
+    Fz = Wadv * uz
+    gu = gu - (phi + zn(Fz, 1) - Fz) / Vol
+    gu_ref[:] = gu
+
+    # ==================================================================
+    # Gv at (c,f,c):  −ζ·û − ∂y K − w ∂z v  (VectorInvariant.v_tendency)
+    # ==================================================================
+    # -- ζ term: û = ℑyℑx(Δy u)/Δy; ζ reconstructed to x-centers (o=1)
+    dyu0 = dy * u0
+    dyup = dy * xs(u, 1)
+    t = 0.5 * (dyup + dyu0)
+    uhat = 0.5 * (t + yn(t, -1)) / dy
+    taps = {n: Zw[Bv + n: Bv + n + TX] for n in range(-Bv, Bv)}
+    smooth = ([{n: S1w[Bv + n: Bv + n + TX] for n in range(-Bv, Bv)},
+               {n: S2w[Bv + n: Bv + n + TX] for n in range(-Bv, Bv)}]
+              if velocity_stencil else None)
+    gv = -uhat * _recon(sv, taps, smooth, uhat, _sel2)
+
+    # -- Bernoulli head
+    v2_0 = xs(v2, 0)
+    taps = {n: yn(v2_0, n + 1) - yn(v2_0, n) for n in range(-Bke, Bke)}
+    smooth = [{n: 0.5 * (yn(v0, n + 1) + yn(v0, n))
+               for n in range(-Bke, Bke)}]
+    dvR = _recon(ske, taps, smooth, v0, _sel3)
+    u2_0, u2_1 = xs(u2, 0), xs(u2, 1)
+    Du2_0 = u2_0 - yn(u2_0, -1)                     # δy(u²/2) at (f,f,c)
+    Du2_1 = u2_1 - yn(u2_1, -1)
+    duS = 0.5 * Du2_0 + 0.5 * Du2_1                 # Centered(2), X, o=1
+    gv = gv - (dvR + duS) / dy
+
+    # -- vertical + divergence flux
+    av0 = xs(av, 0)
+    taps = {n: yn(av0, n + 1) - yn(av0, n) for n in range(-Bd, Bd)}
+    dxU0 = xs(au, 1) - xs(au, 0)
+    smooth = [{n: taps[n] + yn(dxU0, n) for n in range(-Bd, Bd)}]
+    dvR = _recon(sd, taps, smooth, v0, _sel2)
+    duS = 0.5 * yn(dxU0, -1) + 0.5 * dxU0           # Centered(2), Y, o=0
+    phi = v0 * (duS + dvR)
+    aw0 = xs(aw, 0)
+    Wadv = 0.5 * (aw0 + yn(aw0, -1))                # ℑy(Az w) at (c,f,f)
+    taps = {n: zn(v0, n) for n in range(-Bz, Bz)}
+    vz = _recon(sz, taps, None, Wadv, _sel2)
+    Fz = Wadv * vz
+    gv = gv - (phi + zn(Fz, 1) - Fz) / Vol
+    gv_ref[:] = gv
+
+
+def vi_momentum_tendency(grid, vi, u, v, w, tile_x=None, interpret=False):
+    """(Gu, Gv) of the vector-invariant momentum advection fused in one
+    Pallas pass. Inputs are full halo-extended arrays with halos already
+    filled; output halo rows are zero (the caller's next halo fill
+    overwrites them). Matches the XLA path
+    (``VectorInvariant.u_tendency/v_tendency``) to float32 roundoff."""
+    HX = vi_halo_x(vi)
+    nx, ny0, nz0 = u.shape
+    N = grid.N[0]
+    H0 = grid.H[0]
+    ny = -(-ny0 // 8) * 8
+    nz = -(-nz0 // 128) * 128
+    if grid.H[1] == 0 and ny != ny0:
+        raise ValueError("halo-free periodic axis 1 must be a multiple "
+                         "of 8")
+    if grid.H[2] == 0 and nz != nz0:
+        raise ValueError("halo-free periodic axis 2 must be a multiple "
+                         "of 128")
+    if tile_x is None:
+        budget = 48 * 1024 * 1024
+        tile_x = 8
+        while tile_x > 1 and (3 * (tile_x + 2 * HX) + 2 * tile_x) \
+                * ny * nz * u.dtype.itemsize > budget:
+            tile_x //= 2
+    if (ny, nz) != (ny0, nz0):
+        pad = ((0, 0), (0, ny - ny0), (0, nz - nz0))
+        u = jnp.pad(u, pad)
+        v = jnp.pad(v, pad)
+        w = jnp.pad(w, pad)
+    TX = tile_x
+    while TX > 1 and N % TX:
+        TX //= 2
+    gx = N // TX
+    dx = float(grid.Lx / grid.Nx)
+    dy = float(grid.Ly / grid.Ny)
+    dz = float(grid.Lz / grid.Nz)
+
+    kern = partial(_kernel, TX=TX, HX=HX, OFF=H0 - HX, vi=vi, dx=dx,
+                   dy=dy, dz=dz)
+    out_shape = [jax.ShapeDtypeStruct((N, ny, nz), u.dtype)] * 2
+    out_spec = pl.BlockSpec((TX, ny, nz), index_map=lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    gu, gv = pl.pallas_call(
+        kern,
+        grid=(gx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=[out_spec] * 2,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((TX + 2 * HX, ny, nz), u.dtype),
+            pltpu.VMEM((TX + 2 * HX, ny, nz), u.dtype),
+            pltpu.VMEM((TX + 2 * HX, ny, nz), u.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(u, v, w)
+
+    def embed(g):
+        full = jnp.zeros((nx, ny0, nz0), u.dtype)
+        return full.at[H0:H0 + N].set(g[:, :ny0, :nz0])
+
+    return embed(gu), embed(gv)

@@ -1,0 +1,104 @@
+"""Fused vector-invariant momentum-tendency Pallas kernel
+(``ops/pallas_vi.py``) against the XLA whole-array path, in interpret
+mode (the on-chip path shares the trace; only the Mosaic lowering
+differs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oceananigans_tpu import Bounded, Periodic, RectilinearGrid
+from oceananigans_tpu.boundary_conditions import (
+    fill_halo_regions, regularize_field_boundary_conditions,
+)
+from oceananigans_tpu.fields import LOC_U, LOC_V, LOC_W
+from oceananigans_tpu.models.hydrostatic import (
+    CrossAndSelfUpwinding, VectorInvariant, WENOVectorInvariant,
+)
+from oceananigans_tpu.ops.pallas_vi import (
+    vi_available, vi_halo_x, vi_momentum_tendency,
+)
+
+
+def _fields(grid, seed=3):
+    rng = np.random.default_rng(seed)
+
+    def mk(loc):
+        a = jnp.asarray(rng.standard_normal(grid.shape))
+        bcs = regularize_field_boundary_conditions(None, grid, loc)
+        return fill_halo_regions(a, grid, bcs, loc)
+
+    return mk(LOC_U), mk(LOC_V), mk(LOC_W)
+
+
+def _check(vi, grid, tol=1e-12):
+    u, v, w = _fields(grid)
+    gu, gv = jax.jit(lambda u, v, w: vi_momentum_tendency(
+        grid, vi, u, v, w, interpret=True))(u, v, w)
+    S = grid.interior_slices
+    for a, b in ((gu, vi.u_tendency(grid, u, v, w)),
+                 (gv, vi.v_tendency(grid, u, v, w))):
+        err = float(jnp.max(jnp.abs(a[S] - b[S])))
+        scale = float(jnp.max(jnp.abs(b[S])))
+        assert err / scale < tol, err / scale
+
+
+@pytest.mark.parametrize("stencil", ["velocity", "default"])
+def test_vi_kernel_matches_xla_bounded(stencil):
+    """Reference-default WENOVectorInvariant (WENO-9 vorticity, WENO-5
+    elsewhere, OnlySelfUpwinding) on an all-bounded grid."""
+    vi = WENOVectorInvariant(vorticity_stencil=stencil)
+    grid = RectilinearGrid(size=(16, 12, 8), extent=(1.0, 2.0, 0.5),
+                           topology=(Bounded, Bounded, Bounded), halo=6,
+                           dtype="float64")
+    assert vi_available(grid, vi)
+    assert vi_halo_x(vi) == 5
+    _check(vi, grid)
+
+
+def test_vi_kernel_matches_xla_order5_halofree():
+    """Uniform order 5, halo-free periodic y/z tile-aligned layout (the
+    in-register roll wrap IS the periodic boundary)."""
+    vi = WENOVectorInvariant(order=5)
+    grid = RectilinearGrid(size=(12, 16, 128), extent=(1.0, 2.0, 0.5),
+                           topology=(Bounded, Periodic, Periodic),
+                           halo=(4, 0, 0), dtype="float64")
+    assert vi_available(grid, vi)
+    _check(vi, grid)
+
+
+def test_vi_availability_gate():
+    grid = RectilinearGrid(size=(16, 12, 8), extent=(1.0, 2.0, 0.5),
+                           topology=(Bounded, Bounded, Bounded), halo=6,
+                           dtype="float64")
+    # string (conserving) schemes stay on the XLA path
+    assert not vi_available(grid, VectorInvariant())
+    # cross-and-self upwinding is not fused
+    assert not vi_available(
+        grid, WENOVectorInvariant(upwinding=CrossAndSelfUpwinding()))
+    # insufficient x halo
+    small = RectilinearGrid(size=(16, 12, 8), extent=(1.0, 2.0, 0.5),
+                            topology=(Bounded, Bounded, Bounded), halo=4,
+                            dtype="float64")
+    assert not vi_available(small, WENOVectorInvariant())
+    assert vi_available(small, WENOVectorInvariant(order=5))
+    # stretched grids stay on the XLA path
+    stretched = RectilinearGrid(
+        size=(16, 12, 8), x=(0.0, 1.0), y=(0.0, 2.0),
+        z=lambda k: -0.5 * (1 - k / 8) ** 1.3,
+        topology=(Bounded, Bounded, Bounded), halo=6, dtype="float64")
+    assert not vi_available(stretched, WENOVectorInvariant())
+
+
+def test_hydrostatic_model_fused_gate_off_on_cpu():
+    """The model resolves fused_kernels="auto" to False on CPU."""
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+
+    grid = RectilinearGrid(size=(16, 12, 8), extent=(1.0, 2.0, 0.5),
+                           topology=(Bounded, Bounded, Bounded), halo=6,
+                           dtype="float64")
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, momentum_advection=WENOVectorInvariant(),
+        tracers=("b",))
+    assert model.fused_kernels is False
