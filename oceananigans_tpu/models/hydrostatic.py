@@ -690,6 +690,15 @@ class HydrostaticFreeSurfaceModel:
             self.fused_kernels = _ok and _jax.default_backend() != "cpu"
         else:
             self.fused_kernels = _ok and bool(fused_kernels)
+        # fused generic-order WENO tracer advection (ops/pallas_tracer)
+        from oceananigans_tpu.ops.pallas_tracer import (
+            tracer_fusion_available as _tfa,
+        )
+        _tok = _tfa(grid, tracer_advection)
+        if fused_kernels == "auto":
+            self.fused_tracer = _tok and _jax.default_backend() != "cpu"
+        else:
+            self.fused_tracer = _tok and bool(fused_kernels)
         b = getattr(tracer_advection, "bind_grid", None)
         self.tracer_advection = b(grid) if b is not None \
             else tracer_advection
@@ -938,11 +947,17 @@ class HydrostaticFreeSurfaceModel:
         if isinstance(ma, VectorInvariant):
             if getattr(self, "fused_kernels", False) and g is self.grid:
                 # one HBM pass for both momentum tendencies (the σ-scaled
-                # ZStar grid stays on the XLA path: metrics vary per step)
+                # ZStar grid stays on the XLA path: metrics vary per
+                # step); on CPU (forced on, e.g. in tests) the kernel
+                # runs in interpret mode
+                import jax as _jax
+
                 from oceananigans_tpu.ops.pallas_vi import (
                     vi_momentum_tendency,
                 )
-                Gu, Gv = vi_momentum_tendency(self.grid, ma, u, v, w)
+                Gu, Gv = vi_momentum_tendency(
+                    self.grid, ma, u, v, w,
+                    interpret=_jax.default_backend() == "cpu")
             else:
                 Gu = ma.u_tendency(g, u, v, w)
                 Gv = ma.v_tendency(g, u, v, w)
@@ -1005,6 +1020,23 @@ class HydrostaticFreeSurfaceModel:
         Gu = mask_immersed_field(g, Gu, LOC_U)
         Gv = mask_immersed_field(g, Gv, LOC_V)
 
+        # fused tracer advection: one Pallas pass reads the velocities
+        # once for every tracer (tracers with AdvectiveForcing slip
+        # velocities keep the XLA path — their advecting field differs)
+        fused_Gc = {}
+        if getattr(self, "fused_tracer", False) and g is self.grid:
+            from oceananigans_tpu.ops.pallas_tracer import (
+                weno_tracer_tendencies,
+            )
+            eligible = [n for n in self.tracer_names
+                        if n not in self.advective_forcings]
+            if eligible:
+                import jax as _jax
+                fused_Gc = weno_tracer_tendencies(
+                    self.grid, self.tracer_advection, u, v, w,
+                    {n: tracers[n] for n in eligible},
+                    interpret=_jax.default_backend() == "cpu")
+
         Gtracers = {}
         for name in self.tracer_names:
             c = tracers[name]
@@ -1012,7 +1044,10 @@ class HydrostaticFreeSurfaceModel:
             for af in self.advective_forcings.get(name, ()):
                 ua, va, wa = af.velocities(g)
                 uta, vta, wta = uta + ua, vta + va, wta + wa
-            Gc = -div_Uc(g, self.tracer_advection, uta, vta, wta, c)
+            if name in fused_Gc:
+                Gc = fused_Gc[name]
+            else:
+                Gc = -div_Uc(g, self.tracer_advection, uta, vta, wta, c)
             Gc = Gc + closures_mod.tracer_flux_divergence(
                 self.closure, g, name, c, tracers, diffusivities,
                 include_implicit=False)

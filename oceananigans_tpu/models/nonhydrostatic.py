@@ -240,6 +240,18 @@ class NonhydrostaticModel:
             correction_available(grid)
             and _jax.default_backend() != "cpu"
             and (fused_kernels == "auto" or bool(fused_kernels)))
+        # generic-order fused tracer advection (ops/pallas_tracer) for
+        # WENO orders the hand-written WENO-5 kernel does not cover
+        from oceananigans_tpu.advection import WENO as _WENO
+        from oceananigans_tpu.ops.pallas_tracer import (
+            tracer_fusion_available as _tfa,
+        )
+        self.fused_tracer = (
+            type(self.advection) is _WENO and self.advection.order != 5
+            and not self.background_fields
+            and _tfa(grid, self.advection)
+            and (_jax.default_backend() != "cpu"
+                 if fused_kernels == "auto" else bool(fused_kernels)))
 
     # -- pytree protocol: grid is a child, config is aux ------------------
     def tree_flatten(self):
@@ -478,6 +490,19 @@ class NonhydrostaticModel:
                      and name not in bg}
             fused_Gc = weno5_tracer_tendencies(
                 g, ut, vt, wt, plain, epsilon=self.advection.epsilon)
+        elif getattr(self, "fused_tracer", False):
+            import jax as _jax
+
+            from oceananigans_tpu.ops.pallas_tracer import (
+                weno_tracer_tendencies,
+            )
+            plain = {name: tracers[name] for name in self.tracer_names
+                     if name not in self.advective_forcings
+                     and name not in bg}
+            if plain:
+                fused_Gc = weno_tracer_tendencies(
+                    g, self.advection, ut, vt, wt, plain,
+                    interpret=_jax.default_backend() == "cpu")
         for name in self.tracer_names:
             c = tracers[name]
             # AdvectiveForcing velocities are summed into the advecting

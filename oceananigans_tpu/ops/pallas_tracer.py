@@ -1,0 +1,188 @@
+"""Generic-order fused WENO tracer-advection Pallas kernel.
+
+Generalizes ``pallas_weno.weno5_tracer_tendencies`` (hand-optimized,
+WENO-5 only) to any odd reconstruction order by reusing the XLA path's
+own WENO generator (``advection.WENO._onesided``) on VMEM taps — the
+realistic-ocean hydrostatic configuration advects tracers with WENO(7)
+(reference default ``tracer_advection = WENO(order=7)`` in climate
+setups), which previously ran on the whole-array XLA path.
+
+One HBM pass for ALL tracers: read u, v, w once, read each tracer once,
+write each Gc = −∇·(𝐯c) once (reference ``div_Uc``,
+``tracer_advection_operators.jl``). Layout contract identical to
+``pallas_weno``/``pallas_vi``: (x, y, z) arrays with z in lanes, x-slab
+DMA windows, y/z shifts as in-VMEM rolls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["weno_tracer_tendencies", "tracer_fusion_available"]
+
+
+def tracer_fusion_available(grid, scheme) -> bool:
+    """True when the fused kernel applies: regular 3-D rectilinear grid,
+    plain WENO of any order (no bounds, no stretched tables), per-axis
+    halo >= buffer or halo-free periodic tile-aligned."""
+    from oceananigans_tpu.advection import WENO
+    from oceananigans_tpu.grids.base import Periodic as _P
+    from oceananigans_tpu.grids.rectilinear import RectilinearGrid
+    if not (type(grid) is RectilinearGrid and grid.regular):
+        return False
+    if not (type(scheme) is WENO and scheme.bounds is None
+            and getattr(scheme, "_tables", None) is None):
+        return False
+    B = (scheme.order + 1) // 2
+    if grid.H[0] < B:
+        return False
+    # max composite y/z shift: reconstruction taps (B - 1) + the flux
+    # divergence (+1) = B
+    for axis, tile in ((1, 8), (2, 128)):
+        if grid.N[axis] <= 1 or grid.H[axis] >= B:
+            continue
+        n_tot = grid.N[axis] + 2 * grid.H[axis]
+        if grid.axis_topo(axis) != _P or grid.H[axis] != 0 or n_tot % tile:
+            return False
+    return all(n > 1 for n in grid.N)
+
+
+def _recon(scheme, taps, U):
+    """Upwind-selected reconstruction, reusing the XLA generator. The
+    U == 0 average branch is skipped: the face value is multiplied by U,
+    so zero velocity contributes zero flux either way."""
+    left = scheme._onesided(taps, 0, 0, reflect=False)
+    right = scheme._onesided(taps, 0, 0, reflect=True)
+    return jnp.where(U > 0, left, right)
+
+
+def _kernel(*refs, TX, OFF, NT, scheme, dx, dy, dz):
+    u_hbm, v_hbm, w_hbm = refs[:3]
+    c_hbms = refs[3:3 + NT]
+    g_refs = refs[3 + NT:3 + 2 * NT]
+    scratches = refs[3 + 2 * NT:3 + 2 * NT + 3 + NT]
+    sems = refs[-1]
+    B = (scheme.order + 1) // 2
+    i = pl.program_id(0)
+    x0 = i * TX + OFF
+    W = TX + 2 * B
+
+    cps = []
+    for s, (src, dst) in enumerate(zip((u_hbm, v_hbm, w_hbm) + c_hbms,
+                                       scratches)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(x0, W)], dst, sems.at[s])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    u = scratches[0][:]
+    v = scratches[1][:]
+    w = scratches[2][:]
+
+    Ax, Ay, Az = dy * dz, dx * dz, dx * dy
+    Vol = dx * dy * dz
+
+    def yn(a, n):
+        return pltpu.roll(a, (a.shape[1] - n) % a.shape[1], 1)
+
+    def zn(a, n):
+        return pltpu.roll(a, (a.shape[2] - n) % a.shape[2], 2)
+
+    def xs(a, n, cnt=TX):
+        return a[B + n: B + n + cnt]
+
+    au_f = Ax * xs(u, 0, TX + 1)            # Ax·u at x-faces [0, TX]
+    av0 = Ay * xs(v, 0)
+    aw0 = Az * xs(w, 0)
+    u_f = xs(u, 0, TX + 1)
+    v0, w0 = xs(v, 0), xs(w, 0)
+
+    for t in range(NT):
+        c = scratches[3 + t][:]
+        c0 = xs(c, 0)
+        # x-flux at faces [0, TX]: (Ax u)·R_x(c, o=0), upwinded on u
+        taps = {n: xs(c, n, TX + 1) for n in range(-B, B)}
+        Fx = au_f * _recon(scheme, taps, u_f)
+        g = (Fx[1:] - Fx[:-1])
+        # y-flux at (c,f,c): (Ay v)·R_y(c), dy_c: F[j+1] − F[j]
+        taps = {n: yn(c0, n) for n in range(-B, B)}
+        Fy = av0 * _recon(scheme, taps, v0)
+        g = g + (yn(Fy, 1) - Fy)
+        # z-flux at (c,c,f): (Az w)·R_z(c), dz_c: F[k+1] − F[k]
+        taps = {n: zn(c0, n) for n in range(-B, B)}
+        Fz = aw0 * _recon(scheme, taps, w0)
+        g = g + (zn(Fz, 1) - Fz)
+        g_refs[t][:] = -g / Vol
+
+
+def weno_tracer_tendencies(grid, scheme, u, v, w, tracers, tile_x=None,
+                           interpret=False):
+    """{name: −∇·(𝐯c)} for every tracer, fused in one Pallas pass.
+    Inputs are full halo-extended arrays with halos filled; output halo
+    rows are zero. Matches the XLA path (−``div_Uc``) to float32
+    roundoff."""
+    names = list(tracers)
+    NT = len(names)
+    B = (scheme.order + 1) // 2
+    nx, ny0, nz0 = u.shape
+    N = grid.N[0]
+    H0 = grid.H[0]
+    ny = -(-ny0 // 8) * 8
+    nz = -(-nz0 // 128) * 128
+    if grid.H[1] == 0 and ny != ny0:
+        raise ValueError("halo-free periodic axis 1 must be a multiple "
+                         "of 8")
+    if grid.H[2] == 0 and nz != nz0:
+        raise ValueError("halo-free periodic axis 2 must be a multiple "
+                         "of 128")
+    if tile_x is None:
+        budget = 48 * 1024 * 1024
+        tile_x = 8
+        while tile_x > 1 and ((3 + NT) * (tile_x + 2 * B) + NT * tile_x) \
+                * ny * nz * u.dtype.itemsize > budget:
+            tile_x //= 2
+    arrs = [u, v, w] + [tracers[n] for n in names]
+    if (ny, nz) != (ny0, nz0):
+        pad = ((0, 0), (0, ny - ny0), (0, nz - nz0))
+        arrs = [jnp.pad(a, pad) for a in arrs]
+    TX = tile_x
+    while TX > 1 and N % TX:
+        TX //= 2
+    gx = N // TX
+    dx = float(grid.Lx / grid.Nx)
+    dy = float(grid.Ly / grid.Ny)
+    dz = float(grid.Lz / grid.Nz)
+
+    kern = partial(_kernel, TX=TX, OFF=H0 - B, NT=NT, scheme=scheme,
+                   dx=dx, dy=dy, dz=dz)
+    out_shape = [jax.ShapeDtypeStruct((N, ny, nz), u.dtype)] * NT
+    out_spec = pl.BlockSpec((TX, ny, nz), index_map=lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(gx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (3 + NT),
+        out_specs=[out_spec] * NT,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((TX + 2 * B, ny, nz), u.dtype)
+                        for _ in range(3 + NT)]
+        + [pltpu.SemaphoreType.DMA((3 + NT,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(*arrs)
+    if NT == 1:
+        outs = (outs,) if not isinstance(outs, (list, tuple)) else outs
+
+    def embed(g):
+        full = jnp.zeros((nx, ny0, nz0), u.dtype)
+        return full.at[H0:H0 + N].set(g[:, :ny0, :nz0])
+
+    return {name: embed(g) for name, g in zip(names, outs)}

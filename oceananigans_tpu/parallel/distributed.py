@@ -116,6 +116,7 @@ def sharded_step_fn(model, dist: Distributed, dt):
     dist.validate_grid(model.grid)
     if (getattr(model, "fused_kernels", False)
             or getattr(model, "fused_correction", False)
+            or getattr(model, "fused_tracer", False)
             or getattr(getattr(model, "pressure_solver", None),
                        "fused", None) == "auto"):
         # Pallas custom-calls are opaque to GSPMD: the partitioner would
@@ -127,6 +128,7 @@ def sharded_step_fn(model, dist: Distributed, dt):
         model = copy.copy(model)
         model.fused_kernels = False
         model.fused_correction = False
+        model.fused_tracer = False
         if hasattr(model, "pressure_solver"):
             model.pressure_solver = copy.copy(model.pressure_solver)
             if hasattr(model.pressure_solver, "fused"):

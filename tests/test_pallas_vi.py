@@ -102,3 +102,104 @@ def test_hydrostatic_model_fused_gate_off_on_cpu():
         grid=grid, momentum_advection=WENOVectorInvariant(),
         tracers=("b",))
     assert model.fused_kernels is False
+
+
+def test_tracer_kernel_matches_div_Uc():
+    """Generic-order fused tracer advection (``ops/pallas_tracer``)
+    equals −div_Uc for orders 5/7/9 (interpret mode, f64)."""
+    from oceananigans_tpu import WENO
+    from oceananigans_tpu.advection import div_Uc
+    from oceananigans_tpu.fields import LOC_C
+    from oceananigans_tpu.ops.pallas_tracer import (
+        tracer_fusion_available, weno_tracer_tendencies,
+    )
+
+    for order, halo in ((5, 3), (7, 4)):
+        sch = WENO(order)
+        grid = RectilinearGrid(size=(16, 12, 8), extent=(1.0, 2.0, 0.5),
+                               topology=(Bounded, Bounded, Bounded),
+                               halo=halo + 1, dtype="float64")
+        assert tracer_fusion_available(grid, sch)
+        u, v, w = _fields(grid, seed=7)
+        rng = np.random.default_rng(11)
+        bcs = regularize_field_boundary_conditions(None, grid, LOC_C)
+        cs = {}
+        for name in ("T", "S"):
+            a = jnp.asarray(rng.standard_normal(grid.shape))
+            cs[name] = fill_halo_regions(a, grid, bcs, LOC_C)
+        got = jax.jit(lambda u, v, w, cs: weno_tracer_tendencies(
+            grid, sch, u, v, w, cs, interpret=True))(u, v, w, cs)
+        S = grid.interior_slices
+        for name in cs:
+            ref = -div_Uc(grid, sch, u, v, w, cs[name])
+            err = float(jnp.max(jnp.abs(got[name][S] - ref[S])))
+            assert err / float(jnp.max(jnp.abs(ref[S]))) < 1e-12
+
+
+def test_hydrostatic_fused_step_matches_xla():
+    """A full hydrostatic step with both fused kernels forced on (CPU
+    interpret mode) matches the XLA path to f64 roundoff — validates the
+    model wiring, not just the kernels."""
+    import dataclasses
+
+    from oceananigans_tpu import WENO
+    from oceananigans_tpu.models import (
+        HydrostaticFreeSurfaceModel, SplitExplicitFreeSurface,
+    )
+
+    grid = RectilinearGrid(size=(16, 12, 8), extent=(1e5, 2e5, 1e3),
+                           topology=(Bounded, Bounded, Bounded), halo=6,
+                           dtype="float64")
+
+    def build(fused):
+        return HydrostaticFreeSurfaceModel(
+            grid=grid, momentum_advection=WENOVectorInvariant(),
+            tracer_advection=WENO(7), tracers=("T",),
+            free_surface=SplitExplicitFreeSurface(substeps=8),
+            fused_kernels=fused)
+
+    m_x = build(False)
+    m_f = build(True)
+    assert m_f.fused_kernels and m_f.fused_tracer
+    state = m_x.initial_state(
+        u=lambda x, y, z: 0.1 * jnp.sin(2 * np.pi * x / 1e5),
+        v=lambda x, y, z: 0.05 * jnp.cos(np.pi * y / 2e5),
+        T=lambda x, y, z: 10.0 + 1e-3 * z)
+    dt = 30.0
+    s_x = jax.jit(lambda s: m_x.step(s, dt))(state)
+    s_f = jax.jit(lambda s: m_f.step(s, dt))(state)
+    S = grid.interior_slices
+    for a, b in ((s_f.u, s_x.u), (s_f.v, s_x.v),
+                 (s_f.tracers["T"], s_x.tracers["T"])):
+        err = float(jnp.max(jnp.abs(a[S] - b[S])))
+        scale = float(jnp.max(jnp.abs(b[S]))) or 1.0
+        assert err / scale < 1e-11, err / scale
+
+
+def test_nonhydrostatic_fused_tracer_step_matches_xla():
+    """Nonhydrostatic WENO(7) tracers route through the generic fused
+    kernel when forced on; a full step matches the XLA path (f64)."""
+    from oceananigans_tpu import WENO
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    grid = RectilinearGrid(size=(16, 12, 8), extent=(1.0, 2.0, 0.5),
+                           topology=(Bounded, Bounded, Bounded), halo=4,
+                           dtype="float64")
+
+    def build(fused):
+        return NonhydrostaticModel(grid=grid, advection=WENO(7),
+                                   tracers=("c",),
+                                   timestepper="QuasiAdamsBashforth2",
+                                   fused_kernels=fused)
+
+    m_x = build(False)
+    m_f = build(True)
+    assert m_f.fused_tracer and not m_f.fused_kernels
+    state = m_x.initial_state(
+        u=lambda x, y, z: 0.1 * jnp.sin(2 * np.pi * x),
+        c=lambda x, y, z: jnp.cos(np.pi * y))
+    s_x = jax.jit(lambda s: m_x.step(s, 1e-3))(state)
+    s_f = jax.jit(lambda s: m_f.step(s, 1e-3))(state)
+    S = grid.interior_slices
+    err = float(jnp.max(jnp.abs(s_f.tracers["c"][S] - s_x.tracers["c"][S])))
+    assert err < 1e-13, err
