@@ -72,18 +72,23 @@ def vi_halo_x(vi):
 
 
 def vi_available(grid, vi) -> bool:
-    """True when the fused kernel applies: regular 3-D rectilinear grid,
-    all four schemes plain WENO (no stretched tables), OnlySelfUpwinding
-    with a Centered(2) cross scheme, and per-axis halo compatibility
-    (axis 0 needs halo >= Hx; axes 1/2 need halo >= their stencil reach
-    or a halo-free periodic tile-aligned layout)."""
+    """True when the fused kernel applies: a regular 3-D rectilinear
+    grid OR a z-regular LatitudeLongitudeGrid (curvature metrics become
+    broadcast y-profiles in VMEM), all four schemes plain WENO (no
+    stretched tables), OnlySelfUpwinding with a Centered(2) cross
+    scheme, and per-axis halo compatibility (axis 0 needs halo >= Hx;
+    axes 1/2 need halo >= their stencil reach or a halo-free periodic
+    tile-aligned layout)."""
     from oceananigans_tpu.advection import Centered
     from oceananigans_tpu.grids.base import Periodic as _P
+    from oceananigans_tpu.grids.latlon import LatitudeLongitudeGrid
     from oceananigans_tpu.grids.rectilinear import RectilinearGrid
     from oceananigans_tpu.models.hydrostatic import (
         CrossAndSelfUpwinding, OnlySelfUpwinding, VectorInvariant,
     )
-    if not (type(grid) is RectilinearGrid and grid.regular):
+    if not ((type(grid) is RectilinearGrid and grid.regular)
+            or (type(grid) is LatitudeLongitudeGrid and grid.z_regular
+                and grid.x_regular)):
         return False
     if not isinstance(vi, VectorInvariant):
         return False
@@ -141,8 +146,34 @@ def _recon(scheme, taps, smooth, U, sel):
     return sel(U, left, right)
 
 
-def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, u_s, v_s, w_s, sems, *,
-            TX, HX, OFF, vi, dx, dy, dz):
+_METRICS = ("dy_vf", "dx_uf", "dx_vf", "dy_uc", "az_ff", "az_cc",
+            "ax_fcc", "ay_cfc", "v_fcc", "v_cfc")
+
+
+def _metric_exprs(grid):
+    """The ten metric combinations the vector-invariant terms use,
+    exactly as the XLA path evaluates them (grid-method provenance in
+    parentheses — scalars on regular rectilinear grids, y-profiles on
+    the sphere)."""
+    from oceananigans_tpu.grids.base import Center, Face
+    return {
+        "dy_vf": grid.dy(Face, Center),    # Δy at v (ζ weight, û/∂yK denom)
+        "dx_uf": grid.dx(Face, Center),    # Δx at u (ζ weight, v̂/∂xK denom)
+        "dx_vf": grid.dx(Center, Face),    # Δx at v (v̂ numerator)
+        "dy_uc": grid.dy(Center, Face),    # Δy at u (û numerator)
+        "az_ff": grid.Az(Face, Face),
+        "az_cc": grid.Az(Center, Center),
+        "ax_fcc": grid.Ax(Face, Center, Center),
+        "ay_cfc": grid.Ay(Center, Face, Center),
+        "v_fcc": grid.V(Face, Center, Center),
+        "v_cfc": grid.V(Center, Face, Center),
+    }
+
+
+def _kernel(*refs, TX, HX, OFF, vi, mvals, morder):
+    u_hbm, v_hbm, w_hbm = refs[:3]
+    marrs = refs[3:3 + len(morder)]
+    gu_ref, gv_ref, u_s, v_s, w_s, sems = refs[3 + len(morder):]
     i = pl.program_id(0)
     x0 = i * TX + OFF          # window start: H0 + i·TX − HX
     W = TX + 2 * HX
@@ -166,8 +197,9 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, u_s, v_s, w_s, sems, *,
     sz = vi.vertical_scheme
     velocity_stencil = vi.vorticity_stencil == "velocity"
 
-    Ax, Ay, Az = dy * dz, dx * dz, dx * dy
-    Vol = dx * dy * dz
+    M = {name: (mvals[name] if mvals[name] is not None
+                else marrs[morder.index(name)][:])
+         for name in _METRICS}
 
     def yn(a, n):   # a[j+n] in y (sublane)
         return pltpu.roll(a, (a.shape[1] - n) % a.shape[1], 1)
@@ -182,9 +214,9 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, u_s, v_s, w_s, sems, *,
     # shared derived slabs
     u2 = 0.5 * u * u
     v2 = 0.5 * v * v
-    au = Ax * u
-    av = Ay * v
-    aw = Az * w
+    au = M["ax_fcc"] * u
+    av = M["ay_cfc"] * v
+    aw = M["az_cc"] * w
     u0, v0, w0 = xs(u, 0), xs(v, 0), xs(w, 0)
 
     # ζ on the widened row range [-Bv+1, TX+Bv) (the v-equation
@@ -193,10 +225,10 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, u_s, v_s, w_s, sems, *,
     # (dx_f(Δy v) − dy_f(Δx u)) / Az (operators.vorticity_z_ff).
     # Zw[r] is ζ at output-relative x offset r - (Bv - 1).
     WZ = TX + 2 * Bv - 1
-    dyv_w = dy * xs(v, -Bv + 1, WZ)
-    dyv_wm = dy * xs(v, -Bv, WZ)
-    dxu_w = dx * xs(u, -Bv + 1, WZ)
-    Zw = ((dyv_w - dyv_wm) - (dxu_w - yn(dxu_w, -1))) / Az
+    dyv_w = M["dy_vf"] * xs(v, -Bv + 1, WZ)
+    dyv_wm = M["dy_vf"] * xs(v, -Bv, WZ)
+    dxu_w = M["dx_uf"] * xs(u, -Bv + 1, WZ)
+    Zw = ((dyv_w - dyv_wm) - (dxu_w - yn(dxu_w, -1))) / M["az_ff"]
     Z0 = Zw[Bv - 1:Bv - 1 + TX]
 
     # VelocityStencil smoothness fields at ζ's (f,f) location
@@ -210,11 +242,11 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, u_s, v_s, w_s, sems, *,
     # Gu at (f,c,c):  +ζ·v̂ − ∂x K − w ∂z u  (VectorInvariant.u_tendency)
     # ==================================================================
     # -- ζ term: v̂ = ℑxℑy(Δx v)/Δx; ζ reconstructed to y-centers (o=1)
-    dxv0 = dx * v0
-    dxvm = dx * xs(v, -1)
+    dxv0 = M["dx_vf"] * v0
+    dxvm = M["dx_vf"] * xs(v, -1)
     t0 = 0.5 * (yn(dxv0, 1) + dxv0)
     tm = 0.5 * (yn(dxvm, 1) + dxvm)
-    vhat = 0.5 * (t0 + tm) / dx
+    vhat = 0.5 * (t0 + tm) / M["dx_uf"]
     taps = {n: yn(Z0, n + 1) for n in range(-Bv, Bv)}
     smooth = ([{n: yn(S1_0, n + 1) for n in range(-Bv, Bv)},
                {n: yn(S2_0, n + 1) for n in range(-Bv, Bv)}]
@@ -228,7 +260,7 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, u_s, v_s, w_s, sems, *,
     duR = _recon(ske, taps, smooth, u0, _sel3)
     Dv2 = xs(v2, 0) - xs(v2, -1)                    # δx(v²/2) at (f,f,c)
     dvS = 0.5 * Dv2 + 0.5 * yn(Dv2, 1)              # Centered(2), Y, o=1
-    gu = gu - (duR + dvS) / dx
+    gu = gu - (duR + dvS) / M["dx_uf"]
 
     # -- vertical + divergence flux (OnlySelfUpwinding)
     taps = {n: xs(au, n + 1) - xs(au, n) for n in range(-Bd, Bd)}
@@ -241,17 +273,17 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, u_s, v_s, w_s, sems, *,
     taps = {n: zn(u0, n) for n in range(-Bz, Bz)}
     uz = _recon(sz, taps, None, Wadv, _sel2)
     Fz = Wadv * uz
-    gu = gu - (phi + zn(Fz, 1) - Fz) / Vol
+    gu = gu - (phi + zn(Fz, 1) - Fz) / M["v_fcc"]
     gu_ref[:] = gu
 
     # ==================================================================
     # Gv at (c,f,c):  −ζ·û − ∂y K − w ∂z v  (VectorInvariant.v_tendency)
     # ==================================================================
     # -- ζ term: û = ℑyℑx(Δy u)/Δy; ζ reconstructed to x-centers (o=1)
-    dyu0 = dy * u0
-    dyup = dy * xs(u, 1)
+    dyu0 = M["dy_uc"] * u0
+    dyup = M["dy_uc"] * xs(u, 1)
     t = 0.5 * (dyup + dyu0)
-    uhat = 0.5 * (t + yn(t, -1)) / dy
+    uhat = 0.5 * (t + yn(t, -1)) / M["dy_vf"]
     taps = {n: Zw[Bv + n: Bv + n + TX] for n in range(-Bv, Bv)}
     smooth = ([{n: S1w[Bv + n: Bv + n + TX] for n in range(-Bv, Bv)},
                {n: S2w[Bv + n: Bv + n + TX] for n in range(-Bv, Bv)}]
@@ -268,7 +300,7 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, u_s, v_s, w_s, sems, *,
     Du2_0 = u2_0 - yn(u2_0, -1)                     # δy(u²/2) at (f,f,c)
     Du2_1 = u2_1 - yn(u2_1, -1)
     duS = 0.5 * Du2_0 + 0.5 * Du2_1                 # Centered(2), X, o=1
-    gv = gv - (dvR + duS) / dy
+    gv = gv - (dvR + duS) / M["dy_vf"]
 
     # -- vertical + divergence flux
     av0 = xs(av, 0)
@@ -283,7 +315,7 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, u_s, v_s, w_s, sems, *,
     taps = {n: zn(v0, n) for n in range(-Bz, Bz)}
     vz = _recon(sz, taps, None, Wadv, _sel2)
     Fz = Wadv * vz
-    gv = gv - (phi + zn(Fz, 1) - Fz) / Vol
+    gv = gv - (phi + zn(Fz, 1) - Fz) / M["v_cfc"]
     gv_ref[:] = gv
 
 
@@ -320,20 +352,52 @@ def vi_momentum_tendency(grid, vi, u, v, w, tile_x=None, interpret=False):
     while TX > 1 and N % TX:
         TX //= 2
     gx = N // TX
-    dx = float(grid.Lx / grid.Nx)
-    dy = float(grid.Ly / grid.Ny)
-    dz = float(grid.Lz / grid.Nz)
 
-    kern = partial(_kernel, TX=TX, HX=HX, OFF=H0 - HX, vi=vi, dx=dx,
-                   dy=dy, dz=dz)
+    # metrics: static scalars on regular rectilinear grids; otherwise
+    # (the sphere's curvature factors) (1, ny, nz) VMEM-resident
+    # operands. The float-vs-array split must be decided from STATIC
+    # grid info — under jit the metric arrays are tracers.
+    from oceananigans_tpu.grids.rectilinear import RectilinearGrid
+    mvals = {name: None for name in _METRICS}
+    marrs = []
+    morder = []
+    if type(grid) is RectilinearGrid:
+        dxc = grid.Lx / grid.Nx
+        dyc = grid.Ly / grid.Ny
+        dzc = grid.Lz / grid.Nz
+        mvals.update(dy_vf=dyc, dx_uf=dxc, dx_vf=dxc, dy_uc=dyc,
+                     az_ff=dxc * dyc, az_cc=dxc * dyc, ax_fcc=dyc * dzc,
+                     ay_cfc=dxc * dzc, v_fcc=dxc * dyc * dzc,
+                     v_cfc=dxc * dyc * dzc)
+    else:
+        for name, expr in _metric_exprs(grid).items():
+            a = jnp.asarray(expr, u.dtype)
+            if a.ndim == 3 and a.shape[0] > 1:
+                # x-regular grids (gated): rows differ only by
+                # coordinate-generation ulps; a representative interior
+                # row stands in
+                a = a[H0:H0 + 1]
+            morder.append(name)
+            prof = jnp.broadcast_to(a, (1, ny0, nz0))
+            if (ny, nz) != (ny0, nz0):
+                prof = jnp.pad(prof, ((0, 0), (0, ny - ny0),
+                                      (0, nz - nz0)), mode="edge")
+            marrs.append(prof)
+    morder = tuple(morder)
+
+    kern = partial(_kernel, TX=TX, HX=HX, OFF=H0 - HX, vi=vi, mvals=mvals,
+                   morder=morder)
     out_shape = [jax.ShapeDtypeStruct((N, ny, nz), u.dtype)] * 2
     out_spec = pl.BlockSpec((TX, ny, nz), index_map=lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((1, ny, nz), index_map=lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
 
     gu, gv = pl.pallas_call(
         kern,
         grid=(gx,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+        + [m_spec] * len(morder),
         out_specs=[out_spec] * 2,
         out_shape=out_shape,
         scratch_shapes=[
@@ -345,7 +409,7 @@ def vi_momentum_tendency(grid, vi, u, v, w, tile_x=None, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(u, v, w)
+    )(u, v, w, *marrs)
 
     def embed(g):
         full = jnp.zeros((nx, ny0, nz0), u.dtype)

@@ -203,3 +203,17 @@ def test_nonhydrostatic_fused_tracer_step_matches_xla():
     S = grid.interior_slices
     err = float(jnp.max(jnp.abs(s_f.tracers["c"][S] - s_x.tracers["c"][S])))
     assert err < 1e-13, err
+
+
+def test_vi_kernel_matches_xla_latlon():
+    """Lat-lon grid: the sphere's curvature metrics become broadcast
+    y-profiles in VMEM; the kernel matches the XLA path on a rotating-
+    sphere sector (f64, interpret)."""
+    from oceananigans_tpu import LatitudeLongitudeGrid
+
+    vi = WENOVectorInvariant()
+    grid = LatitudeLongitudeGrid(size=(24, 16, 8), longitude=(-30.0, 30.0),
+                                 latitude=(15.0, 55.0), z=(-1000.0, 0.0),
+                                 halo=6, dtype="float64")
+    assert vi_available(grid, vi)
+    _check(vi, grid)
