@@ -28,13 +28,17 @@ __all__ = ["weno_tracer_tendencies", "tracer_fusion_available"]
 
 
 def tracer_fusion_available(grid, scheme) -> bool:
-    """True when the fused kernel applies: regular 3-D rectilinear grid,
-    plain WENO of any order (no bounds, no stretched tables), per-axis
-    halo >= buffer or halo-free periodic tile-aligned."""
+    """True when the fused kernel applies: a regular 3-D rectilinear
+    grid OR a z/x-regular LatitudeLongitudeGrid, plain WENO of any order
+    (no bounds, no stretched tables), per-axis halo >= buffer or
+    halo-free periodic tile-aligned."""
     from oceananigans_tpu.advection import WENO
     from oceananigans_tpu.grids.base import Periodic as _P
+    from oceananigans_tpu.grids.latlon import LatitudeLongitudeGrid
     from oceananigans_tpu.grids.rectilinear import RectilinearGrid
-    if not (type(grid) is RectilinearGrid and grid.regular):
+    if not ((type(grid) is RectilinearGrid and grid.regular)
+            or (type(grid) is LatitudeLongitudeGrid and grid.z_regular
+                and grid.x_regular)):
         return False
     if not (type(scheme) is WENO and scheme.bounds is None
             and getattr(scheme, "_tables", None) is None):
@@ -62,12 +66,32 @@ def _recon(scheme, taps, U):
     return jnp.where(U > 0, left, right)
 
 
-def _kernel(*refs, TX, OFF, NT, scheme, dx, dy, dz):
+_METRICS = ("ax_fcc", "ay_cfc", "az_cc", "v_ccc")
+
+
+def _metric_exprs(grid):
+    """The face areas / cell volume the tracer flux divergence uses
+    (reference ``div_Uc``)."""
+    from oceananigans_tpu.grids.base import Center, Face
+    return {
+        "ax_fcc": grid.Ax(Face, Center, Center),
+        "ay_cfc": grid.Ay(Center, Face, Center),
+        "az_cc": grid.Az(Center, Center),
+        "v_ccc": grid.V(Center, Center, Center),
+    }
+
+
+def _kernel(*refs, TX, OFF, NT, scheme, mvals, morder):
+    NM = len(morder)
     u_hbm, v_hbm, w_hbm = refs[:3]
     c_hbms = refs[3:3 + NT]
-    g_refs = refs[3 + NT:3 + 2 * NT]
-    scratches = refs[3 + 2 * NT:3 + 2 * NT + 3 + NT]
+    marr_refs = refs[3 + NT:3 + NT + NM]
+    g_refs = refs[3 + NT + NM:3 + 2 * NT + NM]
+    scratches = refs[3 + 2 * NT + NM:3 + 2 * NT + NM + 3 + NT]
     sems = refs[-1]
+    M = {name: (mvals[name] if mvals[name] is not None
+                else marr_refs[morder.index(name)][:])
+         for name in _METRICS}
     B = (scheme.order + 1) // 2
     i = pl.program_id(0)
     x0 = i * TX + OFF
@@ -86,9 +110,6 @@ def _kernel(*refs, TX, OFF, NT, scheme, dx, dy, dz):
     v = scratches[1][:]
     w = scratches[2][:]
 
-    Ax, Ay, Az = dy * dz, dx * dz, dx * dy
-    Vol = dx * dy * dz
-
     def yn(a, n):
         return pltpu.roll(a, (a.shape[1] - n) % a.shape[1], 1)
 
@@ -98,9 +119,9 @@ def _kernel(*refs, TX, OFF, NT, scheme, dx, dy, dz):
     def xs(a, n, cnt=TX):
         return a[B + n: B + n + cnt]
 
-    au_f = Ax * xs(u, 0, TX + 1)            # Ax·u at x-faces [0, TX]
-    av0 = Ay * xs(v, 0)
-    aw0 = Az * xs(w, 0)
+    au_f = M["ax_fcc"] * xs(u, 0, TX + 1)   # Ax·u at x-faces [0, TX]
+    av0 = M["ay_cfc"] * xs(v, 0)
+    aw0 = M["az_cc"] * xs(w, 0)
     u_f = xs(u, 0, TX + 1)
     v0, w0 = xs(v, 0), xs(w, 0)
 
@@ -119,7 +140,7 @@ def _kernel(*refs, TX, OFF, NT, scheme, dx, dy, dz):
         taps = {n: zn(c0, n) for n in range(-B, B)}
         Fz = aw0 * _recon(scheme, taps, w0)
         g = g + (zn(Fz, 1) - Fz)
-        g_refs[t][:] = -g / Vol
+        g_refs[t][:] = -g / M["v_ccc"]
 
 
 def weno_tracer_tendencies(grid, scheme, u, v, w, tracers, tile_x=None,
@@ -156,19 +177,44 @@ def weno_tracer_tendencies(grid, scheme, u, v, w, tracers, tile_x=None,
     while TX > 1 and N % TX:
         TX //= 2
     gx = N // TX
-    dx = float(grid.Lx / grid.Nx)
-    dy = float(grid.Ly / grid.Ny)
-    dz = float(grid.Lz / grid.Nz)
+
+    # metrics: static scalars on regular rectilinear grids, VMEM
+    # y-profiles otherwise (see pallas_vi)
+    from oceananigans_tpu.grids.rectilinear import RectilinearGrid
+    mvals = {name: None for name in _METRICS}
+    marrs = []
+    morder = []
+    if type(grid) is RectilinearGrid:
+        dxc = grid.Lx / grid.Nx
+        dyc = grid.Ly / grid.Ny
+        dzc = grid.Lz / grid.Nz
+        mvals.update(ax_fcc=dyc * dzc, ay_cfc=dxc * dzc, az_cc=dxc * dyc,
+                     v_ccc=dxc * dyc * dzc)
+    else:
+        for name, expr in _metric_exprs(grid).items():
+            a = jnp.asarray(expr, u.dtype)
+            if a.ndim == 3 and a.shape[0] > 1:
+                a = a[H0:H0 + 1]
+            morder.append(name)
+            prof = jnp.broadcast_to(a, (1, ny0, nz0))
+            if (ny, nz) != (ny0, nz0):
+                prof = jnp.pad(prof, ((0, 0), (0, ny - ny0),
+                                      (0, nz - nz0)), mode="edge")
+            marrs.append(prof)
+    morder = tuple(morder)
 
     kern = partial(_kernel, TX=TX, OFF=H0 - B, NT=NT, scheme=scheme,
-                   dx=dx, dy=dy, dz=dz)
+                   mvals=mvals, morder=morder)
     out_shape = [jax.ShapeDtypeStruct((N, ny, nz), u.dtype)] * NT
     out_spec = pl.BlockSpec((TX, ny, nz), index_map=lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((1, ny, nz), index_map=lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kern,
         grid=(gx,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (3 + NT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (3 + NT)
+        + [m_spec] * len(morder),
         out_specs=[out_spec] * NT,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((TX + 2 * B, ny, nz), u.dtype)
@@ -177,7 +223,7 @@ def weno_tracer_tendencies(grid, scheme, u, v, w, tracers, tile_x=None,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(*arrs)
+    )(*arrs, *marrs)
     if NT == 1:
         outs = (outs,) if not isinstance(outs, (list, tuple)) else outs
 

@@ -217,3 +217,31 @@ def test_vi_kernel_matches_xla_latlon():
                                  halo=6, dtype="float64")
     assert vi_available(grid, vi)
     _check(vi, grid)
+
+
+def test_tracer_kernel_matches_div_Uc_latlon():
+    """Fused tracer advection on a lat-lon grid (curvature metrics as
+    VMEM profiles) equals −div_Uc (f64, interpret)."""
+    from oceananigans_tpu import LatitudeLongitudeGrid, WENO
+    from oceananigans_tpu.advection import div_Uc
+    from oceananigans_tpu.fields import LOC_C
+    from oceananigans_tpu.ops.pallas_tracer import (
+        tracer_fusion_available, weno_tracer_tendencies,
+    )
+
+    sch = WENO(7)
+    grid = LatitudeLongitudeGrid(size=(24, 16, 8), longitude=(-30.0, 30.0),
+                                 latitude=(15.0, 55.0), z=(-1000.0, 0.0),
+                                 halo=5, dtype="float64")
+    assert tracer_fusion_available(grid, sch)
+    u, v, w = _fields(grid, seed=9)
+    rng = np.random.default_rng(13)
+    bcs = regularize_field_boundary_conditions(None, grid, LOC_C)
+    c = fill_halo_regions(jnp.asarray(rng.standard_normal(grid.shape)),
+                          grid, bcs, LOC_C)
+    got = jax.jit(lambda u, v, w, c: weno_tracer_tendencies(
+        grid, sch, u, v, w, {"T": c}, interpret=True))(u, v, w, c)
+    S = grid.interior_slices
+    ref = -div_Uc(grid, sch, u, v, w, c)
+    err = float(jnp.max(jnp.abs(got["T"][S] - ref[S])))
+    assert err / float(jnp.max(jnp.abs(ref[S]))) < 1e-12
