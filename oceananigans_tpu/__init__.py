@@ -31,9 +31,17 @@ from oceananigans_tpu.immersed import (
     ImmersedBoundaryGrid, GridFittedBottom, GridFittedBoundary,
     PartialCellBottom, ImmersedBoundaryCondition,
 )
+from oceananigans_tpu.grids import (
+    nodes, xnodes, ynodes, znodes, rnodes, lambda_nodes, phi_nodes,
+    xspacings, yspacings, zspacings, rspacings,
+    lambda_spacings, phi_spacings,
+    minimum_xspacing, minimum_yspacing, minimum_zspacing,
+)
 from oceananigans_tpu.boundary_conditions import (
     BoundaryCondition,
     PeriodicBC, FluxBC, ValueBC, GradientBC, OpenBC,
+    FluxBoundaryCondition, ValueBoundaryCondition,
+    GradientBoundaryCondition, OpenBoundaryCondition,
     FlatExtrapolationOpenBC, PerturbationAdvection,
     PerturbationAdvectionOpenBC,
     FieldBoundaryConditions,
@@ -41,6 +49,8 @@ from oceananigans_tpu.boundary_conditions import (
 )
 from oceananigans_tpu.fields import (
     new_field, set_field,
+    Field, CenterField, XFaceField, YFaceField, ZFaceField,
+    BackgroundField,
     FunctionField, ConstantField, ZeroField, interior, with_interior,
     field_mean, field_max, field_min, field_abs_max, field_integral,
     interpolate,
@@ -59,30 +69,61 @@ from oceananigans_tpu.coriolis import (
 )
 from oceananigans_tpu.buoyancy import (
     BuoyancyTracer, SeawaterBuoyancy, LinearEquationOfState, BuoyancyForce,
+    TEOS10EquationOfState, TEOS10, BuoyancyField,
 )
+from oceananigans_tpu.stokes_drift import UniformStokesDrift, StokesDrift
 from oceananigans_tpu.closures import (
     ScalarDiffusivity, VerticalScalarDiffusivity,
     HorizontalScalarDiffusivity, ScalarBiharmonicDiffusivity,
-    SmagorinskyLilly, DynamicSmagorinsky, AnisotropicMinimumDissipation,
+    VerticalScalarBiharmonicDiffusivity,
+    HorizontalScalarBiharmonicDiffusivity,
+    SmagorinskyLilly, DynamicSmagorinsky, Smagorinsky,
+    LillyCoefficient, DynamicCoefficient,
+    AnisotropicMinimumDissipation,
     ConvectiveAdjustmentVerticalDiffusivity,
     ExplicitTimeDiscretization, VerticallyImplicitTimeDiscretization,
+    viscosity, diffusivity,
+)
+from oceananigans_tpu.closures_ocean import (
+    CATKEVerticalDiffusivity, RiBasedVerticalDiffusivity,
+    TKEDissipationVerticalDiffusivity, IsopycnalSkewSymmetricDiffusivity,
+    LeithEnstrophyDiffusivity,
 )
 from oceananigans_tpu.forcings import (
     AdvectiveForcing, Forcing, Relaxation, GaussianMask, LinearTarget,
     MultipleForcings,
 )
-from oceananigans_tpu.models import NonhydrostaticModel
+from oceananigans_tpu.particles import LagrangianParticles
+from oceananigans_tpu.timesteppers import Clock
+from oceananigans_tpu.models import (
+    NonhydrostaticModel, HydrostaticFreeSurfaceModel, ShallowWaterModel,
+    ConservativeFormulation, VectorInvariantFormulation,
+    ExplicitFreeSurface, ImplicitFreeSurface, SplitExplicitFreeSurface,
+    VectorInvariant, WENOVectorInvariant,
+    OnlySelfUpwinding, CrossAndSelfUpwinding,
+    PrescribedVelocityFields, ZCoordinate, ZStar,
+    PressureField,
+)
 from oceananigans_tpu.simulation import (
     Callback, Simulation, TendencyCallsite, TimeStepCallsite,
     TimeStepWizard, UpdateStateCallsite,
 )
 from oceananigans_tpu.utils.schedules import (
     TimeInterval, IterationInterval, WallTimeInterval, SpecifiedTimes,
-    AveragedTimeInterval,
+    AveragedTimeInterval, AndSchedule, OrSchedule,
+)
+from oceananigans_tpu.diagnostics import (
+    CFL, AdvectiveCFL, DiffusiveCFL, seawater_density,
+)
+from oceananigans_tpu.operations import (
+    Average, Integral, CumulativeIntegral, ConditionalAverage,
+    Reduction, Accumulation, KernelFunctionOperation,
 )
 from oceananigans_tpu.output import (
-    HDF5Writer, JLD2Writer, Checkpointer, FieldTimeSeries,
-    FileSizeLimit, InMemory, OnDisk, load_field_time_series,
+    HDF5Writer, JLD2Writer, NetCDFWriter, Checkpointer, FieldTimeSeries,
+    FieldDataset, FileSizeLimit, InMemory, OnDisk, load_field_time_series,
 )
+from oceananigans_tpu.parallel import Distributed, Partition
+from oceananigans_tpu.utils.pretty import prettytime
 
 __version__ = "0.1.0"

@@ -472,3 +472,12 @@ def apply_flux_bcs(G, grid, bcs, loc=(Center, Center, Center), time=None,
             dcell = d[_axslice(axis, slice(idx, idx + 1))] if d.ndim == 3 else d
             G = G.at[sl].add(sign * q / dcell)
     return G
+
+
+# Reference long-form constructor names (``src/Oceananigans.jl`` exports
+# FluxBoundaryCondition etc.; the short forms above match the reference's
+# own internal aliases).
+FluxBoundaryCondition = FluxBC
+ValueBoundaryCondition = ValueBC
+GradientBoundaryCondition = GradientBC
+OpenBoundaryCondition = OpenBC

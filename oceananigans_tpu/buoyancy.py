@@ -219,3 +219,16 @@ def buoyancy_frequency(grid, buoyancy, tracers):
         return None
     b = buoyancy.buoyancy_ccc(grid, tracers)
     return ddz_f(grid, b)
+
+
+# Reference export alias (``src/Oceananigans.jl`` exports ``TEOS10``).
+TEOS10 = TEOS10EquationOfState
+
+
+def BuoyancyField(model, state):
+    """Buoyancy at cell centers from the model's formulation and the
+    state's tracers (reference ``src/BuoyancyFormulations/buoyancy_field.jl``
+    ``BuoyancyField(model)``)."""
+    if model.buoyancy is None:
+        raise ValueError("model has no buoyancy formulation")
+    return model.buoyancy.buoyancy_ccc(model.grid, state.tracers)

@@ -31,12 +31,16 @@ from oceananigans_tpu.solvers.tridiagonal import tridiagonal_solve
 __all__ = [
     "ScalarDiffusivity", "VerticalScalarDiffusivity",
     "HorizontalScalarDiffusivity", "ScalarBiharmonicDiffusivity",
-    "SmagorinskyLilly", "DynamicSmagorinsky", "AnisotropicMinimumDissipation",
+    "VerticalScalarBiharmonicDiffusivity",
+    "HorizontalScalarBiharmonicDiffusivity",
+    "SmagorinskyLilly", "DynamicSmagorinsky", "Smagorinsky",
+    "LillyCoefficient", "DynamicCoefficient",
+    "AnisotropicMinimumDissipation",
     "ConvectiveAdjustmentVerticalDiffusivity",
     "ExplicitTimeDiscretization", "VerticallyImplicitTimeDiscretization",
     "compute_diffusivities", "momentum_flux_divergences",
     "tracer_flux_divergence", "implicit_vertical_diffusion_step",
-    "closure_is_vertically_implicit",
+    "closure_is_vertically_implicit", "viscosity", "diffusivity",
 ]
 
 X, Y, Z = 0, 1, 2
@@ -121,32 +125,38 @@ def _div_c_fluxes(grid, fx_fcc, fy_cfc, fz_ccf):
                 Center, Center, Center)
 
 
-def _laplacian_momentum_divs(grid, nu_ccc, u, v, w, include_z=True):
+def _laplacian_momentum_divs(grid, nu_ccc, u, v, w, include_z=True,
+                             include_h=True):
     """(∇·τ)ᵤ,ᵥ,... for an isotropic (possibly spatially-varying) viscosity
     in "gradient" (Laplacian) form — matches the reference's
     `viscous_flux_ux = -ν ∂x u` family for ScalarDiffusivity."""
-    zero = 0.0 if include_z else None
+    zeros_u = jnp.zeros_like(u)
 
     # u fluxes
-    fxx = _nu_at(nu_ccc, "") * dx_c(u) / grid.dx(Center, Center)
-    fxy = _nu_at(nu_ccc, "xy") * dy_f(u) / grid.dy(Face, Face)
+    fxx = (_nu_at(nu_ccc, "") * dx_c(u) / grid.dx(Center, Center)
+           if include_h else zeros_u)
+    fxy = (_nu_at(nu_ccc, "xy") * dy_f(u) / grid.dy(Face, Face)
+           if include_h else zeros_u)
     fxz = (_nu_at(nu_ccc, "xz") * dz_f(u) / grid.dz(Face)
-           if include_z else None)
+           if include_z else zeros_u)
     # v fluxes
-    fyx = _nu_at(nu_ccc, "xy") * dx_f(v) / grid.dx(Face, Face)
-    fyy = _nu_at(nu_ccc, "") * dy_c(v) / grid.dy(Center, Center)
+    fyx = (_nu_at(nu_ccc, "xy") * dx_f(v) / grid.dx(Face, Face)
+           if include_h else zeros_u)
+    fyy = (_nu_at(nu_ccc, "") * dy_c(v) / grid.dy(Center, Center)
+           if include_h else zeros_u)
     fyz = (_nu_at(nu_ccc, "yz") * dz_f(v) / grid.dz(Face)
-           if include_z else None)
+           if include_z else zeros_u)
     # w fluxes
-    fzx = _nu_at(nu_ccc, "xz") * dx_f(w) / grid.dx(Face, Center)
-    fzy = _nu_at(nu_ccc, "yz") * dy_f(w) / grid.dy(Face, Center)
+    fzx = (_nu_at(nu_ccc, "xz") * dx_f(w) / grid.dx(Face, Center)
+           if include_h else zeros_u)
+    fzy = (_nu_at(nu_ccc, "yz") * dy_f(w) / grid.dy(Face, Center)
+           if include_h else zeros_u)
     fzz = (_nu_at(nu_ccc, "") * dz_c(w) / grid.dz(Center)
-           if include_z else None)
+           if include_z else zeros_u)
 
-    zeros_u = jnp.zeros_like(u)
-    du = _div_u_fluxes(grid, fxx, fxy, fxz if include_z else zeros_u)
-    dv = _div_v_fluxes(grid, fyx, fyy, fyz if include_z else zeros_u)
-    dw = _div_w_fluxes(grid, fzx, fzy, fzz if include_z else zeros_u)
+    du = _div_u_fluxes(grid, fxx, fxy, fxz)
+    dv = _div_v_fluxes(grid, fyx, fyy, fyz)
+    dw = _div_w_fluxes(grid, fzx, fzy, fzz)
     return du, dv, dw
 
 
@@ -267,10 +277,13 @@ class ScalarBiharmonicDiffusivity(AbstractClosure):
     def momentum_flux_divergences(self, grid, u, v, w, tracers, diffusivities,
                                   include_implicit=True):
         include_z = self.isotropy != "horizontal"
+        include_h = self.isotropy != "vertical"
         lu, lv, lw = _laplacian_momentum_divs(grid, 1.0, u, v, w,
-                                              include_z=include_z)
+                                              include_z=include_z,
+                                              include_h=include_h)
         du, dv, dw = _laplacian_momentum_divs(grid, self.nu, lu, lv, lw,
-                                              include_z=include_z)
+                                              include_z=include_z,
+                                              include_h=include_h)
         return -du, -dv, -dw
 
     def tracer_flux_divergence(self, grid, name, c, tracers, diffusivities,
@@ -761,3 +774,86 @@ def _is_zero(x):
 def _face_z(kappa):
     """Coefficient already lives at z-faces for CAVD; scalars pass through."""
     return kappa
+
+
+# ---------------------------------------------------------------------------
+# Reference constructor-name parity
+# ---------------------------------------------------------------------------
+
+def VerticalScalarBiharmonicDiffusivity(nu=0.0, kappa=0.0):
+    """Biharmonic fluxes in z only (reference
+    ``scalar_biharmonic_diffusivity.jl`` ``VerticalScalarBiharmonicDiffusivity``)."""
+    return ScalarBiharmonicDiffusivity(nu=nu, kappa=kappa,
+                                       isotropy="vertical")
+
+
+def HorizontalScalarBiharmonicDiffusivity(nu=0.0, kappa=0.0):
+    """Biharmonic fluxes in (x, y) only — the standard mesoscale
+    hyperviscosity (reference ``HorizontalScalarBiharmonicDiffusivity``)."""
+    return ScalarBiharmonicDiffusivity(nu=nu, kappa=kappa,
+                                       isotropy="horizontal")
+
+
+class LillyCoefficient:
+    """Constant Smagorinsky coefficient with Lilly's buoyancy modification
+    (reference ``Smagorinskys/lilly_coefficient.jl``)."""
+
+    def __init__(self, smagorinsky=0.16, reduction_factor=1.0):
+        self.smagorinsky = float(smagorinsky)
+        self.reduction_factor = float(reduction_factor)
+
+
+class DynamicCoefficient:
+    """Germano-identity dynamic coefficient, averaged over ``dims``
+    (reference ``Smagorinskys/dynamic_coefficient.jl``; here the classic
+    plane-averaged Germano-Lilly form)."""
+
+    def __init__(self, averaging=(0, 1)):
+        if isinstance(averaging, int):
+            averaging = (averaging,)
+        self.averaging = tuple(averaging)
+
+
+def Smagorinsky(coefficient=None, Cb=1.0, Pr=1.0):
+    """Reference ``Smagorinsky(; coefficient, Pr)``: dispatches on the
+    coefficient type — a number or :class:`LillyCoefficient` gives the
+    static :class:`SmagorinskyLilly`, a :class:`DynamicCoefficient` the
+    Germano-identity :class:`DynamicSmagorinsky`."""
+    if coefficient is None:
+        coefficient = LillyCoefficient()
+    if isinstance(coefficient, DynamicCoefficient):
+        return DynamicSmagorinsky(Pr=Pr, averaging_dims=coefficient.averaging)
+    if isinstance(coefficient, LillyCoefficient):
+        return SmagorinskyLilly(C=coefficient.smagorinsky,
+                                Cb=Cb * coefficient.reduction_factor, Pr=Pr)
+    return SmagorinskyLilly(C=float(coefficient), Cb=Cb, Pr=Pr)
+
+
+def viscosity(closure, diffusivities):
+    """The closure's eddy (or molecular) viscosity — reference
+    ``viscosity(closure, diffusivity_fields)``. Returns a number or a
+    whole-array field depending on the closure."""
+    if isinstance(closure, (tuple, list)):
+        return tuple(viscosity(c, d)
+                     for c, d in zip(closure, diffusivities))
+    if diffusivities:
+        for key in ("nu_e", "nu_z_ccf"):
+            if key in diffusivities:
+                return diffusivities[key]
+    return getattr(closure, "nu", 0.0)
+
+
+def diffusivity(closure, diffusivities, name=None):
+    """The closure's tracer diffusivity (reference
+    ``diffusivity(closure, diffusivity_fields, ::Val{name})``)."""
+    if isinstance(closure, (tuple, list)):
+        return tuple(diffusivity(c, d, name)
+                     for c, d in zip(closure, diffusivities))
+    if diffusivities:
+        for key in ("kappa_e", "kappa_e_ccf", "kappa_z_ccf"):
+            if key in diffusivities:
+                return diffusivities[key]
+        if "nu_e" in diffusivities:   # Pr-scaled LES closures
+            Pr = _kappa_for(getattr(closure, "Pr", 1.0), name) or 1.0
+            return diffusivities["nu_e"] / Pr
+    return _kappa_for(getattr(closure, "kappa", 0.0), name)

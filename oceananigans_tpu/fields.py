@@ -212,3 +212,52 @@ def ConstantField(value):
 
 def ZeroField():
     return ConstantField(0.0)
+
+
+# ---------------------------------------------------------------------------
+# Reference-style field constructors (``src/Fields/field.jl`` Field,
+# CenterField/XFaceField/YFaceField/ZFaceField). Fields here are plain
+# halo-extended arrays; the constructors are conveniences that build one at
+# a staggered location from a number / array / function.
+# ---------------------------------------------------------------------------
+
+def Field(grid, value=0.0, loc=LOC_C, dtype=None):
+    """A halo-extended array at ``loc`` initialised from ``value``
+    (number, interior- or full-shaped array, or ``f(x, y, z)``)."""
+    return set_field(grid, value, loc=loc, dtype=dtype)
+
+
+def CenterField(grid, value=0.0, dtype=None):
+    return set_field(grid, value, loc=LOC_C, dtype=dtype)
+
+
+def XFaceField(grid, value=0.0, dtype=None):
+    return set_field(grid, value, loc=LOC_U, dtype=dtype)
+
+
+def YFaceField(grid, value=0.0, dtype=None):
+    return set_field(grid, value, loc=LOC_V, dtype=dtype)
+
+
+def ZFaceField(grid, value=0.0, dtype=None):
+    return set_field(grid, value, loc=LOC_W, dtype=dtype)
+
+
+class BackgroundField:
+    """A background field ``f(x, y, z, *parameters)`` for the mean-flow
+    decomposition (reference ``src/Fields/background_fields.jl``
+    ``BackgroundField(func; parameters)``). Instances are callables with
+    the ``(x, y, z)`` signature ``set_field`` evaluates, so they can be
+    passed directly in a model's ``background_fields`` dict."""
+
+    def __init__(self, func, parameters=None):
+        self.func = func
+        self.parameters = parameters
+
+    def __call__(self, x, y, z):
+        if self.parameters is None:
+            return self.func(x, y, z)
+        return self.func(x, y, z, self.parameters)
+
+    def __repr__(self):
+        return f"BackgroundField({self.func!r}, parameters={self.parameters!r})"

@@ -43,3 +43,80 @@ __all__ = [
     "RotatedLatitudeLongitudeGrid",
     "total_length",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Module-level node/spacing queries (reference
+# ``src/Grids/nodes_and_spacings.jl``: nodes, xnodes/ynodes/znodes,
+# λnodes/φnodes, xspacings..., minimum_xspacing...). These are thin
+# functional wrappers over the grid methods.
+# ---------------------------------------------------------------------------
+
+def nodes(grid, locs=(Center, Center, Center), **kw):
+    return grid.nodes(locs, **kw) if kw else grid.nodes(locs)
+
+
+def xnodes(grid, loc=Center, **kw):
+    return grid.xnodes(loc, **kw)
+
+
+def ynodes(grid, loc=Center, **kw):
+    return grid.ynodes(loc, **kw)
+
+
+def znodes(grid, loc=Center, **kw):
+    return grid.znodes(loc, **kw)
+
+
+# On curvilinear (lat-lon, rotated, tripolar) grids the x/y coordinates ARE
+# longitude/latitude, so the λ/φ queries alias the x/y ones.
+lambda_nodes = λnodes = xnodes
+phi_nodes = φnodes = ynodes
+rnodes = znodes
+
+
+def _interior_spacing(grid, d):
+    import numpy as _np
+    sl = [slice(None)] * 3
+    for ax in range(3):
+        if _np.shape(d)[ax] > 1:
+            sl[ax] = grid.interior_slices[ax]
+    return d[tuple(sl)]
+
+
+def xspacings(grid, lx=Center, ly=Center):
+    return _interior_spacing(grid, grid.dx(lx, ly))
+
+
+def yspacings(grid, ly=Center, lx=Center):
+    return _interior_spacing(grid, grid.dy(ly, lx))
+
+
+def zspacings(grid, lz=Center):
+    return _interior_spacing(grid, grid.dz(lz))
+
+
+lambda_spacings = λspacings = xspacings
+phi_spacings = φspacings = yspacings
+rspacings = zspacings
+
+
+def minimum_xspacing(grid):
+    return grid.min_spacing(0)
+
+
+def minimum_yspacing(grid):
+    return grid.min_spacing(1)
+
+
+def minimum_zspacing(grid):
+    return grid.min_spacing(2)
+
+
+__all__ += [
+    "nodes", "xnodes", "ynodes", "znodes", "rnodes",
+    "lambda_nodes", "phi_nodes",
+    "xspacings", "yspacings", "zspacings", "rspacings",
+    "lambda_spacings", "phi_spacings",
+    "minimum_xspacing", "minimum_yspacing", "minimum_zspacing",
+]

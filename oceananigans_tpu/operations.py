@@ -27,6 +27,7 @@ from oceananigans_tpu.ops.operators import (
 __all__ = [
     "dx", "dy", "dz", "at",
     "Average", "Integral", "CumulativeIntegral", "ConditionalAverage",
+    "Reduction", "Accumulation", "KernelFunctionOperation",
     "vertical_vorticity", "kinetic_energy", "divergence", "laplacian",
     "speed",
 ]
@@ -119,6 +120,35 @@ def ConditionalAverage(grid, a, condition, dims=None, loc=LOC_C):
     """Masked average — the reference's ``ConditionalOperation`` +
     reduction (``conditional_operations.jl:8``)."""
     return Average(grid, a, dims=dims, loc=loc, condition=condition)
+
+
+def Reduction(op, grid, a, dims=None):
+    """Reduce the interior of ``a`` with ``op`` (e.g. ``jnp.max``,
+    ``jnp.sum``) over ``dims`` — the reference's generic
+    ``Reduction(reduce!, operand; dims)`` (``src/Fields/field.jl``).
+    Metric-weighted reductions are :func:`Average` / :func:`Integral`."""
+    dims = _norm_dims(dims)
+    return op(interior(grid, a), axis=dims, keepdims=True)
+
+
+def Accumulation(op, grid, a, dims=Z):
+    """Accumulate the interior of ``a`` with a cumulative ``op``
+    (e.g. ``jnp.cumsum``, ``jnp.cummax``) along ``dims`` — the reference's
+    ``Accumulation(accumulate!, operand; dims)``. The metric-weighted
+    form is :func:`CumulativeIntegral`."""
+    if not isinstance(dims, int):
+        (dims,) = _norm_dims(dims)
+    return op(interior(grid, a), axis=dims)
+
+
+def KernelFunctionOperation(func, grid, *args, **kwargs):
+    """Evaluate ``func(grid, *args, **kwargs)`` — the analog of the
+    reference's ``KernelFunctionOperation{LX, LY, LZ}(kernel_function,
+    grid, args...)`` (``abstract_operations.jl``). There is no lazy
+    wrapper: XLA fuses the whole-array expression wherever the result is
+    consumed, which is what the reference's lazy tree achieves at
+    ``compute!`` time."""
+    return func(grid, *args, **kwargs)
 
 
 # ---------------------------------------------------------------------------

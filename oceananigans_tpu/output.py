@@ -460,3 +460,34 @@ def load_field_time_series(filename, name, backend=None):
             data = np.asarray(f["fields"][name])
     return FieldTimeSeries(times, data, name, filename=filename,
                            backend=backend)
+
+
+class FieldDataset:
+    """All series in a writer's file, keyed by field name (reference
+    ``src/OutputReaders/field_dataset.jl`` ``FieldDataset(filename)``).
+    Lazily opens one :class:`FieldTimeSeries` per stored field."""
+
+    def __init__(self, filename, backend=None):
+        self.filename = filename
+        self.backend = backend
+        with h5py.File(filename, "r") as f:
+            self.names = tuple(f["fields"].keys())
+        self._series = {}
+
+    def __getitem__(self, name):
+        if name not in self._series:
+            if name not in self.names:
+                raise KeyError(f"{name!r} not in {self.filename} "
+                               f"(has {self.names})")
+            self._series[name] = load_field_time_series(
+                self.filename, name, backend=self.backend)
+        return self._series[name]
+
+    def keys(self):
+        return self.names
+
+    def __iter__(self):
+        return iter(self.names)
+
+    def __repr__(self):
+        return f"FieldDataset({self.filename!r}, names={self.names})"

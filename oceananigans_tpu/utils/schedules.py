@@ -14,7 +14,8 @@ import time as _time
 import numpy as np
 
 __all__ = ["TimeInterval", "IterationInterval", "WallTimeInterval",
-           "SpecifiedTimes", "AveragedTimeInterval"]
+           "SpecifiedTimes", "AveragedTimeInterval", "AndSchedule",
+           "OrSchedule"]
 
 
 class AbstractSchedule:
@@ -104,6 +105,47 @@ class SpecifiedTimes(AbstractSchedule):
             if st > t + 1e-12:
                 return st
         return None
+
+
+class _CompositeSchedule(AbstractSchedule):
+    def __init__(self, *schedules):
+        if not schedules:
+            raise ValueError("composite schedule needs at least one child")
+        self.schedules = tuple(schedules)
+
+    def initialize(self, clock):
+        for s in self.schedules:
+            s.initialize(clock)
+
+    # Aligning dispatch windows to the EARLIEST child actuation is always
+    # safe (actuation itself is re-checked host-side), so both combinators
+    # use min over the children's horizons.
+    def next_actuation_time(self, clock):
+        ts = [t for s in self.schedules
+              if (t := s.next_actuation_time(clock)) is not None]
+        return min(ts) if ts else None
+
+    def next_actuation_iteration(self, clock):
+        its = [i for s in self.schedules
+               if (i := s.next_actuation_iteration(clock)) is not None]
+        return min(its) if its else None
+
+
+class AndSchedule(_CompositeSchedule):
+    """Actuates when ALL child schedules actuate (reference
+    ``src/Utils/schedules.jl`` ``AndSchedule``)."""
+
+    def actuates(self, clock):
+        # evaluate every child: stateful schedules must all advance
+        return all([s.actuates(clock) for s in self.schedules])
+
+
+class OrSchedule(_CompositeSchedule):
+    """Actuates when ANY child schedule actuates (reference
+    ``src/Utils/schedules.jl`` ``OrSchedule``)."""
+
+    def actuates(self, clock):
+        return any([s.actuates(clock) for s in self.schedules])
 
 
 class AveragedTimeInterval(TimeInterval):

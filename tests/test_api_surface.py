@@ -1,0 +1,189 @@
+"""The top-level namespace carries the reference's export surface.
+
+Reference: ``/root/reference/src/Oceananigans.jl:7-110`` (the ``export``
+list). Julia-only names (CPU/GPU architectures, macros, mutating-verb
+forms like ``set!``/``run!`` that exist here as methods) are mapped or
+skipped as noted inline.
+"""
+
+import numpy as np
+import pytest
+
+import oceananigans_tpu as ot
+
+# Names expected verbatim at the top level, grouped as in the reference
+# export list.
+REFERENCE_EXPORTS = """
+Center Face Periodic Bounded Flat
+RectilinearGrid LatitudeLongitudeGrid OrthogonalSphericalShellGrid TripolarGrid
+nodes xnodes ynodes rnodes znodes
+xspacings yspacings rspacings zspacings
+minimum_xspacing minimum_yspacing minimum_zspacing
+ImmersedBoundaryGrid GridFittedBoundary GridFittedBottom PartialCellBottom
+ImmersedBoundaryCondition
+Distributed Partition
+Centered UpwindBiased WENO
+VectorInvariant WENOVectorInvariant FluxFormAdvection
+BoundaryCondition
+FluxBoundaryCondition ValueBoundaryCondition GradientBoundaryCondition
+OpenBoundaryCondition FieldBoundaryConditions
+Field CenterField XFaceField YFaceField ZFaceField
+Average Integral CumulativeIntegral Reduction Accumulation BackgroundField
+interior
+Forcing Relaxation LinearTarget GaussianMask AdvectiveForcing
+FPlane ConstantCartesianCoriolis BetaPlane NonTraditionalBetaPlane
+BuoyancyForce BuoyancyTracer SeawaterBuoyancy
+LinearEquationOfState TEOS10 BuoyancyField
+UniformStokesDrift StokesDrift
+VerticalScalarDiffusivity HorizontalScalarDiffusivity ScalarDiffusivity
+VerticalScalarBiharmonicDiffusivity HorizontalScalarBiharmonicDiffusivity
+ScalarBiharmonicDiffusivity
+SmagorinskyLilly Smagorinsky LillyCoefficient DynamicCoefficient
+AnisotropicMinimumDissipation ConvectiveAdjustmentVerticalDiffusivity
+CATKEVerticalDiffusivity RiBasedVerticalDiffusivity
+VerticallyImplicitTimeDiscretization viscosity diffusivity
+LagrangianParticles
+NonhydrostaticModel HydrostaticFreeSurfaceModel ShallowWaterModel
+ConservativeFormulation VectorInvariantFormulation
+PressureField
+ExplicitFreeSurface ImplicitFreeSurface SplitExplicitFreeSurface
+HydrostaticSphericalCoriolis PrescribedVelocityFields
+Clock TimeStepWizard
+Simulation Callback
+CFL AdvectiveCFL DiffusiveCFL
+NetCDFWriter JLD2Writer Checkpointer
+TimeInterval IterationInterval WallTimeInterval AveragedTimeInterval
+SpecifiedTimes FileSizeLimit AndSchedule OrSchedule
+FieldTimeSeries FieldDataset InMemory OnDisk
+KernelFunctionOperation
+prettytime
+""".split()
+
+
+def test_reference_export_surface():
+    missing = [n for n in REFERENCE_EXPORTS if not hasattr(ot, n)]
+    assert not missing, f"missing top-level exports: {missing}"
+
+
+def _grid():
+    return ot.RectilinearGrid(size=(8, 8, 8), x=(0, 2.0), y=(0, 1.0),
+                              z=(-1.0, 0.0))
+
+
+def test_field_constructors():
+    import jax.numpy as jnp
+    g = _grid()
+    c = ot.CenterField(g, lambda x, y, z: x + z)
+    u = ot.XFaceField(g, 1.5)
+    assert c.shape == g.shape and u.shape == g.shape
+    assert float(u[g.interior_slices][0, 0, 0]) == 1.5
+    bg = ot.BackgroundField(lambda x, y, z, p: p["s"] * x,
+                            parameters={"s": 2.0})
+    f = ot.Field(g, bg)
+    xc = g.xnodes()
+    np.testing.assert_allclose(np.asarray(f[g.interior_slices][:, 0, 0]),
+                               2.0 * np.asarray(xc), rtol=1e-6)
+
+
+def test_node_and_spacing_queries():
+    g = _grid()
+    assert ot.xnodes(g).shape == (8,)
+    assert ot.znodes(g, ot.Face).shape == (9,)  # bounded: N+1 faces
+    assert ot.xspacings(g).shape[0] == 8
+    assert float(ot.minimum_xspacing(g)) == pytest.approx(0.25)
+    assert float(ot.minimum_zspacing(g)) == pytest.approx(0.125)
+    x, y, z = ot.nodes(g)
+    assert x.shape == (8,) and y.shape == (8,) and z.shape == (8,)
+
+
+def test_reduction_and_accumulation():
+    import jax.numpy as jnp
+    g = _grid()
+    a = ot.CenterField(g, lambda x, y, z: x)
+    m = ot.Reduction(jnp.max, g, a, dims=(0, 1, 2))
+    assert m.shape == (1, 1, 1)
+    assert float(m.squeeze()) == pytest.approx(2.0 - 0.125)  # last x center
+    cum = ot.Accumulation(jnp.cumsum, g, ot.CenterField(g, 1.0), dims=2)
+    assert cum.shape == (8, 8, 8)
+    np.testing.assert_allclose(np.asarray(cum[0, 0]), np.arange(1, 9))
+
+
+def test_and_or_schedules():
+    import dataclasses
+    clock = dataclasses.replace(ot.Clock.start(0.0),
+                                iteration=np.int32(6))
+    s_and = ot.AndSchedule(ot.IterationInterval(2), ot.IterationInterval(3))
+    s_or = ot.OrSchedule(ot.IterationInterval(4), ot.IterationInterval(3))
+    assert s_and.actuates(clock)      # 6 divisible by 2 and 3
+    assert s_or.actuates(clock)       # 6 divisible by 3
+    clock2 = dataclasses.replace(ot.Clock.start(0.0),
+                                 iteration=np.int32(4))
+    assert not s_and.actuates(clock2)
+    assert s_or.actuates(clock2)
+    assert s_and.next_actuation_iteration(clock2) == 6  # min horizon
+    assert s_or.next_actuation_iteration(clock2) == 6
+
+
+def test_smagorinsky_factory_and_accessors():
+    sm = ot.Smagorinsky(ot.LillyCoefficient(smagorinsky=0.1), Pr=0.7)
+    assert isinstance(sm, ot.SmagorinskyLilly)
+    assert sm.C == pytest.approx(0.1) and sm.Pr == pytest.approx(0.7)
+    dyn = ot.Smagorinsky(ot.DynamicCoefficient(averaging=(0, 1)))
+    assert isinstance(dyn, ot.DynamicSmagorinsky)
+    sc = ot.ScalarDiffusivity(nu=1e-3, kappa={"T": 1e-4})
+    assert ot.viscosity(sc, None) == pytest.approx(1e-3)
+    assert ot.diffusivity(sc, None, "T") == pytest.approx(1e-4)
+
+
+def test_vertical_biharmonic_is_z_only():
+    """A purely x-varying field feels NO vertical-biharmonic flux; a
+    z-varying one does (and vice versa for horizontal)."""
+    import jax.numpy as jnp
+    from oceananigans_tpu.boundary_conditions import (
+        fill_halo_regions, regularize_field_boundary_conditions,
+    )
+    from oceananigans_tpu.fields import LOC_C
+
+    g = ot.RectilinearGrid(
+        size=(8, 8, 8), x=(0, 1.0), y=(0, 1.0), z=(0.0, 1.0),
+        topology=(ot.Periodic, ot.Periodic, ot.Periodic))
+    bcs = regularize_field_boundary_conditions(None, g, LOC_C)
+    cx = fill_halo_regions(
+        ot.CenterField(g, lambda x, y, z: jnp.sin(2 * np.pi * x)), g, bcs,
+        LOC_C)
+    cz = fill_halo_regions(
+        ot.CenterField(g, lambda x, y, z: jnp.sin(2 * np.pi * z)), g, bcs,
+        LOC_C)
+    vert = ot.VerticalScalarBiharmonicDiffusivity(kappa=1.0)
+    S = g.interior_slices
+    gx = vert.tracer_flux_divergence(g, "c", cx, {"c": cx}, None)
+    gz = vert.tracer_flux_divergence(g, "c", cz, {"c": cz}, None)
+    assert float(jnp.max(jnp.abs(gx[S]))) < 1e-12
+    assert float(jnp.max(jnp.abs(gz[S]))) > 1.0
+    horz = ot.HorizontalScalarBiharmonicDiffusivity(nu=1.0)
+    zeros = jnp.zeros_like(cx)
+    du, dv, dw = horz.momentum_flux_divergences(
+        g, zeros, zeros, fill_halo_regions(
+            ot.CenterField(g, lambda x, y, z: jnp.sin(2 * np.pi * z)),
+            g, bcs, LOC_C), {}, None)
+    assert float(jnp.max(jnp.abs(dw[S]))) < 1e-12
+
+
+def test_field_dataset_roundtrip(tmp_path):
+    from oceananigans_tpu.boundary_conditions import (
+        regularize_field_boundary_conditions,
+    )
+    g = _grid()
+    model = ot.NonhydrostaticModel(grid=g, tracers=("T",))
+    state = model.initial_state(T=lambda x, y, z: x * z)
+    path = str(tmp_path / "ds.h5")
+    sim = ot.Simulation(model, state=state, dt=0.01, stop_iteration=4)
+    sim.output_writers["fields"] = ot.HDF5Writer(
+        outputs={"T": "T", "u": "u"}, filename=path,
+        schedule=ot.IterationInterval(2))
+    sim.run()
+    ds = ot.FieldDataset(path)
+    assert set(ds.keys()) == {"T", "u"}
+    fts = ds["T"]
+    assert len(fts.times) >= 2
+    assert ds["u"][0].shape == fts[0].shape
