@@ -25,6 +25,12 @@ class Config:
     #: constructors inflate it for higher-order schemes.
     halo: int = 3
 
+    #: run Pallas kernels in interpret mode (CPU emulation). Test-only
+    #: knob: lets the fused-kernel code paths (including per-shard kernels
+    #: inside ``shard_map``) run on the CPU mesh. Read at TRACE time, so
+    #: flip it before building/jitting a step, not between calls.
+    pallas_interpret: bool = False
+
     @property
     def float_dtype(self):
         return jnp.dtype(self.float_type)

@@ -27,6 +27,8 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+
+from oceananigans_tpu.config import config as _config
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -116,7 +118,7 @@ def fused_momentum_tendency(grid, scheme, u, v, w, tile_x=1,
         + [pltpu.SemaphoreType.DMA((3,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
+        interpret=interpret or _config.pallas_interpret,
     )(u, v, w)
 
     def embed(g):

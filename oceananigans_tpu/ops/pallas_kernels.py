@@ -21,6 +21,8 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+
+from oceananigans_tpu.config import config as _config
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -247,7 +249,7 @@ def pressure_correction(grid, p, u, v, w, dt, tile_x=8, interpret=False):
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-        interpret=interpret,
+        interpret=interpret or _config.pallas_interpret,
     )(dt_arr, p, u, v, w)
 
     def embed(gout):
@@ -319,7 +321,7 @@ def centered2_momentum_tendency(grid, u, v, w, tile_x=None,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-        interpret=interpret,
+        interpret=interpret or _config.pallas_interpret,
     )(u, v, w)
 
     # embed the interior result back into the halo-extended x-range and

@@ -24,6 +24,8 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+
+from oceananigans_tpu.config import config as _config
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -113,5 +115,5 @@ def fused_middle_solve(x, Ey, Ez, lamx, lamy, lamz, tile_i=8,
         out_shape=jax.ShapeDtypeStruct((Nx, Ny, Nz), dt),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-        interpret=interpret,
+        interpret=interpret or _config.pallas_interpret,
     )(lamx_a, x, Ey_a, Ez_a, lyz)

@@ -19,6 +19,8 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+
+from oceananigans_tpu.config import config as _config
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -222,7 +224,7 @@ def weno_tracer_tendencies(grid, scheme, u, v, w, tracers, tile_x=None,
         + [pltpu.SemaphoreType.DMA((3 + NT,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-        interpret=interpret,
+        interpret=interpret or _config.pallas_interpret,
     )(*arrs, *marrs)
     if NT == 1:
         outs = (outs,) if not isinstance(outs, (list, tuple)) else outs

@@ -39,6 +39,8 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+
+from oceananigans_tpu.config import config as _config
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -408,7 +410,7 @@ def vi_momentum_tendency(grid, vi, u, v, w, tile_x=None, interpret=False):
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-        interpret=interpret,
+        interpret=interpret or _config.pallas_interpret,
     )(u, v, w, *marrs)
 
     def embed(g):

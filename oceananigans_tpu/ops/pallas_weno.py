@@ -28,6 +28,8 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+
+from oceananigans_tpu.config import config as _config
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -274,7 +276,7 @@ def weno5_momentum_tendency(grid, u, v, w, epsilon=1e-8, tile_x=None,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-        interpret=interpret,
+        interpret=interpret or _config.pallas_interpret,
     )(u, v, w)
 
     def embed(g):
@@ -389,7 +391,7 @@ def weno5_tracer_tendencies(grid, u, v, w, tracers, epsilon=1e-8,
                         ] * (3 + NT) + [pltpu.SemaphoreType.DMA((3 + NT,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-        interpret=interpret,
+        interpret=interpret or _config.pallas_interpret,
     )(*arrs)
     if NT == 1:
         outs = (outs,) if not isinstance(outs, (list, tuple)) else outs
