@@ -32,9 +32,19 @@ def count_collectives(jitted, *args):
     advection order on the explicit-halo path)."""
     import re
     hlo = jitted.lower(*args).compile().as_text()
-    return {op: len(re.findall(rf"= {op}(\.\d+)?\(", hlo))
-            for op in ("collective-permute", "all-reduce", "all-gather",
-                       "all-to-all", "reduce-scatter")}
+    # HLO lines read "%name = f32[...]{...} op-name(...)": count one per
+    # instruction line whose op (not just its name) matches
+    out = {op: 0 for op in ("collective-permute", "all-reduce",
+                            "all-gather", "all-to-all", "reduce-scatter")}
+    for line in hlo.splitlines():
+        if "=" not in line:
+            continue
+        rhs = line.split("=", 1)[1]
+        for op in out:
+            if re.search(rf"(^|\s){op}(-start)?(\.\d+)?\(", rhs):
+                out[op] += 1
+                break
+    return out
 
 
 def run(n_devices, base=32, nz=32, inner=5, path="explicit"):
@@ -88,6 +98,41 @@ def run(n_devices, base=32, nz=32, inner=5, path="explicit"):
     return el, pts, colls
 
 
+def run_cubed_sphere(R=1, panels=6, n=16, inner=3):
+    """Cubed-sphere panel(+sub-panel) sharding probe: steps the shallow-
+    water model over a ``cubed_sphere_partition`` mesh and counts the
+    collectives GSPMD emits for the inter-panel exchange gathers (STATUS
+    round-2 gap #3: these ride all-gathers rather than neighbor
+    permutes; this probe is the honest bound)."""
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereShallowWaterModel, ConformalCubedSphereGrid,
+        cubed_sphere_partition, panel_vector_components,
+    )
+
+    a = 6.37122e6
+    grid = ConformalCubedSphereGrid((n, 1), z=(-1.0, 0.0), radius=a,
+                                    halo=3)
+    model = CubedSphereShallowWaterModel(
+        grid, gravitational_acceleration=9.80616, rotation_rate=7.292e-5)
+    u0 = 2 * np.pi * a / (12.0 * 86400)
+    u, v = panel_vector_components(
+        grid, lambda P: np.cross(np.array([0.0, 0.0, u0 / a]), P * a))
+    state = model.initial_state(u=u, v=v,
+                                h=grid.set_tracer(lambda lam, phi, z:
+                                                  2.94e4 / 9.80616 + 0 * z))
+    mesh, shard_state = cubed_sphere_partition(R=R, panels=panels)
+    state = shard_state(state)
+    step = jax.jit(lambda s: model.step(s, 300.0))
+    colls = count_collectives(step, state)
+    state = jax.block_until_ready(step(state))
+    t0 = time.perf_counter()
+    for _ in range(inner):
+        state = step(state)
+    jax.block_until_ready(state.h)
+    el = (time.perf_counter() - t0) / inner
+    return el, 6 * n * n, colls
+
+
 def main():
     if jax.devices()[0].platform == "cpu":
         print("# NOTE: virtual CPU devices share one host's cores — this "
@@ -108,6 +153,18 @@ def main():
         print(f"{n} devices: {el*1e3:8.2f} ms/step  {pts:9d} pts  "
               f"weak eff {eff:5.1%}  collectives/step "
               f"{sum(colls.values()) if colls else 0}")
+    # cubed-sphere sharding probes: 6-panel mesh, and (with >= 8 devices)
+    # a sub-panel (panels=2, R=2) mesh
+    cs_runs = [("panel-axis (6 dev)", dict(R=1, panels=6, n=16))]
+    if len(jax.devices()) >= 8:
+        cs_runs.append(("sub-panel R=2 (8 dev)", dict(R=2, panels=2, n=16)))
+    for label, kw in cs_runs:
+        if len(jax.devices()) < kw["panels"] * kw["R"] ** 2:
+            continue
+        el, pts, colls = run_cubed_sphere(**kw)
+        print(f"cubed sphere {label}: {el*1e3:8.2f} ms/step  {pts:7d} pts  "
+              f"collectives/step {sum(colls.values())} {colls}")
+
     print(json.dumps({"metric": "weak_scaling_efficiency",
                       "value": results[-1]["weak_efficiency"],
                       "unit": f"t(1)/t({counts[-1]}) at fixed pts/device",

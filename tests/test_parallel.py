@@ -131,11 +131,19 @@ def test_graft_dryrun():
 def _collective_counts(jitted, *args):
     import re
     hlo = jitted.lower(*args).compile().as_text()
-    out = {}
-    for op in ("collective-permute", "all-reduce", "all-gather",
-               "all-to-all", "reduce-scatter"):
-        out[op] = len(re.findall(rf"= {op}(\.\d+)?\(", hlo)) \
-            + len(re.findall(rf"= \w+-start\.{op}", hlo))
+    # HLO lines read "%name = f32[...]{...} op-name(...)": match the op
+    # on the right-hand side (the %name repeats the op string, so a bare
+    # substring count would double-count)
+    out = {op: 0 for op in ("collective-permute", "all-reduce",
+                            "all-gather", "all-to-all", "reduce-scatter")}
+    for line in hlo.splitlines():
+        if "=" not in line:
+            continue
+        rhs = line.split("=", 1)[1]
+        for op in out:
+            if re.search(rf"(^|\s){op}(-start)?(\.\d+)?\(", rhs):
+                out[op] += 1
+                break
     return out
 
 
