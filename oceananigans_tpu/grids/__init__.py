@@ -31,6 +31,7 @@ from oceananigans_tpu.grids.latlon import LatitudeLongitudeGrid
 from oceananigans_tpu.grids.orthogonal import (
     OrthogonalSphericalShellGrid, TripolarGrid,
     RotatedLatitudeLongitudeGrid,
+    rotation_angles, intrinsic_vector, extrinsic_vector,
 )
 from oceananigans_tpu.grids.cubed_sphere import (
     conformal_cubed_sphere_panel, conformal_cubed_sphere_mapping,
@@ -41,6 +42,7 @@ __all__ = [
     "AbstractGrid", "RectilinearGrid", "LatitudeLongitudeGrid",
     "OrthogonalSphericalShellGrid", "TripolarGrid",
     "RotatedLatitudeLongitudeGrid",
+    "rotation_angles", "intrinsic_vector", "extrinsic_vector",
     "total_length",
 ]
 

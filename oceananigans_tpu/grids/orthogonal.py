@@ -391,3 +391,61 @@ def fill_zipper_north(a, grid, loc, sign):
         out = out.at[:, top - 1].set(
             jnp.where(jnp.asarray(half), row, out[:, top - 1]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Intrinsic <-> extrinsic (geographic) vector rotation (reference
+# ``src/Operators/vector_rotation_operators.jl``): on a locally-orthogonal
+# curvilinear grid the angle θ between the grid's x-direction and
+# geographic east follows from finite differences of the face-node
+# latitudes; on lat-lon-aligned parts of the grid cosθ = 1, sinθ = 0.
+# ---------------------------------------------------------------------------
+
+def rotation_angles(grid):
+    """(cosθ, sinθ) of the grid-to-geographic rotation at cell centers,
+    as broadcast-ready (nx, ny, 1) arrays. For grids whose intrinsic
+    frame IS geographic (rectilinear, lat-lon) returns (1.0, 0.0)."""
+    if not isinstance(grid, OrthogonalSphericalShellGrid):
+        return 1.0, 0.0
+    from oceananigans_tpu.ops.operators import shift
+
+    d2r = np.pi / 180.0
+    ff = grid.phiFF
+    ff_p0 = shift(ff, 1, 0)            # (i+1, j)
+    ff_0p = shift(ff, 1, 1)            # (i, j+1)
+    ff_pp = shift(ff_p0, 1, 1)         # (i+1, j+1)
+    dy_m = grid.dy(Center, Face)       # Δy at (x=Face, y=Center)
+    dy_p = shift(dy_m, 1, 0)
+    dx_m = grid.dx(Center, Face)       # Δx at (x=Center, y=Face)
+    dx_p = shift(dx_m, 1, 1)
+    Rcos = 0.5 * (d2r * (ff_pp - ff_p0) / dy_p
+                  + d2r * (ff_0p - ff) / dy_m)
+    # sign convention fixed against geometry (NOT transcribed): with
+    # sinθ = +∂φ/∂s_x the grid's own x-direction maps to (1, 0) under
+    # intrinsic_vector — verified in tests/test_vector_rotation.py by
+    # finite-differencing the geographic coordinates along grid-x.
+    Rsin = 0.5 * (d2r * (ff_pp - ff_0p) / dx_p
+                  + d2r * (ff_p0 - ff) / dx_m)
+    R = jnp.sqrt(Rcos ** 2 + Rsin ** 2)
+    R = jnp.maximum(R, jnp.asarray(1e-30, R.dtype))
+    return Rcos / R, Rsin / R
+
+
+def intrinsic_vector(grid, u_e, v_e):
+    """Rotate a geographic (east, north) vector field into the grid's
+    intrinsic (x, y) frame (reference ``intrinsic_vector``). Angles are
+    evaluated at cell centers; for staggered velocities this is the same
+    O(Δ) approximation the reference makes."""
+    cos, sin = rotation_angles(grid)
+    return u_e * cos + v_e * sin, -u_e * sin + v_e * cos
+
+
+def extrinsic_vector(grid, u_i, v_i):
+    """Rotate a grid-intrinsic (x, y) vector field to geographic
+    (east, north) components (reference ``extrinsic_vector``) — e.g. for
+    writing tripolar-grid velocities in a CF-compliant frame."""
+    cos, sin = rotation_angles(grid)
+    return u_i * cos - v_i * sin, u_i * sin + v_i * cos
+
+
+__all__ += ["rotation_angles", "intrinsic_vector", "extrinsic_vector"]
