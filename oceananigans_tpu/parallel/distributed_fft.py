@@ -30,7 +30,8 @@ from oceananigans_tpu.grids.base import Bounded, Flat, Periodic
 from oceananigans_tpu.solvers.fft_poisson import poisson_eigenvalues
 from oceananigans_tpu.solvers.transforms import dct2, idct2
 
-__all__ = ["DistributedFFTPoissonSolver"]
+__all__ = ["DistributedFFTPoissonSolver",
+           "DistributedFourierTridiagonalSolver"]
 
 
 class DistributedFFTPoissonSolver:
@@ -136,3 +137,151 @@ class DistributedFFTPoissonSolver:
 
         out = _solve(rhs)
         return out.astype(rhs.dtype)
+
+
+class DistributedFourierTridiagonalSolver:
+    """∇²φ = rhs with STRETCHED z over an (x, y) mesh (reference
+    ``src/DistributedComputations/distributed_fft_tridiagonal_solver.jl``):
+    horizontal eigen-transforms via pencil ``all_to_all`` transposes that
+    keep the FULL z column local, then the batched Thomas solve per
+    horizontal mode, exactly like the serial
+    :class:`~oceananigans_tpu.solvers.fourier_tridiagonal.FourierTridiagonalPoissonSolver`.
+
+    Layout dance (local shapes, mesh (px, py)):
+        (Nx/px, Ny/py, Nz)
+        --all_to_all "y" (split x, concat y)--> (Nx/(px·py), Ny, Nz)
+        --transform y--> --undo--> (Nx/px, Ny/py, Nz)
+        --all_to_all "x" (split y, concat x)--> (Nx, Ny/(px·py)·py ... , Nz)
+        --transform x--> tridiagonal z --> reverse everything.
+    Needs Nx/px divisible by py and Ny/py divisible by px.
+    """
+
+    def __init__(self, grid, mesh: Mesh):
+        from oceananigans_tpu.solvers.fourier_tridiagonal import (
+            FourierTridiagonalPoissonSolver,
+        )
+        if not (grid.x_regular and grid.y_regular):
+            raise ValueError("x and y must be regular")
+        if grid.axis_topo(2) != Bounded:
+            raise ValueError("z must be Bounded (stretched allowed)")
+        self.grid = grid
+        self.mesh = mesh
+        self.px = mesh.shape["x"]
+        self.py = mesh.shape["y"]
+        Nx, Ny, Nz = grid.N
+        if (Nx % self.px or Ny % self.py
+                or (Nx // self.px) % max(self.py, 1)
+                or (Ny // self.py) % max(self.px, 1)):
+            raise ValueError(
+                f"interior sizes {grid.N} must divide the pencil layouts "
+                f"of mesh ({self.px}, {self.py})")
+        # reuse the serial solver's spectral/tridiagonal setup
+        self._serial = FourierTridiagonalPoissonSolver(grid)
+        lams = []
+        for axis in (0, 1):
+            topo = grid.axis_topo(axis)
+            N = grid.N[axis]
+            d = (grid.Lx / grid.Nx, grid.Ly / grid.Ny)[axis] \
+                if topo != Flat else 1.0
+            lams.append(poisson_eigenvalues(N, d, topo))
+        self.lam_x, self.lam_y = lams
+        self.x_transform = ("dct" if grid.axis_topo(0) == Bounded
+                            else "fft" if grid.axis_topo(0) == Periodic
+                            else "none")
+        self.y_transform = ("dct" if grid.axis_topo(1) == Bounded
+                            else "fft" if grid.axis_topo(1) == Periodic
+                            else "none")
+
+    def solve(self, rhs):
+        mesh = self.mesh
+        px, py = self.px, self.py
+        Nx, Ny, Nz = self.grid.N
+        lam_x, lam_y = self.lam_x, self.lam_y
+        xt, yt = self.x_transform, self.y_transform
+        az_t = self._serial.az
+        cz_t = self._serial.cz
+        dzc_t = self._serial.dzc
+        from oceananigans_tpu.solvers.tridiagonal import tridiagonal_solve
+
+        def fwd(a, kind, axis):
+            if kind == "dct":
+                return dct2(a, axis)
+            if kind == "fft":
+                return jnp.fft.fft(a, axis=axis)
+            return a
+
+        def inv(a, kind, axis):
+            if kind == "dct":
+                return idct2(jnp.real(a), axis)
+            if kind == "fft":
+                return jnp.fft.ifft(a, axis=axis)
+            return a
+
+        spec = P("x", "y", None)
+
+        @partial(shard_map, mesh=mesh, in_specs=spec, out_specs=spec)
+        def _solve(r):
+            rdt = r.dtype
+            # --- y transform with full y locally (z untouched) ---
+            if py > 1:
+                r = jax.lax.all_to_all(r, "y", split_axis=0, concat_axis=1,
+                                       tiled=True)
+            r = fwd(r, yt, 1)
+            if py > 1:
+                r = jax.lax.all_to_all(r, "y", split_axis=1, concat_axis=0,
+                                       tiled=True)
+            # --- x transform with full x locally ---
+            if px > 1:
+                r = jax.lax.all_to_all(r, "x", split_axis=1, concat_axis=0,
+                                       tiled=True)
+            r = fwd(r, xt, 0)
+
+            # --- tridiagonal solve along the LOCAL full-z columns ---
+            ix = jax.lax.axis_index("x")
+            iy = jax.lax.axis_index("y")
+            ny_l = Ny // py
+            ny_ll = ny_l // px if px > 1 else ny_l
+            off_y = iy * ny_l + ix * ny_ll
+            ly = jax.lax.dynamic_slice(lam_y, (off_y,), (ny_ll,))
+            lam_h = (lam_x.reshape(-1, 1, 1)
+                     + ly.reshape(1, -1, 1)).astype(jnp.real(r).dtype)
+            zero = jnp.real(r[:1, :1, :1]) * 0
+            az = zero + az_t.astype(zero.dtype)
+            cz = zero + cz_t.astype(zero.dtype)
+            dzc = zero + dzc_t.astype(zero.dtype)
+            b = -(az + cz) + lam_h * dzc
+            singular_col = lam_h == 0
+            col_mean = (jnp.sum(r * dzc.astype(r.dtype), axis=2,
+                                keepdims=True) / jnp.sum(dzc))
+            r = jnp.where(singular_col, r - col_mean, r)
+            d = r * dzc.astype(r.dtype)
+            k0 = jnp.arange(Nz).reshape(1, 1, Nz) == 0
+            b = jnp.where(singular_col & k0, 1.0, b)
+            czs = jnp.where(singular_col & k0, 0.0, cz)
+            d = jnp.where(singular_col & k0, 0.0, d)
+            if jnp.iscomplexobj(d):
+                phi = (tridiagonal_solve(az, b, czs, d.real, axis=2)
+                       + 1j * tridiagonal_solve(az, b, czs, d.imag, axis=2))
+            else:
+                phi = tridiagonal_solve(az, b, czs, d, axis=2)
+
+            # --- reverse (mirror the forward transposes) ---
+            phi = inv(phi, xt, 0)
+            if px > 1:
+                phi = jax.lax.all_to_all(phi, "x", split_axis=0,
+                                         concat_axis=1, tiled=True)
+            if py > 1:
+                phi = jax.lax.all_to_all(phi, "y", split_axis=0,
+                                         concat_axis=1, tiled=True)
+            phi = inv(phi, yt, 1)
+            if py > 1:
+                phi = jax.lax.all_to_all(phi, "y", split_axis=1,
+                                         concat_axis=0, tiled=True)
+            phi = jnp.real(phi)
+            # remove the volume mean (gauge), globally via psum
+            w = dzc / jnp.sum(dzc)
+            local = jnp.sum(jnp.mean(phi, axis=(0, 1), keepdims=True) * w)
+            gmean = jax.lax.pmean(jax.lax.pmean(local, "x"), "y")
+            return (phi - gmean).astype(rdt)
+
+        return _solve(rhs)

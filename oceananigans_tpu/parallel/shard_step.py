@@ -147,8 +147,12 @@ class DistributedStep:
         if not isinstance(gmodel, NonhydrostaticModel):
             raise ValueError("DistributedStep v1 supports "
                              "NonhydrostaticModel only")
-        if not grid.regular:
-            raise ValueError("DistributedStep needs a fully-regular grid")
+        if not (grid.x_regular and grid.y_regular):
+            raise ValueError("DistributedStep needs regular x/y spacings "
+                             "(z may be stretched)")
+        if not grid.regular and grid.axis_topo(2) != Bounded:
+            raise ValueError("stretched z must be Bounded (the distributed "
+                             "Fourier-tridiagonal solver's assumption)")
         if gmodel.particles is not None or \
                 getattr(gmodel, "background_fields", None):
             raise ValueError("particles/background fields are not "
@@ -167,8 +171,14 @@ class DistributedStep:
         topo = tuple(grid.axis_topo(ax) for ax in range(3))
         self.topo = topo
         Lx, Ly = grid.Lx, grid.Ly
-        zspec = (float(np.asarray(grid.zF).ravel()[grid.Hz]),
-                 float(np.asarray(grid.zF).ravel()[grid.Hz + grid.Nz]))
+        if grid.z_regular:
+            zspec = (float(np.asarray(grid.zF).ravel()[grid.Hz]),
+                     float(np.asarray(grid.zF).ravel()[grid.Hz + grid.Nz]))
+        else:
+            # z is never distributed: every shard carries the full
+            # (stretched) column
+            zspec = np.asarray(grid.zF).ravel()[
+                grid.Hz:grid.Hz + grid.Nz + 1].copy()
         lgrid = RectilinearGrid(
             size=(nxl, nyl, grid.Nz),
             x=(0.0, Lx / px), y=(0.0, Ly / py), z=zspec,
@@ -179,7 +189,13 @@ class DistributedStep:
         lmodel.dist_halo = DistHalo(sizes=(px, py))
         lmodel.dist_topo = topo
         self.lmodel = lmodel
-        self.solver = DistributedFFTPoissonSolver(grid, mesh)
+        if grid.z_regular:
+            self.solver = DistributedFFTPoissonSolver(grid, mesh)
+        else:
+            from oceananigans_tpu.parallel.distributed_fft import (
+                DistributedFourierTridiagonalSolver,
+            )
+            self.solver = DistributedFourierTridiagonalSolver(grid, mesh)
         self.spec = NamedSharding(mesh, P("x", "y", None))
         self._pstep = None
 

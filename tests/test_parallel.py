@@ -232,3 +232,88 @@ def test_explicit_halo_step_bounded_axis():
     gu = np.asarray(grid.interior(s_serial.u))
     du = np.abs(np.asarray(grid.interior(jnp.asarray(final.u))) - gu)
     assert du.max() < 2e-7, du.max()
+
+
+def test_distributed_fourier_tridiagonal_matches_serial():
+    """Stretched-z Poisson over the mesh (reference
+    ``distributed_fft_tridiagonal_solver.jl``): pencil transposes keep the
+    full z column local for the Thomas solve; result matches the serial
+    Fourier-tridiagonal solver."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from oceananigans_tpu.parallel.distributed_fft import (
+        DistributedFourierTridiagonalSolver,
+    )
+    from oceananigans_tpu.solvers.fourier_tridiagonal import (
+        FourierTridiagonalPoissonSolver,
+    )
+
+    # stretched z: geometric spacing
+    zf = -(1.0 - np.linspace(0, 1, 17) ** 1.5)
+    for topo in ((Periodic, Periodic, Bounded),
+                 (Bounded, Periodic, Bounded)):
+        grid = RectilinearGrid(size=(16, 16, 16), x=(0, 1.0), y=(0, 1.0),
+                               z=zf, topology=topo, halo=2)
+        rng = np.random.default_rng(11)
+        rhs = rng.standard_normal(grid.N)
+        rhs -= rhs.mean()
+        rhs = jnp.asarray(rhs)
+
+        serial = FourierTridiagonalPoissonSolver(grid)
+        want = np.asarray(serial.solve(rhs))
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+        dist = DistributedFourierTridiagonalSolver(grid, mesh)
+        rhs_sh = jax.device_put(rhs, NamedSharding(mesh, P("x", "y", None)))
+        got = np.asarray(jax.jit(dist.solve)(rhs_sh))
+        np.testing.assert_allclose(got, want, atol=2e-11,
+                                   err_msg=str(topo))
+
+        # zero VOLUME-weighted mean (the gauge; z is stretched so the
+        # arithmetic mean is not the right check)
+        dz = np.asarray(grid.dz(lz="c")).reshape(-1)[
+            grid.Hz:grid.Hz + grid.Nz]
+        w = dz / dz.sum()
+        assert abs((got.mean(axis=(0, 1)) * w).sum()) < 1e-10
+
+
+def test_explicit_halo_step_stretched_z_matches_serial():
+    """DistributedStep on a stretched-z grid routes the projection
+    through the distributed Fourier-tridiagonal solver and matches the
+    serial step."""
+    from jax.sharding import Mesh
+    from oceananigans_tpu.parallel import DistributedStep
+
+    zf = -(1.0 - np.linspace(0, 1, 9) ** 1.4)
+    grid = RectilinearGrid(size=(16, 16, 8), x=(0, 1.0), y=(0, 1.0), z=zf,
+                           topology=(Periodic, Periodic, Bounded), halo=3)
+
+    def make_model(g):
+        return NonhydrostaticModel(grid=g, advection=WENO(5), tracers=("b",),
+                                   buoyancy=BuoyancyTracer())
+
+    model = make_model(grid)
+    state = model.initial_state(
+        u=lambda x, y, z: 0.1 * jnp.sin(2 * np.pi * x),
+        b=lambda x, y, z: 0.01 * z + 0.001 * jnp.cos(2 * np.pi * y))
+    step = jax.jit(lambda s: model.step(s, 1e-3))
+    s_serial = state
+    for _ in range(3):
+        s_serial = step(s_serial)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    dstep = DistributedStep(make_model, grid, mesh)
+    assert not dstep.local_grid.z_regular
+    f = dstep.step_fn()
+    sl = dstep.to_local_state(state)
+    for _ in range(3):
+        sl = f(sl, 1e-3)
+    final = dstep.from_local_state(sl)
+    for name in ("u", "v", "w"):
+        a = np.asarray(grid.interior(getattr(s_serial, name)))
+        b = np.asarray(grid.interior(jnp.asarray(getattr(final, name))))
+        np.testing.assert_allclose(b, a, atol=1e-10, err_msg=name)
+    a = np.asarray(grid.interior(s_serial.tracers["b"]))
+    b = np.asarray(grid.interior(jnp.asarray(final.tracers["b"])))
+    np.testing.assert_allclose(b, a, atol=1e-10)
