@@ -121,30 +121,57 @@ def field_integral(grid, a, loc=LOC_C):
 # used by Lagrangian particles and FieldTimeSeries.
 # ---------------------------------------------------------------------------
 
-def regrid_z(src_grid, dst_grid, a, loc=LOC_C):
-    """Conservative vertical regridding between two grids sharing the
-    horizontal layout (reference ``src/Fields/regridding_fields.jl``):
-    destination cells receive the thickness-weighted overlap average of
-    source cells, conserving ∫ a dz per column exactly."""
+def _overlap_matrix(src_edges, dst_edges):
+    """(Nd, Ns) weight matrix: row k holds each source cell's fractional
+    overlap with destination cell k (conservative first-order remap)."""
     import numpy as np
-    zsf = np.asarray(src_grid.zF).reshape(-1)
-    zdf = np.asarray(dst_grid.zF).reshape(-1)
-    Hs, Ns = src_grid.Hz, src_grid.Nz
-    Hd, Nd = dst_grid.Hz, dst_grid.Nz
-    src_edges = np.append(zsf[Hs:Hs + Ns], zsf[Hs + Ns])
-    dst_edges = np.append(zdf[Hd:Hd + Nd], zdf[Hd + Nd])
-    # overlap weight matrix (Nd, Ns), host-side numpy constant
+    Nd, Ns = len(dst_edges) - 1, len(src_edges) - 1
     W = np.zeros((Nd, Ns))
     for k in range(Nd):
         lo, hi = dst_edges[k], dst_edges[k + 1]
         ov = (np.minimum(hi, src_edges[1:])
               - np.maximum(lo, src_edges[:-1])).clip(min=0.0)
         W[k] = ov / max(hi - lo, 1e-30)
+    return W
+
+
+def _axis_edges(grid, axis):
+    import numpy as np
+    name = AXIS_NAMES[axis]
+    f = np.asarray(getattr(grid, f"{name}F")).reshape(-1)
+    H, N = grid.H[axis], grid.N[axis]
+    return np.append(f[H:H + N], f[H + N])
+
+
+def regrid(src_grid, dst_grid, a, loc=LOC_C, axis=2):
+    """Conservative regridding along ONE axis between two grids sharing
+    the other axes' layout (reference ``src/Fields/regridding_fields.jl``
+    ``regrid!``: one direction at a time, overlap-weighted cell averages,
+    conserving the metric integral along that axis exactly)."""
+    import numpy as np
+    W = _overlap_matrix(_axis_edges(src_grid, axis),
+                        _axis_edges(dst_grid, axis))
     ai = interior(src_grid, a)
-    out = jnp.einsum("ks,ijs->ijk", jnp.asarray(W, ai.dtype), ai)
+    sub = {0: "sjk,ds->djk", 1: "isk,ds->idk", 2: "ijs,ds->ijd"}[axis]
+    out = jnp.einsum(sub, ai, jnp.asarray(W, ai.dtype))
     res = new_field(dst_grid, a.dtype)
     sx, sy, sz = dst_grid.interior_slices
     return res.at[sx, sy, sz].set(out)
+
+
+def regrid_x(src_grid, dst_grid, a, loc=LOC_C):
+    return regrid(src_grid, dst_grid, a, loc=loc, axis=0)
+
+
+def regrid_y(src_grid, dst_grid, a, loc=LOC_C):
+    return regrid(src_grid, dst_grid, a, loc=loc, axis=1)
+
+
+def regrid_z(src_grid, dst_grid, a, loc=LOC_C):
+    """Conservative vertical regridding (destination cells receive the
+    thickness-weighted overlap average of source cells, conserving
+    ∫ a dz per column exactly)."""
+    return regrid(src_grid, dst_grid, a, loc=loc, axis=2)
 
 
 def _fractional_index(xs, x):

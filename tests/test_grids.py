@@ -164,3 +164,30 @@ def test_conservative_vertical_regrid():
     Is = np.asarray(interior(src, a)).sum(axis=2) * (1 / 16)
     Id = np.asarray(interior(dst, b)).sum(axis=2) * (1 / 5)
     np.testing.assert_allclose(Is, Id, atol=1e-14)
+
+
+def test_conservative_regrid_x_and_y():
+    """regrid! analogs in x and y conserve the row/column integrals
+    (reference regridding_fields.jl regrid_in_x!/regrid_in_y!)."""
+    import jax.numpy as jnp
+    from oceananigans_tpu.fields import interior, regrid_x, regrid_y, \
+        set_field
+    src = RectilinearGrid(size=(12, 6), x=(0, 2), z=(-1, 0),
+                          topology=(Bounded, Flat, Bounded))
+    dst = RectilinearGrid(size=(5, 6), x=(0, 2), z=(-1, 0),
+                          topology=(Bounded, Flat, Bounded))
+    a = set_field(src, lambda x, y, z: x ** 2 + z)
+    b = regrid_x(src, dst, a)
+    Is = np.asarray(interior(src, a)).sum(axis=0) * (2 / 12)
+    Id = np.asarray(interior(dst, b)).sum(axis=0) * (2 / 5)
+    np.testing.assert_allclose(Is, Id, atol=1e-13)
+
+    srcy = RectilinearGrid(size=(4, 9, 4), x=(0, 1), y=(0, 3), z=(-1, 0),
+                           topology=(Periodic, Bounded, Bounded))
+    dsty = RectilinearGrid(size=(4, 3, 4), x=(0, 1), y=(0, 3), z=(-1, 0),
+                           topology=(Periodic, Bounded, Bounded))
+    c = set_field(srcy, lambda x, y, z: jnp.cos(y) + x * z)
+    d = regrid_y(srcy, dsty, c)
+    Is = np.asarray(interior(srcy, c)).sum(axis=1) * (3 / 9)
+    Id = np.asarray(interior(dsty, d)).sum(axis=1) * (3 / 3)
+    np.testing.assert_allclose(Is, Id, atol=1e-13)
