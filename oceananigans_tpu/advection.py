@@ -809,3 +809,71 @@ def cell_advection_timescale(grid, u, v, w):
             + jnp.abs(v[sx, sy, sz]) / dy
             + jnp.abs(w[sx, sy, sz]) / dz)
     return 1.0 / jnp.maximum(jnp.max(rate), 1e-30)
+
+
+# ---------------------------------------------------------------------------
+# Multidimensional (2-D horizontal) reconstruction filter (reference
+# ``src/Advection/multi_dimensional_reconstruction.jl``): a fifth-order
+# centered-WENO filter applied TRANSVERSE to a 1-D reconstruction, making
+# the vector-invariant interpolations effectively two-dimensional on
+# curvilinear grids. The γ/a/σ tables are the published constants of the
+# fifth-order centered WENO interpolant.
+# ---------------------------------------------------------------------------
+
+_S15 = float(np.sqrt(15.0))
+_MD_G1 = ((1008 + 71 * _S15) / 5240, 408 / 655, (1008 - 71 * _S15) / 5240)
+_MD_G3 = ((1008 - 71 * _S15) / 5240, 408 / 655, (1008 + 71 * _S15) / 5240)
+_MD_SP, _MD_SM = 214 / 80, 67 / 40
+_MD_G2P = (9 / 80 / _MD_SP, 49 / 20 / _MD_SP, 9 / 80 / _MD_SP)
+_MD_G2M = (9 / 40 / _MD_SM, 49 / 40 / _MD_SM, 9 / 40 / _MD_SM)
+_MD_A1 = (((2 - 3 * _S15) / 60, (-4 + 12 * _S15) / 60, (62 - 9 * _S15) / 60),
+          ((2 + 3 * _S15) / 60, 56 / 60, (2 - 3 * _S15) / 60),
+          ((62 + 9 * _S15) / 60, (-4 - 12 * _S15) / 60, (2 + 3 * _S15) / 60))
+_MD_A2 = ((-1 / 24, 2 / 24, 23 / 24),
+          (-1 / 24, 26 / 24, -1 / 24),
+          (23 / 24, 2 / 24, -1 / 24))
+_MD_A3 = (((2 + 3 * _S15) / 60, (-4 - 12 * _S15) / 60, (62 + 9 * _S15) / 60),
+          ((2 - 3 * _S15) / 60, 56 / 60, (2 + 3 * _S15) / 60),
+          ((62 - 9 * _S15) / 60, (-4 + 12 * _S15) / 60, (2 - 3 * _S15) / 60))
+_MD_EPS = 1e-6
+
+
+def multi_dimensional_filter(q, axis):
+    """Fifth-order centered-WENO filter of ``q`` along ``axis`` (the
+    transverse leg of the reference's
+    ``multi_dimensional_reconstruction_x/y``). Preserves constants
+    exactly; in smooth regions reproduces ``q`` to fifth order."""
+    t = {n: shift(q, n, axis) for n in (-2, -1, 0, 1, 2)}
+    S = ((t[-2], t[-1], t[0]), (t[-1], t[0], t[1]), (t[0], t[1], t[2]))
+
+    def comb(A):
+        return tuple(A[r][0] * S[r][0] + A[r][1] * S[r][1]
+                     + A[r][2] * S[r][2] for r in range(3))
+
+    q1h = comb(_MD_A1)
+    q2h = comb(_MD_A2)
+    q3h = comb(_MD_A3)
+
+    c1, c2 = 13.0 / 12.0, 0.25
+    b0 = (c1 * (S[0][0] - 2 * S[0][1] + S[0][2]) ** 2
+          + c2 * (S[0][0] - 4 * S[0][1] + 3 * S[0][2]) ** 2)
+    b1 = (c1 * (S[1][0] - 2 * S[1][1] + S[1][2]) ** 2
+          + c2 * (S[1][0] - S[1][2]) ** 2)
+    b2 = (c1 * (S[2][0] - 2 * S[2][1] + S[2][2]) ** 2
+          + c2 * (3 * S[2][0] - 4 * S[2][1] + S[2][2]) ** 2)
+
+    def weights(g):
+        a0 = g[0] / (b0 + _MD_EPS) ** 2
+        a1 = g[1] / (b1 + _MD_EPS) ** 2
+        a2 = g[2] / (b2 + _MD_EPS) ** 2
+        s = a0 + a1 + a2
+        return a0 / s, a1 / s, a2 / s
+
+    def total(g, qh):
+        w0, w1, w2 = weights(g)
+        return w0 * qh[0] + w1 * qh[1] + w2 * qh[2]
+
+    q1 = total(_MD_G1, q1h)
+    q3 = total(_MD_G3, q3h)
+    q2 = _MD_SP * total(_MD_G2P, q2h) - _MD_SM * total(_MD_G2M, q2h)
+    return q1 / 6 + 2 * q2 / 3 + q3 / 6

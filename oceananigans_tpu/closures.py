@@ -206,23 +206,33 @@ class ScalarDiffusivity(AbstractClosure):
         self.isotropy = isotropy
         self.time_discretization = time_discretization
 
+    def _coeff(self, grid, c):
+        """Materialize a coefficient: number, center-located array, or a
+        callable ``nu(x, y, z)`` evaluated at cell centers (reference
+        ``discrete_diffusion_function.jl`` continuous form)."""
+        if callable(c):
+            from oceananigans_tpu.fields import set_field
+            return set_field(grid, c)
+        return c
+
     def momentum_flux_divergences(self, grid, u, v, w, tracers, diffusivities,
                                   include_implicit=True):
         include_z = self.isotropy != "horizontal" and (
             include_implicit or not self.vertically_implicit)
         include_h = self.isotropy != "vertical"
+        nu = self._coeff(grid, self.nu)
         if not include_h:
             if not include_z:
                 return 0.0, 0.0, 0.0
-            fxz = self.nu * dz_f(u) / grid.dz(Face)
-            fyz = self.nu * dz_f(v) / grid.dz(Face)
-            fzz = self.nu * dz_c(w) / grid.dz(Center)
+            fxz = _nu_at(nu, "xz") * dz_f(u) / grid.dz(Face)
+            fyz = _nu_at(nu, "yz") * dz_f(v) / grid.dz(Face)
+            fzz = nu * dz_c(w) / grid.dz(Center)
             zero = jnp.zeros_like(u)
             du = _div_u_fluxes(grid, zero, zero, fxz)
             dv = _div_v_fluxes(grid, zero, zero, fyz)
             dw = _div_w_fluxes(grid, zero, zero, fzz)
             return du, dv, dw
-        du, dv, dw = _laplacian_momentum_divs(grid, self.nu, u, v, w,
+        du, dv, dw = _laplacian_momentum_divs(grid, nu, u, v, w,
                                               include_z=include_z)
         return du, dv, dw
 
@@ -231,7 +241,8 @@ class ScalarDiffusivity(AbstractClosure):
         include_z = self.isotropy != "horizontal" and (
             include_implicit or not self.vertically_implicit)
         include_h = self.isotropy != "vertical"
-        return _laplacian_tracer_div(grid, _kappa_for(self.kappa, name), c,
+        kappa = self._coeff(grid, _kappa_for(self.kappa, name))
+        return _laplacian_tracer_div(grid, kappa, c,
                                      include_z=include_z,
                                      include_h=include_h)
 
@@ -239,12 +250,14 @@ class ScalarDiffusivity(AbstractClosure):
     def vertical_nu(self, grid, diffusivities):
         if self.isotropy == "horizontal":
             return 0.0
-        return self.nu
+        nu = self._coeff(grid, self.nu)
+        return _nu_at(nu, "z") if hasattr(nu, "ndim") and nu.ndim else nu
 
     def vertical_kappa(self, grid, diffusivities, name):
         if self.isotropy == "horizontal":
             return 0.0
-        return _kappa_for(self.kappa, name)
+        k = self._coeff(grid, _kappa_for(self.kappa, name))
+        return _nu_at(k, "z") if hasattr(k, "ndim") and k.ndim else k
 
     def __repr__(self):
         return (f"ScalarDiffusivity(ν={self.nu}, κ={self.kappa}, "

@@ -134,7 +134,7 @@ class VectorInvariant:
                  vertical_scheme="energy_conserving",
                  divergence_scheme=None,
                  kinetic_energy_gradient_scheme=None,
-                 upwinding=None):
+                 upwinding=None, multi_dimensional_stencil=False):
         if isinstance(vorticity_scheme, str) and vorticity_scheme not in (
                 "enstrophy_conserving", "energy_conserving"):
             raise ValueError(
@@ -160,6 +160,11 @@ class VectorInvariant:
         self.kinetic_energy_gradient_scheme = kinetic_energy_gradient_scheme
         self.upwinding = upwinding if upwinding is not None \
             else OnlySelfUpwinding()
+        #: apply the transverse fifth-order WENO filter to every scheme-
+        #: based horizontal reconstruction (reference
+        #: ``multi_dimensional_stencil = true``, a 2-D horizontal stencil
+        #: for curvilinear grids)
+        self.multi_dimensional_stencil = bool(multi_dimensional_stencil)
 
     @property
     def required_halo(self):
@@ -172,13 +177,28 @@ class VectorInvariant:
         # ζ itself consumes one halo on top of any upwinded stencil
         # (reference ``required_halo_size_x(::VectorInvariant)``,
         # vector_invariant_advection.jl:244-252)
-        return h + 1 if h > 1 else 2
+        h = h + 1 if h > 1 else 2
+        # the transverse 2-D filter adds +-2 taps
+        if getattr(self, "multi_dimensional_stencil", False):
+            h += 2
+        return h
 
     def _key(self):
         return ("VectorInvariant", self.vorticity_scheme,
                 self.vorticity_stencil, self.vertical_scheme,
                 self.divergence_scheme,
-                self.kinetic_energy_gradient_scheme, self.upwinding)
+                self.kinetic_energy_gradient_scheme, self.upwinding,
+                getattr(self, "multi_dimensional_stencil", False))
+
+    def _md(self, q, interp_axis):
+        """Transverse 2-D filter of a horizontal reconstruction: an
+        x-direction interpolation gets filtered along y and vice versa
+        (reference ``_multi_dimensional_reconstruction_y/x`` wrapping of
+        the VI interpolates). No-op unless ``multi_dimensional_stencil``."""
+        if not getattr(self, "multi_dimensional_stencil", False):
+            return q
+        from oceananigans_tpu.advection import multi_dimensional_filter
+        return multi_dimensional_filter(q, Y if interp_axis == X else X)
 
     def __eq__(self, other):
         return isinstance(other, VectorInvariant) and \
@@ -209,10 +229,10 @@ class VectorInvariant:
         if self.vorticity_scheme == "enstrophy_conserving":
             return iy_c(zeta) * ix_f(iy_c(dxv)) / grid.dx(Face, Center)
         from oceananigans_tpu.advection import _face_value_smooth
-        vhat = ix_f(iy_c(dxv)) / grid.dx(Face, Center)
+        vhat = self._md(ix_f(iy_c(dxv)) / grid.dx(Face, Center), X)
         # ζ is y-face-located: reconstruct to y-centers (o = 1)
-        zr = _face_value_smooth(self.vorticity_scheme, vhat, zeta, Y, 1,
-                                self._zeta_smooth(u, v))
+        zr = self._md(_face_value_smooth(self.vorticity_scheme, vhat, zeta,
+                                         Y, 1, self._zeta_smooth(u, v)), Y)
         return vhat * zr
 
     def _zeta_u(self, grid, zeta, u, v):
@@ -222,9 +242,9 @@ class VectorInvariant:
         if self.vorticity_scheme == "enstrophy_conserving":
             return ix_c(zeta) * iy_f(ix_c(dyu)) / grid.dy(Face, Center)
         from oceananigans_tpu.advection import _face_value_smooth
-        uhat = iy_f(ix_c(dyu)) / grid.dy(Face, Center)
-        zr = _face_value_smooth(self.vorticity_scheme, uhat, zeta, X, 1,
-                                self._zeta_smooth(u, v))
+        uhat = self._md(iy_f(ix_c(dyu)) / grid.dy(Face, Center), Y)
+        zr = self._md(_face_value_smooth(self.vorticity_scheme, uhat, zeta,
+                                         X, 1, self._zeta_smooth(u, v)), X)
         return uhat * zr
 
     # -- Bernoulli head ---------------------------------------------------
@@ -238,8 +258,8 @@ class VectorInvariant:
         du2 = dx_c(0.5 * u * u)          # δx(u²/2) at (c,c,c)
         dv2 = dx_f(0.5 * v * v)          # δx(v²/2) at (f,f,c)
         smooth = [ix_c(u)] if isinstance(ke, WENO) else None
-        duR = _face_value_smooth(ke, u, du2, X, 0, smooth)
-        dvS = self.upwinding.cross_scheme.reconstruct(dv2, Y, 1)
+        duR = self._md(_face_value_smooth(ke, u, du2, X, 0, smooth), X)
+        dvS = self._md(self.upwinding.cross_scheme.reconstruct(dv2, Y, 1), Y)
         return (duR + dvS) / grid.dx(Face, Center)
 
     def _bernoulli_v(self, grid, u, v):
@@ -251,8 +271,8 @@ class VectorInvariant:
         dv2 = dy_c(0.5 * v * v)          # (c,c,c)
         du2 = dy_f(0.5 * u * u)          # (f,f,c)
         smooth = [iy_c(v)] if isinstance(ke, WENO) else None
-        dvR = _face_value_smooth(ke, v, dv2, Y, 0, smooth)
-        duS = self.upwinding.cross_scheme.reconstruct(du2, X, 1)
+        dvR = self._md(_face_value_smooth(ke, v, dv2, Y, 0, smooth), Y)
+        duS = self._md(self.upwinding.cross_scheme.reconstruct(du2, X, 1), X)
         return (dvR + duS) / grid.dy(Face, Center)
 
     # -- vertical + divergence flux ---------------------------------------
@@ -275,12 +295,14 @@ class VectorInvariant:
         dxU, dyV = self._div_terms(grid, u, v)
         ds = self.divergence_scheme
         if isinstance(self.upwinding, CrossAndSelfUpwinding):
-            dR = _face_value_smooth(ds, u, dxU + dyV, X, 0, None)
+            dR = self._md(_face_value_smooth(ds, u, dxU + dyV, X, 0, None),
+                          X)
             phi = u * dR
         else:
             smooth = [dxU + dyV] if isinstance(ds, WENO) else None
-            duR = _face_value_smooth(ds, u, dxU, X, 0, smooth)
-            dvS = self.upwinding.cross_scheme.reconstruct(dyV, X, 0)
+            duR = self._md(_face_value_smooth(ds, u, dxU, X, 0, smooth), X)
+            dvS = self._md(
+                self.upwinding.cross_scheme.reconstruct(dyV, X, 0), X)
             phi = u * (dvS + duR)
         Wadv = ix_f(grid.Az(Center, Center) * w)         # (f,c,f)
         uz = _face_value(vs, Wadv, u, Z, 0)
@@ -298,12 +320,14 @@ class VectorInvariant:
         dxU, dyV = self._div_terms(grid, u, v)
         ds = self.divergence_scheme
         if isinstance(self.upwinding, CrossAndSelfUpwinding):
-            dR = _face_value_smooth(ds, v, dxU + dyV, Y, 0, None)
+            dR = self._md(_face_value_smooth(ds, v, dxU + dyV, Y, 0, None),
+                          Y)
             phi = v * dR
         else:
             smooth = [dxU + dyV] if isinstance(ds, WENO) else None
-            dvR = _face_value_smooth(ds, v, dyV, Y, 0, smooth)
-            duS = self.upwinding.cross_scheme.reconstruct(dxU, Y, 0)
+            dvR = self._md(_face_value_smooth(ds, v, dyV, Y, 0, smooth), Y)
+            duS = self._md(
+                self.upwinding.cross_scheme.reconstruct(dxU, Y, 0), Y)
             phi = v * (duS + dvR)
         Wadv = iy_f(grid.Az(Center, Center) * w)         # (c,f,f)
         vz = _face_value(vs, Wadv, v, Z, 0)
@@ -335,7 +359,8 @@ class WENOVectorInvariant(VectorInvariant):
     def __init__(self, vorticity_order=None, order=None,
                  vertical_order=None, divergence_order=None,
                  kinetic_energy_gradient_order=None, upwinding=None,
-                 vorticity_stencil="velocity"):
+                 vorticity_stencil="velocity",
+                 multi_dimensional_stencil=False):
         from oceananigans_tpu.advection import WENO
         vorticity_order = vorticity_order or order or 9
         vertical_order = vertical_order or order or 5
@@ -349,7 +374,8 @@ class WENOVectorInvariant(VectorInvariant):
             divergence_scheme=WENO(divergence_order),
             kinetic_energy_gradient_scheme=WENO(
                 kinetic_energy_gradient_order),
-            upwinding=upwinding)
+            upwinding=upwinding,
+            multi_dimensional_stencil=multi_dimensional_stencil)
 
     def __repr__(self):
         return (f"WENOVectorInvariant(vorticity_order="

@@ -94,6 +94,8 @@ def vi_available(grid, vi) -> bool:
         return False
     if not isinstance(vi, VectorInvariant):
         return False
+    if getattr(vi, "multi_dimensional_stencil", False):
+        return False   # the kernel implements 1-D stencils only
     if vi.vorticity_stencil not in ("velocity", "default"):
         return False
     b = _buffers(vi)

@@ -193,3 +193,48 @@ def test_latlon_jet_no_spurious_mixing():
     u1 = np.asarray(grid.interior(s.u))
     assert np.isfinite(u1).all()
     assert np.abs(u1).max() < 1.3 * u0
+
+
+def test_multi_dimensional_stencil_smooth_agreement():
+    """multi_dimensional_stencil=True (reference 2-D horizontal WENO
+    filter) must agree with the 1-D stencil on smooth flows to the
+    filter's truncation order, and preserve constants exactly."""
+    from oceananigans_tpu.advection import multi_dimensional_filter
+    from oceananigans_tpu.boundary_conditions import (
+        fill_halo_regions, regularize_field_boundary_conditions,
+    )
+    from oceananigans_tpu.fields import LOC_U, LOC_V, LOC_W, set_field
+
+    # constant preservation of the raw filter (weights sum to one)
+    q = jnp.full((6, 16, 2), 2.5)
+    assert float(jnp.abs(multi_dimensional_filter(q, 1) - 2.5).max()) < 1e-14
+
+    devs = []
+    for N in (16, 32):
+        grid = RectilinearGrid(size=(N, N, 4), extent=(1.0, 1.0, 1.0),
+                               topology=(Periodic, Periodic, Bounded),
+                               halo=6)
+        u = set_field(grid, lambda x, y, z:
+                      jnp.sin(2 * np.pi * x) * jnp.cos(2 * np.pi * y),
+                      loc=LOC_U)
+        v = set_field(grid, lambda x, y, z:
+                      jnp.cos(2 * np.pi * x) * jnp.sin(2 * np.pi * y),
+                      loc=LOC_V)
+        w = set_field(grid, lambda x, y, z: 0.0, loc=LOC_W)
+        bcs_u = regularize_field_boundary_conditions(None, grid, LOC_U)
+        bcs_v = regularize_field_boundary_conditions(None, grid, LOC_V)
+        u = fill_halo_regions(u, grid, bcs_u, LOC_U)
+        v = fill_halo_regions(v, grid, bcs_v, LOC_V)
+        w = fill_halo_regions(w, grid,
+                              regularize_field_boundary_conditions(
+                                  None, grid, LOC_W), LOC_W)
+        one_d = WENOVectorInvariant(order=5)
+        two_d = WENOVectorInvariant(order=5, multi_dimensional_stencil=True)
+        S = grid.interior_slices
+        g1 = np.asarray(one_d.u_tendency(grid, u, v, w)[S])
+        g2 = np.asarray(two_d.u_tendency(grid, u, v, w)[S])
+        scale = np.abs(g1).max()
+        devs.append(np.abs(g2 - g1).max() / scale)
+    assert devs[0] < 0.05, devs
+    # the 2-D filter converges to the 1-D value with resolution
+    assert devs[1] < 0.5 * devs[0], devs
