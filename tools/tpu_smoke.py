@@ -153,9 +153,64 @@ def _cases():
         s = jax.block_until_ready(s)
         return {"u": np.asarray(s.u), "w": np.asarray(s.w)}
 
+    def hydro_vi():
+        """WENOVectorInvariant on a lat-lon grid: on TPU the fused
+        ops/pallas_vi kernel auto-engages; compares against the CPU XLA
+        path."""
+        from oceananigans_tpu import LatitudeLongitudeGrid
+        from oceananigans_tpu.models.hydrostatic import (
+            ExplicitFreeSurface, WENOVectorInvariant,
+        )
+        grid = LatitudeLongitudeGrid(size=(48, 32, 8),
+                                     longitude=(-30.0, 30.0),
+                                     latitude=(15.0, 55.0),
+                                     z=(-1000.0, 0.0), halo=6,
+                                     dtype="float32")
+        model = HydrostaticFreeSurfaceModel(
+            grid=grid, momentum_advection=WENOVectorInvariant(),
+            free_surface=ExplicitFreeSurface())
+        if jax.default_backend() != "cpu":
+            assert model.fused_kernels, "pallas_vi kernel did not engage"
+        state = model.initial_state(
+            u=lambda lam, phi, z: 0.5 * np.cos(np.deg2rad(phi))
+            + 0 * lam,
+            eta=lambda lam, phi: 0.05 * np.sin(np.deg2rad(lam) * 6))
+        step = jax.jit(lambda s: model.step(s, jnp.float32(30.0)))
+        s = state
+        for _ in range(10):
+            s = step(s)
+        s = jax.block_until_ready(s)
+        return {"u": np.asarray(s.u), "v": np.asarray(s.v),
+                "eta": np.asarray(s.eta)}
+
+    def tracer_weno7():
+        """WENO(7) multi-tracer advection: on TPU the generic-order
+        fused ops/pallas_tracer kernel auto-engages."""
+        grid = RectilinearGrid(size=(48, 48, 48), extent=(1.0, 1.0, 1.0),
+                               topology=(Bounded, Periodic, Periodic),
+                               halo=(4, 0, 0), dtype="float32")
+        model = NonhydrostaticModel(grid=grid, advection=WENO(7),
+                                    tracers=("a", "b"),
+                                    timestepper="QuasiAdamsBashforth2")
+        if jax.default_backend() != "cpu":
+            assert model.fused_tracer, "pallas_tracer kernel did not engage"
+        state = model.initial_state(
+            v=lambda x, y, z: 0.2 * jnp.sin(2 * np.pi * x),
+            a=lambda x, y, z: jnp.cos(2 * np.pi * y) * z,
+            b=lambda x, y, z: jnp.sin(2 * np.pi * z))
+        step = jax.jit(lambda s: model.step(s, jnp.float32(2e-3)))
+        s = state
+        for _ in range(10):
+            s = step(s)
+        s = jax.block_until_ready(s)
+        return {"a": np.asarray(s.tracers["a"]),
+                "b": np.asarray(s.tracers["b"])}
+
     return {"nonhydro": (nonhydro, 5e-6),
             "nonhydro_weno": (nonhydro_weno, 5e-6),
             "hydro_implicit": (hydro_implicit, 5e-5),
+            "hydro_vi": (hydro_vi, 5e-4),   # u ~ 0.5 m/s scale
+            "tracer_weno7": (tracer_weno7, 5e-6),
             "cubed_sphere": (cubed_sphere, 5e-2),   # h ~ 3000 m scale
             "tripolar": (tripolar, 5e-5),
             "immersed": (immersed, 5e-5)}
