@@ -106,7 +106,8 @@ from oceananigans_tpu.models import (
 )
 from oceananigans_tpu.simulation import (
     Callback, Simulation, TendencyCallsite, TimeStepCallsite,
-    TimeStepWizard, UpdateStateCallsite,
+    TimeStepWizard, UpdateStateCallsite, add_callback,
+    conjure_time_step_wizard, iteration,
 )
 from oceananigans_tpu.utils.schedules import (
     TimeInterval, IterationInterval, WallTimeInterval, SpecifiedTimes,

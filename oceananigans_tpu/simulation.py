@@ -27,7 +27,8 @@ from oceananigans_tpu.utils.schedules import (
 )
 from oceananigans_tpu.utils.pretty import prettytime
 
-__all__ = ["Simulation", "Callback", "TimeStepWizard"]
+__all__ = ["Simulation", "Callback", "TimeStepWizard", "add_callback",
+           "conjure_time_step_wizard", "iteration"]
 
 
 # callback callsites (reference src/Oceananigans.jl:186-188):
@@ -331,3 +332,34 @@ class Simulation:
         return (f"Simulation(t={prettytime(float(self.state.clock.time))}, "
                 f"iteration={int(self.state.clock.iteration)}, "
                 f"dt={self.dt:g})")
+
+
+def add_callback(sim, func, schedule=None, name=None,
+                 callsite=TimeStepCallsite):
+    """Attach a callback (reference ``add_callback!(sim, func;
+    schedule, name)``). ``func`` may be a plain function or a
+    :class:`Callback`."""
+    cb = func if isinstance(func, Callback) else Callback(func, schedule,
+                                                          callsite)
+    if name is None:
+        name = getattr(func, "__name__", None) or f"callback{len(sim.callbacks)}"
+        base, k = name, 1
+        while name in sim.callbacks:
+            name = f"{base}{k}"
+            k += 1
+    sim.callbacks[name] = cb
+    return name
+
+
+def conjure_time_step_wizard(sim, schedule=None, **wizard_kwargs):
+    """Attach a :class:`TimeStepWizard` on a schedule (reference
+    ``conjure_time_step_wizard!(sim, schedule; kwargs...)``, default
+    every 5 iterations)."""
+    schedule = schedule or IterationInterval(5)
+    sim.callbacks["time_step_wizard"] = Callback(
+        TimeStepWizard(**wizard_kwargs), schedule)
+
+
+def iteration(sim):
+    """Current iteration count (reference ``iteration(sim)``)."""
+    return int(sim.state.clock.iteration)

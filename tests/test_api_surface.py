@@ -48,8 +48,8 @@ ConservativeFormulation VectorInvariantFormulation
 PressureField
 ExplicitFreeSurface ImplicitFreeSurface SplitExplicitFreeSurface
 HydrostaticSphericalCoriolis PrescribedVelocityFields
-Clock TimeStepWizard
-Simulation Callback
+Clock TimeStepWizard conjure_time_step_wizard
+Simulation Callback add_callback iteration
 CFL AdvectiveCFL DiffusiveCFL
 NetCDFWriter JLD2Writer Checkpointer
 TimeInterval IterationInterval WallTimeInterval AveragedTimeInterval
