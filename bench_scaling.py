@@ -98,6 +98,56 @@ def run(n_devices, base=32, nz=32, inner=5, path="explicit"):
     return el, pts, colls
 
 
+def run_hydrostatic(n_devices, base=32, nz=16, inner=5):
+    """Weak-scaling probe for the realistic-ocean configuration:
+    hydrostatic split-explicit free surface on the explicit-halo path
+    (the whole step, barotropic scan included, inside one shard_map)."""
+    from jax.sharding import Mesh
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+    from oceananigans_tpu.models.hydrostatic import (
+        SplitExplicitFreeSurface,
+    )
+    from oceananigans_tpu.parallel import DistributedStep
+
+    dist = Distributed(Partition(None, None),
+                       devices=jax.devices()[:n_devices])
+    px, py = dist.partition
+    grid = RectilinearGrid(size=(base * px, base * py, nz),
+                           x=(0, 1e5 * px), y=(0, 1e5 * py),
+                           z=(-1000.0, 0.0),
+                           topology=(Periodic, Periodic, Bounded), halo=3)
+
+    def make_model(g):
+        return HydrostaticFreeSurfaceModel(
+            grid=g, free_surface=SplitExplicitFreeSurface(substeps=20),
+            tracers=("T",))
+
+    model = make_model(grid)
+    state = model.initial_state(
+        u=lambda x, y, z: 0.1 * jnp.sin(2 * np.pi * x / 1e5),
+        T=lambda x, y, z: 10.0 + 5e-3 * z)
+    dt = 60.0
+    colls = None
+    if n_devices > 1:
+        mesh = Mesh(np.array(jax.devices()[:n_devices]).reshape(px, py),
+                    ("x", "y"))
+        dstep = DistributedStep(make_model, grid, mesh)
+        f = dstep.step_fn()
+        state = dstep.to_local_state(state)
+        step = lambda s: f(s, dt)
+        colls = count_collectives(f, state, dt)
+    else:
+        jstep = jax.jit(lambda s: model.step(s, dt))
+        step = jstep
+    state = jax.block_until_ready(step(state))
+    t0 = time.perf_counter()
+    for _ in range(inner):
+        state = step(state)
+    jax.block_until_ready(state.u)
+    el = (time.perf_counter() - t0) / inner
+    return el, grid.Nx * grid.Ny * grid.Nz, colls
+
+
 def run_cubed_sphere(R=1, panels=6, n=16, inner=3):
     """Cubed-sphere panel(+sub-panel) sharding probe: steps the shallow-
     water model over a ``cubed_sphere_partition`` mesh and counts the
@@ -153,6 +203,16 @@ def main():
         print(f"{n} devices: {el*1e3:8.2f} ms/step  {pts:9d} pts  "
               f"weak eff {eff:5.1%}  collectives/step "
               f"{sum(colls.values()) if colls else 0}")
+    # hydrostatic split-explicit weak scaling on the explicit-halo path
+    t1h = None
+    for n in counts:
+        el, pts, colls = run_hydrostatic(n)
+        if t1h is None:
+            t1h = el
+        print(f"hydrostatic {n} devices: {el*1e3:8.2f} ms/step  "
+              f"{pts:9d} pts  weak eff {t1h/el:5.1%}  collectives/step "
+              f"{sum(colls.values()) if colls else 0}")
+
     # cubed-sphere sharding probes: 6-panel mesh, and (with >= 8 devices)
     # a sub-panel (panels=2, R=2) mesh
     cs_runs = [("panel-axis (6 dev)", dict(R=1, panels=6, n=16))]

@@ -834,10 +834,60 @@ class HydrostaticFreeSurfaceModel:
         return jnp.broadcast_to(jnp.asarray(value, dtype), shape2d)
 
     # ------------------------------------------------------------------
+    def _fill_field(self, a, bcs, loc, t, dt=None, g=None):
+        """Halo fill, routed through the distributed ppermute exchange
+        when this model runs inside the explicit-halo shard_map step
+        (parallel/shard_step.py sets ``dist_halo``)."""
+        if g is None:
+            g = self.grid
+        ctx = getattr(self, "dist_halo", None)
+        if ctx is not None:
+            from oceananigans_tpu.parallel.shard_step import dist_fill_halos
+            return dist_fill_halos(a, g, bcs, loc, t, dt, ctx,
+                                   self.dist_topo)
+        return fill_halo_regions(a, g, bcs, loc, t, dt=dt)
+
     def _fill_eta_halos(self, eta):
         g = self.grid
-        # fill x/y halos only (η has no z extent)
         from oceananigans_tpu.boundary_conditions import _fill_axis
+        ctx = getattr(self, "dist_halo", None)
+        if ctx is not None:
+            # distributed x/y: neighbor ppermute exchange; physical
+            # boundary fill only on the global-edge shards
+            from oceananigans_tpu.grids.base import Periodic as _P
+            from oceananigans_tpu.parallel.halo_exchange import (
+                _exchange_axis,
+            )
+            import jax as _jax
+            for axis in (X, Y):
+                n_shards = ctx.size(axis)
+                lbc, rbc = self.eta_bcs.sides(axis)
+                if n_shards == 1:
+                    eta = _fill_axis(eta, g, axis, Center, lbc, rbc,
+                                     None, None)
+                    continue
+                periodic = self.dist_topo[axis] == _P
+                eta = _exchange_axis(eta, ctx.names[axis], axis,
+                                     g.H[axis], periodic, n_shards)
+                if not periodic:
+                    eb = _fill_axis(eta, g, axis, Center, lbc, rbc,
+                                    None, None)
+                    s = _jax.lax.axis_index(ctx.names[axis])
+                    h = g.H[axis]
+                    n = eta.shape[axis]
+
+                    def axsl(sl, _axis=axis, _nd=eta.ndim):
+                        out = [slice(None)] * _nd
+                        out[_axis] = sl
+                        return tuple(out)
+
+                    lo, hi = axsl(slice(0, h)), axsl(slice(n - h, n))
+                    eta = eta.at[lo].set(jnp.where(s == 0, eb[lo],
+                                                   eta[lo]))
+                    eta = eta.at[hi].set(jnp.where(s == n_shards - 1,
+                                                   eb[hi], eta[hi]))
+            return eta
+        # fill x/y halos only (η has no z extent)
         for axis in (X, Y):
             lbc, rbc = self.eta_bcs.sides(axis)
             eta = _fill_axis(eta, g, axis, Center, lbc, rbc, None, None)
@@ -852,11 +902,11 @@ class HydrostaticFreeSurfaceModel:
         # update_hydrostatic_free_surface_model_state.jl:60-69), then fill
         u = mask_immersed_field(g, state.u, LOC_U)
         v = mask_immersed_field(g, state.v, LOC_V)
-        u = fill_halo_regions(u, g, self.bcs["u"], LOC_U, t, dt=dtl)
-        v = fill_halo_regions(v, g, self.bcs["v"], LOC_V, t, dt=dtl)
+        u = self._fill_field(u, self.bcs["u"], LOC_U, t, dt=dtl)
+        v = self._fill_field(v, self.bcs["v"], LOC_V, t, dt=dtl)
         tracers = {
-            name: fill_halo_regions(mask_immersed_field(g, c, LOC_C), g,
-                                    self.bcs[name], LOC_C, t)
+            name: self._fill_field(mask_immersed_field(g, c, LOC_C),
+                                   self.bcs[name], LOC_C, t)
             for name, c in state.tracers.items()
         }
         eta = self._fill_eta_halos(state.eta)
@@ -905,7 +955,8 @@ class HydrostaticFreeSurfaceModel:
         w = jnp.where(k == 0, 0.0, w)
         from oceananigans_tpu.immersed import mask_immersed_field
         w = mask_immersed_field(self.grid, w, LOC_W)
-        w = fill_halo_regions(w, g, self.bcs["w"], LOC_W, state.clock.time)
+        w = self._fill_field(w, self.bcs["w"], LOC_W, state.clock.time,
+                             g=g)
         return _replace(state, w=w)
 
     def update_state(self, state):
@@ -1145,19 +1196,34 @@ class HydrostaticFreeSurfaceModel:
     def _zero_wall_transports(self, U, V):
         """Impenetrability of the barotropic transports: zero U/V on the
         wall faces of Bounded axes (the baroclinic fields get this from
-        their Open BCs; the substepped transports must enforce it too)."""
+        their Open BCs; the substepped transports must enforce it too).
+        Under the explicit-halo distributed step a shard's local walls
+        are GLOBAL walls only on the edge shards — guard on the shard
+        index (interior shards' "wall" faces carry exchanged data)."""
         from oceananigans_tpu.grids.base import Bounded as _B
         g = self.grid
-        if g.axis_topo(X) == _B:
-            i = np.arange(g.shape[0]).reshape(-1, 1, 1)
-            wall = (i == g.Hx) | (i == g.Hx + g.Nx) | (i < g.Hx) \
-                | (i > g.Hx + g.Nx)
-            U = jnp.where(wall, 0.0, U)
-        if g.axis_topo(Y) == _B:
-            j = np.arange(g.shape[1]).reshape(1, -1, 1)
-            wall = (j == g.Hy) | (j == g.Hy + g.Ny) | (j < g.Hy) \
-                | (j > g.Hy + g.Ny)
-            V = jnp.where(wall, 0.0, V)
+        ctx = getattr(self, "dist_halo", None)
+        topo = getattr(self, "dist_topo", None) or (
+            g.axis_topo(X), g.axis_topo(Y), g.axis_topo(Z))
+
+        def walled(T, axis, H, N, n):
+            idx = np.arange(n).reshape((-1, 1, 1) if axis == X
+                                       else (1, -1, 1))
+            low = (idx == H) | (idx < H)
+            high = (idx == H + N) | (idx > H + N)
+            if ctx is None or ctx.size(axis) == 1:
+                return jnp.where(low | high, 0.0, T)
+            s = jax.lax.axis_index(ctx.names[axis])
+            first = s == 0
+            last = s == ctx.size(axis) - 1
+            T = jnp.where(jnp.logical_and(first, low), 0.0, T)
+            T = jnp.where(jnp.logical_and(last, high), 0.0, T)
+            return T
+
+        if topo[X] == _B:
+            U = walled(U, X, g.Hx, g.Nx, g.shape[0])
+        if topo[Y] == _B:
+            V = walled(V, Y, g.Hy, g.Ny, g.shape[1])
         return U, V
 
     def _div_transports(self, U, V):

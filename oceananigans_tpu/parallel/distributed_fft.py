@@ -205,6 +205,10 @@ class DistributedFourierTridiagonalSolver:
 
         def fwd(a, kind, axis):
             if kind == "dct":
+                # dct2 is real-in/real-out; after a preceding FFT the
+                # operand is complex — transform parts separately
+                if jnp.iscomplexobj(a):
+                    return dct2(a.real, axis) + 1j * dct2(a.imag, axis)
                 return dct2(a, axis)
             if kind == "fft":
                 return jnp.fft.fft(a, axis=axis)
@@ -212,7 +216,9 @@ class DistributedFourierTridiagonalSolver:
 
         def inv(a, kind, axis):
             if kind == "dct":
-                return idct2(jnp.real(a), axis)
+                if jnp.iscomplexobj(a):
+                    return idct2(a.real, axis) + 1j * idct2(a.imag, axis)
+                return idct2(a, axis)
             if kind == "fft":
                 return jnp.fft.ifft(a, axis=axis)
             return a

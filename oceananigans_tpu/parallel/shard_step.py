@@ -21,11 +21,19 @@ is exactly a single-chip halo-extended array for the LOCAL grid (an
 ``(nxl, nyl, Nz)`` grid with the same spacings), so every whole-array
 operator in the framework runs unchanged inside ``shard_map``.
 
-Scope (v1): NonhydrostaticModel on a fully-regular RectilinearGrid,
-x/y topologies Periodic or Bounded, quasi-AB2 or RK3, constant-coefficient
-closures; no immersed boundaries, particles, background fields, or
-coordinate-dependent forcings/boundary functions (those need per-shard
-coordinates; use the GSPMD path ``sharded_step_fn`` for them).
+Scope: NonhydrostaticModel (fully-regular or stretched-z
+RectilinearGrid, x/y Periodic or Bounded, quasi-AB2 or RK3) and
+HydrostaticFreeSurfaceModel (explicit or split-explicit free surface —
+the whole step, including the barotropic ``lax.scan`` with its
+per-substep η exchanges, runs inside one ``shard_map``; Bounded
+distributed axes are shard-index-guarded; LatitudeLongitudeGrid and
+ImmersedBoundaryGrid supported by passing the grid's shard-dependent
+coordinate/metric/mask arrays through ``shard_map`` as sharded
+grid-pytree leaves; no ZStar/implicit-FS yet). Constant-coefficient
+closures; no particles, background fields, or coordinate-dependent
+forcings/boundary functions on rectilinear local grids (lat-lon local
+grids DO carry true coordinates; the GSPMD path ``sharded_step_fn``
+covers everything else).
 """
 
 from __future__ import annotations
@@ -141,29 +149,65 @@ class DistributedStep:
         )
         from oceananigans_tpu.grids.rectilinear import RectilinearGrid
 
+        from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
         self.mesh = mesh
         self.global_grid = grid
         gmodel = make_model(grid)
-        if not isinstance(gmodel, NonhydrostaticModel):
-            raise ValueError("DistributedStep v1 supports "
-                             "NonhydrostaticModel only")
-        if not (grid.x_regular and grid.y_regular):
-            raise ValueError("DistributedStep needs regular x/y spacings "
-                             "(z may be stretched)")
-        if not grid.regular and grid.axis_topo(2) != Bounded:
-            raise ValueError("stretched z must be Bounded (the distributed "
-                             "Fourier-tridiagonal solver's assumption)")
-        if gmodel.particles is not None or \
+        if not isinstance(gmodel, (NonhydrostaticModel,
+                                   HydrostaticFreeSurfaceModel)):
+            raise ValueError("DistributedStep supports Nonhydrostatic and "
+                             "HydrostaticFreeSurface models")
+        self.hydrostatic = isinstance(gmodel, HydrostaticFreeSurfaceModel)
+        if self.hydrostatic:
+            from oceananigans_tpu.models.hydrostatic import (
+                ExplicitFreeSurface, ImplicitFreeSurface, ZStar,
+            )
+            if isinstance(gmodel.free_surface, ImplicitFreeSurface):
+                raise ValueError(
+                    "the implicit free surface needs a global 2-D solve; "
+                    "use Explicit/SplitExplicitFreeSurface on the "
+                    "explicit-halo path (or the GSPMD path)")
+            if isinstance(gmodel.vertical_coordinate, ZStar):
+                raise ValueError("ZStar not supported on the explicit-"
+                                 "halo path yet")
+            # Bounded distributed axes are fine: the wall-transport
+            # zeroing and η boundary fills are shard-index-guarded.
+        from oceananigans_tpu.grids.latlon import LatitudeLongitudeGrid
+        from oceananigans_tpu.immersed import ImmersedBoundaryGrid
+        base_grid = grid.underlying_grid \
+            if isinstance(grid, ImmersedBoundaryGrid) else grid
+        # lat-lon and immersed grids carry shard-dependent arrays
+        # (metrics / masks): those ride through shard_map as sharded
+        # grid-pytree leaves (hydrostatic only)
+        self.latlon = isinstance(base_grid, LatitudeLongitudeGrid)
+        self.stacked = (self.latlon
+                        or isinstance(grid, ImmersedBoundaryGrid))
+        if self.stacked and not self.hydrostatic:
+            raise ValueError("lat-lon / immersed grids on the explicit-"
+                             "halo path are supported for the "
+                             "hydrostatic model (the nonhydrostatic "
+                             "pressure solve needs a global transform; "
+                             "use the GSPMD path)")
+        if not self.latlon:
+            if not (base_grid.x_regular and base_grid.y_regular):
+                raise ValueError("DistributedStep needs regular x/y "
+                                 "spacings (z may be stretched)")
+            if not base_grid.regular and grid.axis_topo(2) != Bounded \
+                    and not self.hydrostatic:
+                raise ValueError(
+                    "stretched z must be Bounded (the distributed "
+                    "Fourier-tridiagonal solver's assumption)")
+        if getattr(gmodel, "particles", None) is not None or \
                 getattr(gmodel, "background_fields", None):
             raise ValueError("particles/background fields are not "
                              "supported on the explicit-halo path")
         if any(f is not None for f in gmodel.forcings.values()):
             raise ValueError("forcings need per-shard coordinates; use "
                              "the GSPMD path (sharded_step_fn)")
-        from oceananigans_tpu.immersed import ImmersedBoundaryGrid
-        if isinstance(grid, ImmersedBoundaryGrid):
-            raise ValueError("immersed grids are not supported on the "
-                             "explicit-halo path yet")
+        if isinstance(grid, ImmersedBoundaryGrid) \
+                and not self.hydrostatic:
+            raise ValueError("immersed grids on the explicit-halo path "
+                             "are supported for the hydrostatic model")
         self.gmodel = gmodel
 
         px, py, nxl, nyl = _local_sizes(grid, mesh)
@@ -171,25 +215,34 @@ class DistributedStep:
         topo = tuple(grid.axis_topo(ax) for ax in range(3))
         self.topo = topo
         Lx, Ly = grid.Lx, grid.Ly
-        if grid.z_regular:
-            zspec = (float(np.asarray(grid.zF).ravel()[grid.Hz]),
-                     float(np.asarray(grid.zF).ravel()[grid.Hz + grid.Nz]))
+        if self.stacked:
+            lgrid, self._grid_leaves, self._grid_specs, \
+                self._grid_rebuild = self._stack_grid(grid)
         else:
-            # z is never distributed: every shard carries the full
-            # (stretched) column
-            zspec = np.asarray(grid.zF).ravel()[
-                grid.Hz:grid.Hz + grid.Nz + 1].copy()
-        lgrid = RectilinearGrid(
-            size=(nxl, nyl, grid.Nz),
-            x=(0.0, Lx / px), y=(0.0, Ly / py), z=zspec,
-            topology=topo, halo=tuple(grid.H), dtype=grid.xC.dtype)
+            if grid.z_regular:
+                zspec = (float(np.asarray(grid.zF).ravel()[grid.Hz]),
+                         float(np.asarray(grid.zF).ravel()[
+                             grid.Hz + grid.Nz]))
+            else:
+                # z is never distributed: every shard carries the full
+                # (stretched) column
+                zspec = np.asarray(grid.zF).ravel()[
+                    grid.Hz:grid.Hz + grid.Nz + 1].copy()
+            lgrid = RectilinearGrid(
+                size=(nxl, nyl, grid.Nz),
+                x=(0.0, Lx / px), y=(0.0, Ly / py), z=zspec,
+                topology=topo, halo=tuple(grid.H), dtype=grid.xC.dtype)
+            self._grid_leaves = self._grid_specs = None
         self.local_grid = lgrid
         lmodel = make_model(lgrid)
         # route the local model's halo fills through the exchange
         lmodel.dist_halo = DistHalo(sizes=(px, py))
         lmodel.dist_topo = topo
         self.lmodel = lmodel
-        if grid.z_regular:
+        if self.hydrostatic:
+            self.solver = None    # no global solve: the free-surface
+                                  # stepping is shard-local + exchanges
+        elif grid.z_regular:
             self.solver = DistributedFFTPoissonSolver(grid, mesh)
         else:
             from oceananigans_tpu.parallel.distributed_fft import (
@@ -198,6 +251,113 @@ class DistributedStep:
             self.solver = DistributedFourierTridiagonalSolver(grid, mesh)
         self.spec = NamedSharding(mesh, P("x", "y", None))
         self._pstep = None
+
+    # ---- curvilinear / immersed grids: shard-local grid arrays ----------
+    def _stack_grid(self, grid):
+        """A template LOCAL grid (shard-0 windows; local static metadata)
+        plus the STACKED-layout grid data leaves and their PartitionSpecs.
+        Each shard's slice of a stacked leaf is the shard's own
+        halo-extended coordinate/metric/mask window of the GLOBAL grid —
+        so inside ``shard_map`` the local model sees the TRUE per-shard
+        metrics (latitude-dependent on a lat-lon grid; bathymetry masks
+        on an immersed grid), unlike the shifted-origin rectilinear local
+        grid. Mask windows inherit the global mask's halo consistency."""
+        from oceananigans_tpu.immersed import (
+            ImmersedBoundaryGrid, _ibg_flatten, _ibg_unflatten,
+        )
+        px, py, nxl, nyl = self.px, self.py, self.nxl, self.nyl
+        Hx, Hy = grid.Hx, grid.Hy
+
+        def window(a, axis, s, nl, H):
+            idx = range(s * nl, s * nl + nl + 2 * H)
+            return np.take(np.asarray(a), idx, axis=axis)
+
+        def stack_3d(a):
+            """Window a full (nx, ny, *) array in BOTH x and y."""
+            cols = []
+            for sx in range(px):
+                ax_ = window(a, 0, sx, nxl, Hx)
+                cols.append(np.concatenate(
+                    [window(ax_, 1, sy, nyl, Hy) for sy in range(py)],
+                    axis=1))
+            t = window(window(a, 0, 0, nxl, Hx), 1, 0, nyl, Hy)
+            return jnp.asarray(t), jnp.asarray(np.concatenate(cols,
+                                                              axis=0))
+
+        if isinstance(grid, ImmersedBoundaryGrid):
+            base_t, base_stacked, base_specs, base_rebuild = \
+                self._stack_grid(grid.underlying_grid)
+            children, aux = _ibg_flatten(grid)
+            t_children, s_children, specs = [base_t], list(base_stacked), \
+                list(base_specs)
+            for leaf in children[1:]:
+                t, st = stack_3d(leaf)
+                t_children.append(t)
+                s_children.append(st)
+                specs.append(P("x", "y", None))
+            lgrid = _ibg_unflatten(aux, t_children)
+            nb = len(base_stacked)
+
+            def rebuild(leaves):
+                return _ibg_unflatten(
+                    aux, [base_rebuild(leaves[:nb])] + list(leaves[nb:]))
+
+            return lgrid, s_children, tuple(specs), rebuild
+
+        def classify(leaf):
+            s = np.shape(leaf)
+            if len(s) != 3:
+                return None
+            if s[0] > 1 and s[1] > 1:
+                return 2
+            if s[0] > 1:
+                return 0
+            if s[1] > 1:
+                return 1
+            return None
+
+        data_fields = grid._data_fields
+        data = {f: getattr(grid, f) for f in data_fields}
+        template = {}
+        stacked = []
+        specs = []
+        for f in data_fields:
+            a = data[f]
+            ax = classify(a)
+            if ax == 0:
+                template[f] = jnp.asarray(window(a, 0, 0, nxl, Hx))
+                stacked.append(jnp.asarray(np.concatenate(
+                    [window(a, 0, s, nxl, Hx) for s in range(px)], axis=0)))
+                specs.append(P("x", None, None))
+            elif ax == 1:
+                template[f] = jnp.asarray(window(a, 1, 0, nyl, Hy))
+                stacked.append(jnp.asarray(np.concatenate(
+                    [window(a, 1, s, nyl, Hy) for s in range(py)], axis=1)))
+                specs.append(P(None, "y", None))
+            elif ax == 2:
+                t, st = stack_3d(a)
+                template[f] = t
+                stacked.append(st)
+                specs.append(P("x", "y", None))
+            else:
+                template[f] = a
+                stacked.append(jnp.asarray(a) if hasattr(a, "ndim")
+                               else a)
+                specs.append(P())
+        g0 = grid
+        updates = dict(Nx=self.nxl, Ny=self.nyl, **template)
+        # keep regular-spacing identities (dx = Lx/Nx) true on the local
+        # metadata
+        if hasattr(g0, "Lx"):
+            updates["Lx"] = g0.Lx * self.nxl / g0.Nx
+        if hasattr(g0, "Ly"):
+            updates["Ly"] = g0.Ly * self.nyl / g0.Ny
+        lgrid = g0.replace(**updates)
+
+        def rebuild(leaves):
+            return lgrid.replace(**dict(zip(data_fields, leaves)))
+
+        return lgrid, stacked, tuple(specs), rebuild
 
     # ---- layout conversions (host-side, once per run) -------------------
     def _to_local(self, a_global):
@@ -248,7 +408,55 @@ class DistributedStep:
         return self._map_state(state, self._from_local)
 
     # ---- the distributed step ------------------------------------------
+    def _build_hydrostatic(self):
+        """The hydrostatic step is shard-local apart from its halo
+        fills (already routed through ``dist_fill_halos`` via the local
+        model's ``dist_halo``), so the WHOLE step runs in one
+        ``shard_map`` call — the free-surface substepping's per-substep
+        η exchanges ride ``ppermute`` inside the ``lax.scan``."""
+        lmodel = self.lmodel
+        mesh = self.mesh
+        spec = P("x", "y", None)
+        rspec = P()
+
+        def make_specs(tree, leaf_spec):
+            return jax.tree_util.tree_map(
+                lambda leaf: leaf_spec if (
+                    hasattr(leaf, "ndim")
+                    and getattr(leaf, "ndim", 0) == 3) else rspec,
+                tree)
+
+        grid_leaves = self._grid_leaves
+        grid_specs = self._grid_specs
+        grid_rebuild = getattr(self, "_grid_rebuild", None)
+
+        def step(state, dt):
+            sspec = make_specs(state, spec)
+            if grid_leaves is None:
+                f = shard_map(lambda s, d: lmodel.step(s, d), mesh=mesh,
+                              in_specs=(sspec, rspec), out_specs=sspec,
+                              check_vma=False)
+                return f(state, dt)
+
+            # curvilinear: the grid's coordinate/metric leaves ride
+            # through shard_map so every shard's model sees its OWN
+            # latitude band's metrics
+            def body(s, d, *leaves):
+                lg = grid_rebuild(list(leaves))
+                m = type(lmodel).tree_unflatten(
+                    lmodel.tree_flatten()[1], (lg,))
+                return m.step(s, d)
+
+            f = shard_map(body, mesh=mesh,
+                          in_specs=(sspec, rspec) + grid_specs,
+                          out_specs=sspec, check_vma=False)
+            return f(state, dt, *grid_leaves)
+
+        return step
+
     def _build(self):
+        if self.hydrostatic:
+            return self._build_hydrostatic()
         lmodel = self.lmodel
         lg = self.local_grid
         mesh = self.mesh

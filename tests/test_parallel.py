@@ -317,3 +317,174 @@ def test_explicit_halo_step_stretched_z_matches_serial():
     a = np.asarray(grid.interior(s_serial.tracers["b"]))
     b = np.asarray(grid.interior(jnp.asarray(final.tracers["b"])))
     np.testing.assert_allclose(b, a, atol=1e-10)
+
+
+def test_explicit_halo_hydrostatic_step_matches_serial():
+    """HydrostaticFreeSurfaceModel (the realistic-ocean flagship) on the
+    explicit-halo path: the whole step — including the split-explicit
+    barotropic scan with its per-substep η exchanges — runs inside one
+    shard_map and matches the serial run; collectives bounded."""
+    from jax.sharding import Mesh
+    from oceananigans_tpu import SeawaterBuoyancy, LinearEquationOfState
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+    from oceananigans_tpu.models.hydrostatic import (
+        ExplicitFreeSurface, SplitExplicitFreeSurface,
+    )
+    from oceananigans_tpu.parallel import DistributedStep
+
+    grid = RectilinearGrid(size=(32, 16, 8), x=(0, 1e5), y=(0, 5e4),
+                           z=(-500.0, 0.0),
+                           topology=(Periodic, Periodic, Bounded), halo=3)
+
+    for fs, dt in ((ExplicitFreeSurface(), 2.0),
+                   (SplitExplicitFreeSurface(substeps=12), 30.0)):
+        def make_model(g, _fs=fs):
+            return HydrostaticFreeSurfaceModel(
+                grid=g, free_surface=_fs, tracers=("T", "S"),
+                buoyancy=SeawaterBuoyancy(
+                    equation_of_state=LinearEquationOfState()))
+
+        model = make_model(grid)
+        state = model.initial_state(
+            u=lambda x, y, z: 0.1 * jnp.sin(2 * np.pi * x / 1e5),
+            T=lambda x, y, z: 15.0 + 8e-3 * z
+            + 0.2 * jnp.cos(2 * np.pi * y / 5e4),
+            S=35.0,
+            eta=lambda x, y: 0.05 * jnp.sin(2 * np.pi * x / 1e5))
+        step = jax.jit(lambda s: model.step(s, dt))
+        s_serial = state
+        for _ in range(3):
+            s_serial = step(s_serial)
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+        dstep = DistributedStep(make_model, grid, mesh)
+        f = dstep.step_fn()
+        sl = dstep.to_local_state(state)
+        for _ in range(3):
+            sl = f(sl, dt)
+        final = dstep.from_local_state(sl)
+
+        name_fs = type(fs).__name__
+        for name in ("u", "v"):
+            a = np.asarray(grid.interior(getattr(s_serial, name)))
+            b = np.asarray(grid.interior(jnp.asarray(getattr(final,
+                                                             name))))
+            np.testing.assert_allclose(b, a, atol=1e-12,
+                                       err_msg=f"{name_fs}/{name}")
+        a = np.asarray(grid.interior(s_serial.tracers["T"]))
+        b = np.asarray(grid.interior(jnp.asarray(final.tracers["T"])))
+        np.testing.assert_allclose(b, a, atol=1e-11, err_msg=name_fs)
+
+        colls = _collective_counts(f, sl, dt)
+        assert sum(colls.values()) < 300, (name_fs, colls)
+
+
+def test_explicit_halo_hydrostatic_latlon_matches_serial():
+    """Lat-lon hydrostatic on the explicit-halo path: the grid's
+    latitude-dependent metric arrays ride through shard_map as sharded
+    leaves, so each shard's model sees its own latitude band. Periodic
+    longitude ring + Bounded latitude with edge-shard-guarded wall
+    handling; matches the serial run."""
+    from jax.sharding import Mesh
+    from oceananigans_tpu import (
+        HydrostaticSphericalCoriolis, LatitudeLongitudeGrid,
+    )
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+    from oceananigans_tpu.models.hydrostatic import (
+        SplitExplicitFreeSurface,
+    )
+    from oceananigans_tpu.parallel import DistributedStep
+
+    grid = LatitudeLongitudeGrid(size=(32, 16, 6), longitude=(0.0, 360.0),
+                                 latitude=(15.0, 55.0), z=(-500.0, 0.0),
+                                 halo=3)
+
+    def make_model(g):
+        return HydrostaticFreeSurfaceModel(
+            grid=g, free_surface=SplitExplicitFreeSurface(substeps=10),
+            coriolis=HydrostaticSphericalCoriolis(), tracers=("T",))
+
+    model = make_model(grid)
+    state = model.initial_state(
+        u=lambda lam, phi, z: 0.1 * jnp.cos(jnp.deg2rad(phi)),
+        T=lambda lam, phi, z: 10.0 + 5e-3 * z
+        + 0.3 * jnp.sin(jnp.deg2rad(lam) * 3.0),
+        eta=lambda lam, phi: 0.05 * jnp.sin(jnp.deg2rad(lam) * 2.0))
+    dt = 60.0
+    step = jax.jit(lambda s: model.step(s, dt))
+    s_serial = state
+    for _ in range(3):
+        s_serial = step(s_serial)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    dstep = DistributedStep(make_model, grid, mesh)
+    f = dstep.step_fn()
+    sl = dstep.to_local_state(state)
+    for _ in range(3):
+        sl = f(sl, dt)
+    final = dstep.from_local_state(sl)
+
+    for name in ("u", "v"):
+        a = np.asarray(grid.interior(getattr(s_serial, name)))
+        b = np.asarray(grid.interior(jnp.asarray(getattr(final, name))))
+        np.testing.assert_allclose(b, a, atol=1e-12, err_msg=name)
+    a = np.asarray(grid.interior(s_serial.tracers["T"]))
+    b = np.asarray(grid.interior(jnp.asarray(final.tracers["T"])))
+    np.testing.assert_allclose(b, a, atol=1e-11)
+    colls = _collective_counts(f, sl, dt)
+    assert sum(colls.values()) < 300, colls
+
+
+def test_explicit_halo_hydrostatic_immersed_matches_serial():
+    """Bathymetry on the explicit-halo path (the realistic-ocean
+    flagship): the immersed masks ride through shard_map as
+    (x,y)-sharded grid leaves with halo-consistent windows; wet-column
+    depths, masked tendencies, and the split-explicit barotropic scan
+    all run shard-local and match the serial run."""
+    from jax.sharding import Mesh
+    from oceananigans_tpu import GridFittedBottom, ImmersedBoundaryGrid
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+    from oceananigans_tpu.models.hydrostatic import (
+        SplitExplicitFreeSurface,
+    )
+    from oceananigans_tpu.parallel import DistributedStep
+
+    base = RectilinearGrid(size=(32, 16, 8), x=(0, 2e5), y=(0, 1e5),
+                           z=(-1000.0, 0.0),
+                           topology=(Periodic, Periodic, Bounded), halo=3)
+    grid = ImmersedBoundaryGrid(
+        base, GridFittedBottom(
+            lambda x, y: -1000.0 + 600.0
+            * jnp.exp(-((x - 1e5) ** 2 + (y - 5e4) ** 2) / (3e4) ** 2)))
+
+    def make_model(g):
+        return HydrostaticFreeSurfaceModel(
+            grid=g, free_surface=SplitExplicitFreeSurface(substeps=10),
+            tracers=("T",))
+
+    model = make_model(grid)
+    state = model.initial_state(
+        u=lambda x, y, z: 0.1 + 0 * x,
+        T=lambda x, y, z: 10.0 + 5e-3 * z,
+        eta=lambda x, y: 0.02 * jnp.sin(2 * np.pi * x / 2e5))
+    dt = 60.0
+    step = jax.jit(lambda s: model.step(s, dt))
+    s_serial = state
+    for _ in range(3):
+        s_serial = step(s_serial)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    dstep = DistributedStep(make_model, grid, mesh)
+    f = dstep.step_fn()
+    sl = dstep.to_local_state(state)
+    for _ in range(3):
+        sl = f(sl, dt)
+    final = dstep.from_local_state(sl)
+
+    for name in ("u", "v"):
+        a = np.asarray(grid.interior(getattr(s_serial, name)))
+        b = np.asarray(grid.interior(jnp.asarray(getattr(final, name))))
+        np.testing.assert_allclose(b, a, atol=1e-12, err_msg=name)
+    a = np.asarray(grid.interior(s_serial.tracers["T"]))
+    b = np.asarray(grid.interior(jnp.asarray(final.tracers["T"])))
+    np.testing.assert_allclose(b, a, atol=1e-11)
