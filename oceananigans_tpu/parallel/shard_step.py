@@ -29,7 +29,8 @@ per-substep η exchanges, runs inside one ``shard_map``; Bounded
 distributed axes are shard-index-guarded; LatitudeLongitudeGrid and
 ImmersedBoundaryGrid supported by passing the grid's shard-dependent
 coordinate/metric/mask arrays through ``shard_map`` as sharded
-grid-pytree leaves; no ZStar/implicit-FS yet). Constant-coefficient
+grid-pytree leaves; ZStar works — the column stretching is shard-local;
+implicit-FS excluded, it needs a global 2-D solve). Constant-coefficient
 closures; no particles, background fields, or coordinate-dependent
 forcings/boundary functions on rectilinear local grids (lat-lon local
 grids DO carry true coordinates; the GSPMD path ``sharded_step_fn``
@@ -160,16 +161,13 @@ class DistributedStep:
         self.hydrostatic = isinstance(gmodel, HydrostaticFreeSurfaceModel)
         if self.hydrostatic:
             from oceananigans_tpu.models.hydrostatic import (
-                ExplicitFreeSurface, ImplicitFreeSurface, ZStar,
+                ExplicitFreeSurface, ImplicitFreeSurface,
             )
             if isinstance(gmodel.free_surface, ImplicitFreeSurface):
                 raise ValueError(
                     "the implicit free surface needs a global 2-D solve; "
                     "use Explicit/SplitExplicitFreeSurface on the "
                     "explicit-halo path (or the GSPMD path)")
-            if isinstance(gmodel.vertical_coordinate, ZStar):
-                raise ValueError("ZStar not supported on the explicit-"
-                                 "halo path yet")
             # Bounded distributed axes are fine: the wall-transport
             # zeroing and η boundary fills are shard-index-guarded.
         from oceananigans_tpu.grids.latlon import LatitudeLongitudeGrid

@@ -488,3 +488,52 @@ def test_explicit_halo_hydrostatic_immersed_matches_serial():
     a = np.asarray(grid.interior(s_serial.tracers["T"]))
     b = np.asarray(grid.interior(jnp.asarray(final.tracers["T"])))
     np.testing.assert_allclose(b, a, atol=1e-11)
+
+
+def test_explicit_halo_hydrostatic_zstar_matches_serial():
+    """ZStar vertical coordinate on the explicit-halo path: the column
+    stretching sigma and the sigma-weighted AB2 memory are shard-local;
+    matches serial (incl. exact tracer conservation)."""
+    from jax.sharding import Mesh
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+    from oceananigans_tpu.models.hydrostatic import (
+        SplitExplicitFreeSurface, ZStar,
+    )
+    from oceananigans_tpu.parallel import DistributedStep
+
+    grid = RectilinearGrid(size=(32, 16, 8), x=(0, 2e5), y=(0, 1e5),
+                           z=(-500.0, 0.0),
+                           topology=(Periodic, Periodic, Bounded), halo=3)
+
+    def make_model(g):
+        return HydrostaticFreeSurfaceModel(
+            grid=g, free_surface=SplitExplicitFreeSurface(substeps=10),
+            vertical_coordinate=ZStar(), tracers=("T",))
+
+    model = make_model(grid)
+    state = model.initial_state(
+        u=lambda x, y, z: 0.1 * jnp.sin(2 * np.pi * x / 2e5),
+        T=lambda x, y, z: 10.0 + 5e-3 * z,
+        eta=lambda x, y: 0.1 * jnp.sin(2 * np.pi * x / 2e5))
+    dt = 60.0
+    step = jax.jit(lambda s: model.step(s, dt))
+    s_serial = state
+    for _ in range(3):
+        s_serial = step(s_serial)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    dstep = DistributedStep(make_model, grid, mesh)
+    f = dstep.step_fn()
+    sl = dstep.to_local_state(state)
+    for _ in range(3):
+        sl = f(sl, dt)
+    final = dstep.from_local_state(sl)
+
+    for name in ("u", "v"):
+        a = np.asarray(grid.interior(getattr(s_serial, name)))
+        b = np.asarray(grid.interior(jnp.asarray(getattr(final, name))))
+        np.testing.assert_allclose(b, a, atol=1e-12, err_msg=name)
+    a = np.asarray(grid.interior(s_serial.tracers["T"]))
+    b = np.asarray(grid.interior(jnp.asarray(final.tracers["T"])))
+    np.testing.assert_allclose(b, a, atol=1e-11)
+    assert np.asarray(jnp.abs(jnp.asarray(final.eta))).max() > 1e-3
