@@ -1307,6 +1307,15 @@ class HydrostaticFreeSurfaceModel:
         from oceananigans_tpu.grids.base import Bounded as _B, Periodic as _P
 
         g = self.grid
+        if getattr(self, "dist_halo", None) is not None:
+            # explicit-halo shard_map: the spectral/matrix solvers need
+            # global transforms; CG runs shard-local with exchanged
+            # halos + psum-reduced inner products
+            U, V = self._barotropic_mode(state.u, state.v)
+            divU = self._div_transports(U, V)
+            rhs = (divU - state.eta / dt) / dt
+            eta = self._implicit_fs_cg(state, rhs, dt, fs)
+            return self._fill_eta_halos(eta)
         U, V = self._barotropic_mode(state.u, state.v)
         divU = self._div_transports(U, V)
         rhs = (divU - state.eta / dt) / dt
@@ -1422,8 +1431,19 @@ class HydrostaticFreeSurfaceModel:
 
         b = jnp.where(idx_j, rhs, 0.0)
         eta0 = jnp.zeros_like(b)
+        ctx = getattr(self, "dist_halo", None)
+        dot = None
+        if ctx is not None:
+            def dot(x, y):
+                local = sum(jnp.sum(a * b2) for a, b2 in zip(
+                    jax.tree_util.tree_leaves(x),
+                    jax.tree_util.tree_leaves(y)))
+                for axis in (0, 1):
+                    if ctx.size(axis) > 1:
+                        local = jax.lax.psum(local, ctx.names[axis])
+                return local
         eta, _, _ = conjugate_gradient(L, b, eta0, maxiter=fs.maxiter,
-                                       reltol=fs.reltol)
+                                       reltol=fs.reltol, dot=dot)
         return eta
 
     def _barotropic_correct(self, state, U_target, V_target):

@@ -159,17 +159,12 @@ class DistributedStep:
             raise ValueError("DistributedStep supports Nonhydrostatic and "
                              "HydrostaticFreeSurface models")
         self.hydrostatic = isinstance(gmodel, HydrostaticFreeSurfaceModel)
-        if self.hydrostatic:
-            from oceananigans_tpu.models.hydrostatic import (
-                ExplicitFreeSurface, ImplicitFreeSurface,
-            )
-            if isinstance(gmodel.free_surface, ImplicitFreeSurface):
-                raise ValueError(
-                    "the implicit free surface needs a global 2-D solve; "
-                    "use Explicit/SplitExplicitFreeSurface on the "
-                    "explicit-halo path (or the GSPMD path)")
-            # Bounded distributed axes are fine: the wall-transport
-            # zeroing and η boundary fills are shard-index-guarded.
+        # Hydrostatic notes: implicit free surfaces run via CG on this
+        # path regardless of solver_method (the spectral/matrix variants
+        # need global transforms) — shard-local operator applications
+        # with exchanged halos + psum-reduced inner products. Bounded
+        # distributed axes are fine: the wall-transport zeroing and η
+        # boundary fills are shard-index-guarded.
         from oceananigans_tpu.grids.latlon import LatitudeLongitudeGrid
         from oceananigans_tpu.immersed import ImmersedBoundaryGrid
         base_grid = grid.underlying_grid \
@@ -199,9 +194,13 @@ class DistributedStep:
                 getattr(gmodel, "background_fields", None):
             raise ValueError("particles/background fields are not "
                              "supported on the explicit-halo path")
-        if any(f is not None for f in gmodel.forcings.values()):
-            raise ValueError("forcings need per-shard coordinates; use "
-                             "the GSPMD path (sharded_step_fn)")
+        if any(f is not None for f in gmodel.forcings.values()) \
+                and not self.stacked:
+            raise ValueError(
+                "forcings need per-shard coordinates: supported on "
+                "stacked (lat-lon / immersed) grids, whose local grids "
+                "carry true coordinates; use the GSPMD path "
+                "(sharded_step_fn) on plain rectilinear grids")
         if isinstance(grid, ImmersedBoundaryGrid) \
                 and not self.hydrostatic:
             raise ValueError("immersed grids on the explicit-halo path "
@@ -380,7 +379,7 @@ class DistributedStep:
                                         nyl + 2 * Hy, nz)
         a = a[:, Hx:Hx + nxl, :, Hy:Hy + nyl, :]
         a = a.reshape(px * nxl, py * nyl, nz)
-        out = np.zeros(g.shape, a.dtype)
+        out = np.zeros((g.shape[0], g.shape[1], nz), a.dtype)
         sx, sy, _ = g.interior_slices
         out[sx, sy, :] = a
         return out

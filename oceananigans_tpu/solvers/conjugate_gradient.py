@@ -19,13 +19,18 @@ def _dot(x, y):
 
 
 def conjugate_gradient(A, b, x0, *, preconditioner=None, maxiter=100,
-                       reltol=1e-7, abstol=0.0):
+                       reltol=1e-7, abstol=0.0, dot=None):
     """Solve ``A(x) = b`` for SPD linear operator ``A`` (a function).
+
+    ``dot`` overrides the inner product — inside an explicit-halo
+    ``shard_map`` pass a psum-reduced dot so the Krylov scalars are
+    GLOBAL (the default ``jnp.sum`` would be per-shard there).
 
     Returns ``(x, iterations, residual_norm)``.
     """
     if preconditioner is None:
         preconditioner = lambda r: r
+    _dot = globals()["_dot"] if dot is None else dot
 
     r0 = jax.tree_util.tree_map(lambda bi, Ai: bi - Ai, b, A(x0))
     z0 = preconditioner(r0)

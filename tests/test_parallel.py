@@ -400,9 +400,15 @@ def test_explicit_halo_hydrostatic_latlon_matches_serial():
                                  halo=3)
 
     def make_model(g):
+        from oceananigans_tpu import Forcing
+        # coordinate-dependent forcing: valid on this path because the
+        # stacked local grids carry TRUE per-shard coordinates
+        heat = Forcing(lambda lam, phi, z, t:
+                       1e-7 * jnp.cos(jnp.deg2rad(phi)))
         return HydrostaticFreeSurfaceModel(
             grid=g, free_surface=SplitExplicitFreeSurface(substeps=10),
-            coriolis=HydrostaticSphericalCoriolis(), tracers=("T",))
+            coriolis=HydrostaticSphericalCoriolis(), tracers=("T",),
+            forcing={"T": heat})
 
     model = make_model(grid)
     state = model.initial_state(
@@ -537,3 +543,54 @@ def test_explicit_halo_hydrostatic_zstar_matches_serial():
     b = np.asarray(grid.interior(jnp.asarray(final.tracers["T"])))
     np.testing.assert_allclose(b, a, atol=1e-11)
     assert np.asarray(jnp.abs(jnp.asarray(final.eta))).max() > 1e-3
+
+
+def test_explicit_halo_hydrostatic_implicit_fs_matches_serial():
+    """Implicit free surface on the explicit-halo path: the 2-D
+    Helmholtz solve runs as CG with shard-local operator applications
+    (halo-exchanged) and psum-reduced inner products; matches the serial
+    CG solve."""
+    from jax.sharding import Mesh
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+    from oceananigans_tpu.models.hydrostatic import ImplicitFreeSurface
+    from oceananigans_tpu.parallel import DistributedStep
+
+    grid = RectilinearGrid(size=(32, 16, 8), x=(0, 2e5), y=(0, 1e5),
+                           z=(-500.0, 0.0),
+                           topology=(Periodic, Periodic, Bounded), halo=3)
+
+    def make_model(g):
+        return HydrostaticFreeSurfaceModel(
+            grid=g,
+            free_surface=ImplicitFreeSurface(solver_method="cg"),
+            tracers=("T",))
+
+    model = make_model(grid)
+    state = model.initial_state(
+        u=lambda x, y, z: 0.05 * jnp.sin(2 * np.pi * x / 2e5),
+        T=lambda x, y, z: 10.0 + 5e-3 * z,
+        eta=lambda x, y: 0.05 * jnp.sin(2 * np.pi * x / 2e5)
+        * jnp.cos(2 * np.pi * y / 1e5))
+    dt = 120.0
+    step = jax.jit(lambda s: model.step(s, dt))
+    s_serial = state
+    for _ in range(3):
+        s_serial = step(s_serial)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    dstep = DistributedStep(make_model, grid, mesh)
+    f = dstep.step_fn()
+    sl = dstep.to_local_state(state)
+    for _ in range(3):
+        sl = f(sl, dt)
+    final = dstep.from_local_state(sl)
+
+    for name in ("u", "v"):
+        a = np.asarray(grid.interior(getattr(s_serial, name)))
+        b = np.asarray(grid.interior(jnp.asarray(getattr(final, name))))
+        np.testing.assert_allclose(b, a, atol=1e-10, err_msg=name)
+    a = np.asarray(s_serial.eta[grid.interior_slices[0],
+                                grid.interior_slices[1]])
+    b = np.asarray(jnp.asarray(final.eta)[grid.interior_slices[0],
+                                          grid.interior_slices[1]])
+    np.testing.assert_allclose(b, a, atol=1e-10)
