@@ -8,5 +8,5 @@ from oceananigans_tpu.parallel.distributed_fft import (
     DistributedFFTPoissonSolver,
 )
 from oceananigans_tpu.parallel.shard_step import (
-    DistributedStep, dist_fill_halos,
+    DistributedModel, DistributedStep, dist_fill_halos,
 )

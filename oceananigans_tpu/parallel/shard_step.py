@@ -590,3 +590,90 @@ class DistributedStep:
         if self._pstep is None:
             self._pstep = jax.jit(self._build())
         return self._pstep
+
+
+class DistributedModel:
+    """Adapter that makes a :class:`DistributedStep` drivable by
+    :class:`~oceananigans_tpu.simulation.Simulation` — ``sim.run()`` on
+    a multi-chip mesh with the same callbacks/writers/wizard workflow as
+    a single-chip run::
+
+        dstep = DistributedStep(make_model, grid, mesh)
+        dmodel = DistributedModel(dstep)
+        sim = Simulation(dmodel, state=dmodel.initial_state(u=...),
+                         dt=60.0, stop_time=3600.0)
+        sim.output_writers["f"] = HDF5Writer(...)   # writes GLOBAL fields
+        sim.run()
+
+    The simulation state lives in the local-halos layout; output writers
+    receive a converted global view via the ``writer_sim`` hook.
+    """
+
+    def __init__(self, dstep: DistributedStep):
+        self.dstep = dstep
+        #: local grid: Simulation's wizard/CFL sees the local spacings
+        #: (identical to global on regular grids; the local latitude
+        #: band on curvilinear ones — conservative enough for a wizard)
+        self.grid = dstep.local_grid
+        self._raw_step = dstep._build()
+
+    def initial_state(self, **field_values):
+        return self.dstep.to_local_state(
+            self.dstep.gmodel.initial_state(**field_values))
+
+    def step(self, state, dt):
+        return self._raw_step(state, dt)
+
+    def fill_state_halos(self, state):
+        # steps on this path always fill internally; the Simulation
+        # fast-path entry fill is unnecessary
+        return state
+
+    def cfl_timescale(self, state):
+        return self.dstep.gmodel.cfl_timescale(
+            self.dstep.from_local_state_device(state))
+
+    def diffusion_timescale(self, state):
+        return self.dstep.gmodel.diffusion_timescale(
+            self.dstep.from_local_state_device(state))
+
+    def writer_sim(self, sim):
+        """A lightweight view with GLOBAL-layout state + the global
+        model, handed to output writers."""
+        class _View:
+            pass
+
+        v = _View()
+        v.model = self.dstep.gmodel
+        v.state = self.dstep.from_local_state_device(sim.state)
+        v.dt = sim.dt
+        v.output_writers = sim.output_writers
+        v.callbacks = sim.callbacks
+        return v
+
+
+def _from_local_device(self, state):
+    """Device-side local-halos -> global conversion of every 3-D leaf
+    (used by the Simulation adapter for writers/diagnostics)."""
+    g = self.global_grid
+    px, py, nxl, nyl = self.px, self.py, self.nxl, self.nyl
+    Hx, Hy = g.Hx, g.Hy
+    shape2 = (px * (nxl + 2 * Hx), py * (nyl + 2 * Hy))
+
+    def go(a):
+        if not (hasattr(a, "ndim") and getattr(a, "ndim", 0) == 3
+                and a.shape[:2] == shape2):
+            return a
+        nz = a.shape[2]
+        b = jnp.reshape(a, (px, nxl + 2 * Hx, py, nyl + 2 * Hy, nz))
+        b = b[:, Hx:Hx + nxl, :, Hy:Hy + nyl, :]
+        b = jnp.reshape(b, (px * nxl, py * nyl, nz))
+        out = jnp.zeros((g.shape[0], g.shape[1], nz), a.dtype)
+        sx, sy, _ = g.interior_slices
+        return out.at[sx, sy, :].set(b)
+
+    return jax.tree_util.tree_map(go, state)
+
+
+DistributedStep.from_local_state_device = _from_local_device
+__all__ += ["DistributedModel"]

@@ -256,9 +256,11 @@ class Simulation:
             cb.schedule.initialize(self.state.clock)
             if cb.schedule.actuates(self.state.clock):
                 cb(self)
+        wsim = (self.model.writer_sim(self)
+                if hasattr(self.model, "writer_sim") else self)
         for w in self.output_writers.values():
             w.schedule.initialize(self.state.clock)
-            w.write(self)
+            w.write(wsim)
         self.initialized = True
 
     def _should_stop(self):
@@ -312,20 +314,25 @@ class Simulation:
             for cb in upd + ts:
                 if cb.schedule.actuates(self.state.clock):
                     cb(self)
-            for w in self.output_writers.values():
-                # windowed time averages accumulate while inside their
-                # averaging window (reference windowed_time_average.jl:152)
-                from oceananigans_tpu.output import WindowedTimeAverage
-                from oceananigans_tpu.utils.schedules import (
-                    AveragedTimeInterval,
-                )
-                if isinstance(w.schedule, AveragedTimeInterval) and \
-                        w.schedule.averaging(self.state.clock):
-                    for out in getattr(w, "outputs", {}).values():
-                        if isinstance(out, WindowedTimeAverage):
-                            out.accumulate(self.model, self.state)
-                if w.schedule.actuates(self.state.clock):
-                    w.write(self)
+            if self.output_writers:
+                # distributed adapters expose a writer view (global
+                # layout + global grid); ordinary models write as-is
+                wsim = (self.model.writer_sim(self)
+                        if hasattr(self.model, "writer_sim") else self)
+                for w in self.output_writers.values():
+                    # windowed time averages accumulate while inside
+                    # their averaging window (windowed_time_average.jl)
+                    from oceananigans_tpu.output import WindowedTimeAverage
+                    from oceananigans_tpu.utils.schedules import (
+                        AveragedTimeInterval,
+                    )
+                    if isinstance(w.schedule, AveragedTimeInterval) and \
+                            w.schedule.averaging(self.state.clock):
+                        for out in getattr(w, "outputs", {}).values():
+                            if isinstance(out, WindowedTimeAverage):
+                                out.accumulate(wsim.model, wsim.state)
+                    if w.schedule.actuates(self.state.clock):
+                        w.write(wsim)
         return self.state
 
     def __repr__(self):

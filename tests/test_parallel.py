@@ -594,3 +594,51 @@ def test_explicit_halo_hydrostatic_implicit_fs_matches_serial():
     b = np.asarray(jnp.asarray(final.eta)[grid.interior_slices[0],
                                           grid.interior_slices[1]])
     np.testing.assert_allclose(b, a, atol=1e-10)
+
+
+def test_simulation_drives_distributed_model(tmp_path):
+    """Simulation.run() on the explicit-halo path via DistributedModel:
+    batched windows, callbacks, the NaN guard, AND output writers
+    producing GLOBAL-layout fields (writer_sim hook)."""
+    import h5py
+    from jax.sharding import Mesh
+    from oceananigans_tpu import HDF5Writer, IterationInterval, Simulation
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+    from oceananigans_tpu.models.hydrostatic import (
+        SplitExplicitFreeSurface,
+    )
+    from oceananigans_tpu.parallel import DistributedModel, DistributedStep
+
+    grid = RectilinearGrid(size=(32, 16, 8), x=(0, 2e5), y=(0, 1e5),
+                           z=(-500.0, 0.0),
+                           topology=(Periodic, Periodic, Bounded), halo=3)
+
+    def make_model(g):
+        return HydrostaticFreeSurfaceModel(
+            grid=g, free_surface=SplitExplicitFreeSurface(substeps=10),
+            tracers=("T",))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    dstep = DistributedStep(make_model, grid, mesh)
+    dmodel = DistributedModel(dstep)
+    state = dmodel.initial_state(
+        u=lambda x, y, z: 0.1 * jnp.sin(2 * np.pi * x / 2e5),
+        T=lambda x, y, z: 10.0 + 5e-3 * z)
+
+    path = str(tmp_path / "dist.h5")
+    sim = Simulation(dmodel, state=state, dt=60.0, stop_iteration=6)
+    sim.output_writers["f"] = HDF5Writer(
+        outputs={"T": "T", "u": "u"}, filename=path,
+        schedule=IterationInterval(3))
+    sim.run()
+    assert int(sim.state.clock.iteration) == 6
+
+    # the written fields are GLOBAL-interior shaped and match the
+    # converted final state
+    final = dstep.from_local_state(sim.state)
+    with h5py.File(path, "r") as fh:
+        T = np.asarray(fh["fields"]["T"])
+        assert T.shape[1:] == tuple(grid.N)
+    np.testing.assert_allclose(
+        T[-1], np.asarray(grid.interior(jnp.asarray(final.tracers["T"]))),
+        atol=1e-12)
