@@ -642,3 +642,56 @@ def test_simulation_drives_distributed_model(tmp_path):
     np.testing.assert_allclose(
         T[-1], np.asarray(grid.interior(jnp.asarray(final.tracers["T"]))),
         atol=1e-12)
+
+
+def test_explicit_halo_hydrostatic_catke_matches_serial():
+    """CATKE (vertically-implicit column closure) on the explicit-halo
+    path: diffusivity computation and the implicit Thomas solve are
+    column-local, so the distributed step matches serial."""
+    from jax.sharding import Mesh
+    from oceananigans_tpu import (
+        BuoyancyTracer, CATKEVerticalDiffusivity,
+    )
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+    from oceananigans_tpu.models.hydrostatic import (
+        SplitExplicitFreeSurface,
+    )
+    from oceananigans_tpu.parallel import DistributedStep
+
+    grid = RectilinearGrid(size=(16, 16, 12), x=(0, 1e4), y=(0, 1e4),
+                           z=(-100.0, 0.0),
+                           topology=(Periodic, Periodic, Bounded), halo=3)
+
+    def make_model(g):
+        return HydrostaticFreeSurfaceModel(
+            grid=g, free_surface=SplitExplicitFreeSurface(substeps=8),
+            tracers=("b", "e"), buoyancy=BuoyancyTracer(),
+            closure=CATKEVerticalDiffusivity())
+
+    model = make_model(grid)
+    state = model.initial_state(
+        u=lambda x, y, z: 0.05 * jnp.sin(2 * np.pi * x / 1e4),
+        b=lambda x, y, z: 1e-5 * z + 1e-7 * jnp.cos(2 * np.pi * y / 1e4),
+        e=1e-6)
+    dt = 30.0
+    step = jax.jit(lambda s: model.step(s, dt))
+    s_serial = state
+    for _ in range(3):
+        s_serial = step(s_serial)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    dstep = DistributedStep(make_model, grid, mesh)
+    f = dstep.step_fn()
+    sl = dstep.to_local_state(state)
+    for _ in range(3):
+        sl = f(sl, dt)
+    final = dstep.from_local_state(sl)
+
+    for name in ("u", "v"):
+        a = np.asarray(grid.interior(getattr(s_serial, name)))
+        b = np.asarray(grid.interior(jnp.asarray(getattr(final, name))))
+        np.testing.assert_allclose(b, a, atol=1e-12, err_msg=name)
+    for tr in ("b", "e"):
+        a = np.asarray(grid.interior(s_serial.tracers[tr]))
+        b = np.asarray(grid.interior(jnp.asarray(final.tracers[tr])))
+        np.testing.assert_allclose(b, a, atol=1e-11, err_msg=tr)
