@@ -211,8 +211,9 @@ class AbstractGrid:
     def znodes(self, loc=Center, **kw):
         return self.nodes_1d(2, loc, **kw)
 
-    def nodes(self, locs=(Center, Center, Center)):
-        return (self.xnodes(locs[0]), self.ynodes(locs[1]), self.znodes(locs[2]))
+    def nodes(self, locs=(Center, Center, Center), **kw):
+        return (self.xnodes(locs[0], **kw), self.ynodes(locs[1], **kw),
+                self.znodes(locs[2], **kw))
 
     # ---- metric interface (override in curvilinear subclasses) -----------
     def dx(self, lx=Center, ly=Center):

@@ -852,41 +852,12 @@ class HydrostaticFreeSurfaceModel:
         from oceananigans_tpu.boundary_conditions import _fill_axis
         ctx = getattr(self, "dist_halo", None)
         if ctx is not None:
-            # distributed x/y: neighbor ppermute exchange; physical
-            # boundary fill only on the global-edge shards
-            from oceananigans_tpu.grids.base import Periodic as _P
-            from oceananigans_tpu.parallel.halo_exchange import (
-                _exchange_axis,
-            )
-            import jax as _jax
-            for axis in (X, Y):
-                n_shards = ctx.size(axis)
-                lbc, rbc = self.eta_bcs.sides(axis)
-                if n_shards == 1:
-                    eta = _fill_axis(eta, g, axis, Center, lbc, rbc,
-                                     None, None)
-                    continue
-                periodic = self.dist_topo[axis] == _P
-                eta = _exchange_axis(eta, ctx.names[axis], axis,
-                                     g.H[axis], periodic, n_shards)
-                if not periodic:
-                    eb = _fill_axis(eta, g, axis, Center, lbc, rbc,
-                                    None, None)
-                    s = _jax.lax.axis_index(ctx.names[axis])
-                    h = g.H[axis]
-                    n = eta.shape[axis]
-
-                    def axsl(sl, _axis=axis, _nd=eta.ndim):
-                        out = [slice(None)] * _nd
-                        out[_axis] = sl
-                        return tuple(out)
-
-                    lo, hi = axsl(slice(0, h)), axsl(slice(n - h, n))
-                    eta = eta.at[lo].set(jnp.where(s == 0, eb[lo],
-                                                   eta[lo]))
-                    eta = eta.at[hi].set(jnp.where(s == n_shards - 1,
-                                                   eb[hi], eta[hi]))
-            return eta
+            # distributed x/y fill (neighbor ppermute exchange + edge-
+            # shard-only boundary fill), shared with the 3-D field path
+            from oceananigans_tpu.parallel.shard_step import dist_fill_xy
+            return dist_fill_xy(eta, g, self.eta_bcs,
+                                (Center, Center, Center), None, None,
+                                ctx, self.dist_topo, use_values=False)
         # fill x/y halos only (η has no z extent)
         for axis in (X, Y):
             lbc, rbc = self.eta_bcs.sides(axis)

@@ -147,11 +147,17 @@ class DistributedFourierTridiagonalSolver:
     horizontal mode, exactly like the serial
     :class:`~oceananigans_tpu.solvers.fourier_tridiagonal.FourierTridiagonalPoissonSolver`.
 
+    The horizontal transforms are ORTHONORMAL-BASIS MATMULS (the
+    ``MatmulPoissonSolver`` bases) rather than fft/dct: all-real
+    arithmetic with no composed fft→dct chain (which miscompiles on the
+    TPU backend — see ``solvers/matmul_poisson.py``), and the
+    contractions ride the MXU.
+
     Layout dance (local shapes, mesh (px, py)):
         (Nx/px, Ny/py, Nz)
         --all_to_all "y" (split x, concat y)--> (Nx/(px·py), Ny, Nz)
-        --transform y--> --undo--> (Nx/px, Ny/py, Nz)
-        --all_to_all "x" (split y, concat x)--> (Nx, Ny/(px·py)·py ... , Nz)
+        --transform y--> --undo-->
+        --all_to_all "x" (split y, concat x)--> (Nx, Ny/(px·py), Nz)
         --transform x--> tridiagonal z --> reverse everything.
     Needs Nx/px divisible by py and Ny/py divisible by px.
     """
@@ -159,6 +165,9 @@ class DistributedFourierTridiagonalSolver:
     def __init__(self, grid, mesh: Mesh):
         from oceananigans_tpu.solvers.fourier_tridiagonal import (
             FourierTridiagonalPoissonSolver,
+        )
+        from oceananigans_tpu.solvers.matmul_poisson import (
+            _bounded_basis, _periodic_basis,
         )
         if not (grid.x_regular and grid.y_regular):
             raise ValueError("x and y must be regular")
@@ -175,53 +184,51 @@ class DistributedFourierTridiagonalSolver:
             raise ValueError(
                 f"interior sizes {grid.N} must divide the pencil layouts "
                 f"of mesh ({self.px}, {self.py})")
-        # reuse the serial solver's spectral/tridiagonal setup
+        # reuse the serial solver's vertical tridiagonal setup
         self._serial = FourierTridiagonalPoissonSolver(grid)
+        self.T = []
         lams = []
         for axis in (0, 1):
             topo = grid.axis_topo(axis)
             N = grid.N[axis]
             d = (grid.Lx / grid.Nx, grid.Ly / grid.Ny)[axis] \
                 if topo != Flat else 1.0
-            lams.append(poisson_eigenvalues(N, d, topo))
+            if topo == Flat or N == 1:
+                self.T.append(None)
+                lams.append(np.zeros((1,)))
+            elif topo == Periodic:
+                T, lam = _periodic_basis(N, d)
+                self.T.append(T)
+                lams.append(lam)
+            elif topo == Bounded:
+                T, lam = _bounded_basis(N, d)
+                self.T.append(T)
+                lams.append(lam)
+            else:
+                raise ValueError(f"unsupported topology {topo}")
         self.lam_x, self.lam_y = lams
-        self.x_transform = ("dct" if grid.axis_topo(0) == Bounded
-                            else "fft" if grid.axis_topo(0) == Periodic
-                            else "none")
-        self.y_transform = ("dct" if grid.axis_topo(1) == Bounded
-                            else "fft" if grid.axis_topo(1) == Periodic
-                            else "none")
 
     def solve(self, rhs):
+        from jax import lax as _lax
+
         mesh = self.mesh
         px, py = self.px, self.py
         Nx, Ny, Nz = self.grid.N
         lam_x, lam_y = self.lam_x, self.lam_y
-        xt, yt = self.x_transform, self.y_transform
+        Tx, Ty = self.T
         az_t = self._serial.az
         cz_t = self._serial.cz
         dzc_t = self._serial.dzc
         from oceananigans_tpu.solvers.tridiagonal import tridiagonal_solve
 
-        def fwd(a, kind, axis):
-            if kind == "dct":
-                # dct2 is real-in/real-out; after a preceding FFT the
-                # operand is complex — transform parts separately
-                if jnp.iscomplexobj(a):
-                    return dct2(a.real, axis) + 1j * dct2(a.imag, axis)
-                return dct2(a, axis)
-            if kind == "fft":
-                return jnp.fft.fft(a, axis=axis)
-            return a
-
-        def inv(a, kind, axis):
-            if kind == "dct":
-                if jnp.iscomplexobj(a):
-                    return idct2(a.real, axis) + 1j * idct2(a.imag, axis)
-                return idct2(a, axis)
-            if kind == "fft":
-                return jnp.fft.ifft(a, axis=axis)
-            return a
+        def apply_T(a, T, axis, transpose):
+            if T is None:
+                return a
+            M = T.T if transpose else T
+            M = M.astype(np.dtype(a.dtype))
+            sub = "ai,ijk->ajk" if axis == 0 else "aj,ijk->iak"
+            return jnp.einsum(sub, M, a,
+                              precision=jax.lax.Precision.HIGHEST)
 
         spec = P("x", "y", None)
 
@@ -232,7 +239,7 @@ class DistributedFourierTridiagonalSolver:
             if py > 1:
                 r = jax.lax.all_to_all(r, "y", split_axis=0, concat_axis=1,
                                        tiled=True)
-            r = fwd(r, yt, 1)
+            r = apply_T(r, Ty, 1, transpose=False)
             if py > 1:
                 r = jax.lax.all_to_all(r, "y", split_axis=1, concat_axis=0,
                                        tiled=True)
@@ -240,7 +247,7 @@ class DistributedFourierTridiagonalSolver:
             if px > 1:
                 r = jax.lax.all_to_all(r, "x", split_axis=1, concat_axis=0,
                                        tiled=True)
-            r = fwd(r, xt, 0)
+            r = apply_T(r, Tx, 0, transpose=False)
 
             # --- tridiagonal solve along the LOCAL full-z columns ---
             ix = jax.lax.axis_index("x")
@@ -250,40 +257,35 @@ class DistributedFourierTridiagonalSolver:
             off_y = iy * ny_l + ix * ny_ll
             ly = jax.lax.dynamic_slice(lam_y, (off_y,), (ny_ll,))
             lam_h = (lam_x.reshape(-1, 1, 1)
-                     + ly.reshape(1, -1, 1)).astype(jnp.real(r).dtype)
-            zero = jnp.real(r[:1, :1, :1]) * 0
+                     + ly.reshape(1, -1, 1)).astype(r.dtype)
+            zero = r[:1, :1, :1] * 0
             az = zero + az_t.astype(zero.dtype)
             cz = zero + cz_t.astype(zero.dtype)
             dzc = zero + dzc_t.astype(zero.dtype)
             b = -(az + cz) + lam_h * dzc
             singular_col = lam_h == 0
-            col_mean = (jnp.sum(r * dzc.astype(r.dtype), axis=2,
-                                keepdims=True) / jnp.sum(dzc))
+            col_mean = (jnp.sum(r * dzc, axis=2, keepdims=True)
+                        / jnp.sum(dzc))
             r = jnp.where(singular_col, r - col_mean, r)
-            d = r * dzc.astype(r.dtype)
+            d = r * dzc
             k0 = jnp.arange(Nz).reshape(1, 1, Nz) == 0
             b = jnp.where(singular_col & k0, 1.0, b)
             czs = jnp.where(singular_col & k0, 0.0, cz)
             d = jnp.where(singular_col & k0, 0.0, d)
-            if jnp.iscomplexobj(d):
-                phi = (tridiagonal_solve(az, b, czs, d.real, axis=2)
-                       + 1j * tridiagonal_solve(az, b, czs, d.imag, axis=2))
-            else:
-                phi = tridiagonal_solve(az, b, czs, d, axis=2)
+            phi = tridiagonal_solve(az, b, czs, d, axis=2)
 
             # --- reverse (mirror the forward transposes) ---
-            phi = inv(phi, xt, 0)
+            phi = apply_T(phi, Tx, 0, transpose=True)
             if px > 1:
                 phi = jax.lax.all_to_all(phi, "x", split_axis=0,
                                          concat_axis=1, tiled=True)
             if py > 1:
                 phi = jax.lax.all_to_all(phi, "y", split_axis=0,
                                          concat_axis=1, tiled=True)
-            phi = inv(phi, yt, 1)
+            phi = apply_T(phi, Ty, 1, transpose=True)
             if py > 1:
                 phi = jax.lax.all_to_all(phi, "y", split_axis=1,
                                          concat_axis=0, tiled=True)
-            phi = jnp.real(phi)
             # remove the volume mean (gauge), globally via psum
             w = dzc / jnp.sum(dzc)
             local = jnp.sum(jnp.mean(phi, axis=(0, 1), keepdims=True) * w)

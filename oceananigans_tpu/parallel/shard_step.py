@@ -51,7 +51,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from oceananigans_tpu.grids.base import Bounded, Center, Flat, Periodic
 from oceananigans_tpu.parallel.halo_exchange import _exchange_axis
 
-__all__ = ["DistributedStep", "dist_fill_halos", "DistHalo"]
+__all__ = ["DistributedStep", "dist_fill_halos",
+           "dist_fill_xy", "DistHalo"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,12 +67,22 @@ class DistHalo:
         return self.sizes[axis]
 
 
-def dist_fill_halos(a, grid, bcs, loc, time, dt, ctx, global_topo):
-    """Fill all halo rings of a LOCAL halo-extended block: x/y via
-    neighbor ``ppermute`` exchange (ring wrap = global periodicity), with
+def dist_fill_xy(a, grid, bcs, loc, time, dt, ctx, global_topo,
+                 use_values=True):
+    """The distributed x/y halo fill of a LOCAL block: neighbor
+    ``ppermute`` exchange per axis (ring wrap = global periodicity), with
     the physical boundary fill applied only on the shards that own a
-    global domain edge; z via the ordinary local fill."""
+    global domain edge. ``use_values=False`` skips boundary-value
+    evaluation (the 2-D η fill passes values None, like its serial
+    counterpart)."""
     from oceananigans_tpu.boundary_conditions import _bc_value, _fill_axis
+
+    def values(lbc, rbc, axis):
+        if not use_values:
+            return None, None
+        lval = _bc_value(lbc, grid, axis, loc, time) if lbc else None
+        rval = _bc_value(rbc, grid, axis, loc, time) if rbc else None
+        return lval, rval
 
     for axis in (0, 1):
         n_shards = ctx.size(axis)
@@ -80,10 +91,9 @@ def dist_fill_halos(a, grid, bcs, loc, time, dt, ctx, global_topo):
         if topo == Flat:
             continue
         h = grid.H[axis]
+        lbc, rbc = bcs.sides(axis)
         if n_shards == 1:
-            lbc, rbc = bcs.sides(axis)
-            lval = _bc_value(lbc, grid, axis, loc, time) if lbc else None
-            rval = _bc_value(rbc, grid, axis, loc, time) if rbc else None
+            lval, rval = values(lbc, rbc, axis)
             a = _fill_axis(a, grid, axis, loc[axis], lbc, rbc, lval, rval,
                            dt=dt)
             continue
@@ -92,9 +102,7 @@ def dist_fill_halos(a, grid, bcs, loc, time, dt, ctx, global_topo):
         if not periodic:
             # physical fill valid only on global-edge shards; interior
             # shards keep the exchanged strips
-            lbc, rbc = bcs.sides(axis)
-            lval = _bc_value(lbc, grid, axis, loc, time) if lbc else None
-            rval = _bc_value(rbc, grid, axis, loc, time) if rbc else None
+            lval, rval = values(lbc, rbc, axis)
             ab = _fill_axis(a, grid, axis, loc[axis], lbc, rbc, lval,
                             rval, dt=dt)
             idx = jax.lax.axis_index(name)
@@ -110,7 +118,16 @@ def dist_fill_halos(a, grid, bcs, loc, time, dt, ctx, global_topo):
             lo, hi = axsl(slice(0, h)), axsl(slice(n - h, n))
             a = a.at[lo].set(jnp.where(first, ab[lo], a[lo]))
             a = a.at[hi].set(jnp.where(last, ab[hi], a[hi]))
-    # z: never distributed
+    return a
+
+
+def dist_fill_halos(a, grid, bcs, loc, time, dt, ctx, global_topo):
+    """Fill all halo rings of a LOCAL halo-extended block: x/y via
+    :func:`dist_fill_xy`; z via the ordinary local fill (never
+    distributed)."""
+    from oceananigans_tpu.boundary_conditions import _bc_value, _fill_axis
+
+    a = dist_fill_xy(a, grid, bcs, loc, time, dt, ctx, global_topo)
     lbc, rbc = bcs.sides(2)
     lval = _bc_value(lbc, grid, 2, loc, time) if lbc else None
     rval = _bc_value(rbc, grid, 2, loc, time) if rbc else None
@@ -201,6 +218,23 @@ class DistributedStep:
                 "stacked (lat-lon / immersed) grids, whose local grids "
                 "carry true coordinates; use the GSPMD path "
                 "(sharded_step_fn) on plain rectilinear grids")
+        if not self.stacked:
+            # function-valued boundary conditions evaluate against the
+            # LOCAL grid's coordinates, which are shard-0's on every
+            # shard for plain rectilinear local grids — reject rather
+            # than silently apply the wrong boundary pattern
+            for name, fbcs in getattr(gmodel, "bcs", {}).items():
+                for side in ("west", "east", "south", "north",
+                             "bottom", "top"):
+                    bc = getattr(fbcs, side, None)
+                    if bc is not None and callable(
+                            getattr(bc, "condition", None)):
+                        raise ValueError(
+                            f"boundary condition {name}.{side} is a "
+                            "function of position: on the explicit-halo "
+                            "path this needs per-shard coordinates — "
+                            "use a stacked (lat-lon/immersed) grid, a "
+                            "constant/array value, or the GSPMD path")
         if isinstance(grid, ImmersedBoundaryGrid) \
                 and not self.hydrostatic:
             raise ValueError("immersed grids on the explicit-halo path "
@@ -585,76 +619,28 @@ class DistributedStep:
 
         return step
 
-    def step_fn(self):
-        """The jittable distributed step (state, dt) -> state."""
-        if self._pstep is None:
-            self._pstep = jax.jit(self._build())
-        return self._pstep
 
 
-class DistributedModel:
-    """Adapter that makes a :class:`DistributedStep` drivable by
-    :class:`~oceananigans_tpu.simulation.Simulation` — ``sim.run()`` on
-    a multi-chip mesh with the same callbacks/writers/wizard workflow as
-    a single-chip run::
-
-        dstep = DistributedStep(make_model, grid, mesh)
-        dmodel = DistributedModel(dstep)
-        sim = Simulation(dmodel, state=dmodel.initial_state(u=...),
-                         dt=60.0, stop_time=3600.0)
-        sim.output_writers["f"] = HDF5Writer(...)   # writes GLOBAL fields
-        sim.run()
-
-    The simulation state lives in the local-halos layout; output writers
-    receive a converted global view via the ``writer_sim`` hook.
-    """
-
-    def __init__(self, dstep: DistributedStep):
-        self.dstep = dstep
-        #: local grid: Simulation's wizard/CFL sees the local spacings
-        #: (identical to global on regular grids; the local latitude
-        #: band on curvilinear ones — conservative enough for a wizard)
-        self.grid = dstep.local_grid
-        self._raw_step = dstep._build()
-
-    def initial_state(self, **field_values):
-        return self.dstep.to_local_state(
-            self.dstep.gmodel.initial_state(**field_values))
-
-    def step(self, state, dt):
-        return self._raw_step(state, dt)
-
-    def fill_state_halos(self, state):
-        # steps on this path always fill internally; the Simulation
-        # fast-path entry fill is unnecessary
-        return state
-
-    def cfl_timescale(self, state):
-        return self.dstep.gmodel.cfl_timescale(
-            self.dstep.from_local_state_device(state))
-
-    def diffusion_timescale(self, state):
-        return self.dstep.gmodel.diffusion_timescale(
-            self.dstep.from_local_state_device(state))
-
-    def writer_sim(self, sim):
-        """A lightweight view with GLOBAL-layout state + the global
-        model, handed to output writers."""
-        class _View:
-            pass
-
-        v = _View()
-        v.model = self.dstep.gmodel
-        v.state = self.dstep.from_local_state_device(sim.state)
-        v.dt = sim.dt
-        v.output_writers = sim.output_writers
-        v.callbacks = sim.callbacks
-        return v
+def _raw_step(self):
+    """The UNJITTED distributed step callable (cached); ``step_fn`` jits
+    this, and :class:`DistributedModel` traces it inside Simulation's
+    multi-step windows."""
+    if getattr(self, "_raw", None) is None:
+        self._raw = self._build()
+    return self._raw
 
 
-def _from_local_device(self, state):
-    """Device-side local-halos -> global conversion of every 3-D leaf
-    (used by the Simulation adapter for writers/diagnostics)."""
+def _step_fn(self):
+    """The jittable distributed step (state, dt) -> state."""
+    if self._pstep is None:
+        self._pstep = jax.jit(self.raw_step())
+    return self._pstep
+
+
+def _from_local_state_device(self, state):
+    """Device-side local-halos -> global-layout conversion of every 3-D
+    leaf (interiors placed, halos zero; used by the Simulation adapter,
+    which re-fills halos with the global model before writers see it)."""
     g = self.global_grid
     px, py, nxl, nyl = self.px, self.py, self.nxl, self.nyl
     Hx, Hy = g.Hx, g.Hy
@@ -675,5 +661,81 @@ def _from_local_device(self, state):
     return jax.tree_util.tree_map(go, state)
 
 
-DistributedStep.from_local_state_device = _from_local_device
+DistributedStep.raw_step = _raw_step
+DistributedStep.step_fn = _step_fn
+DistributedStep.from_local_state_device = _from_local_state_device
+
+
+class DistributedModel:
+    """Adapter that makes a :class:`DistributedStep` drivable by
+    :class:`~oceananigans_tpu.simulation.Simulation` — ``sim.run()`` on
+    a multi-chip mesh with the usual callback/writer/wizard workflow::
+
+        dstep = DistributedStep(make_model, grid, mesh)
+        dmodel = DistributedModel(dstep)
+        sim = Simulation(dmodel, state=dmodel.initial_state(u=...),
+                         dt=60.0, stop_time=3600.0)
+        sim.output_writers["f"] = HDF5Writer(...)   # writes GLOBAL fields
+        sim.run()
+
+    The simulation state lives in the local-halos layout. Output writers
+    and windowed averages receive a converted, halo-filled GLOBAL view
+    via the ``writer_sim`` hook; the CFL wizard's timescales are
+    evaluated on the converted state. User callbacks still receive the
+    raw ``sim`` (local-layout state + the LOCAL template grid) — for
+    grid-based diagnostics inside a callback, convert first with
+    ``sim.model.global_state(sim.state)`` and use
+    ``sim.model.global_model.grid``.
+    """
+
+    def __init__(self, dstep: DistributedStep):
+        self.dstep = dstep
+        #: local grid: Simulation's defaults see the local spacings
+        #: (identical to global on regular grids; the shard-0 latitude
+        #: band on curvilinear ones)
+        self.grid = dstep.local_grid
+        #: the model built on the GLOBAL grid (for writer/diagnostic use)
+        self.global_model = dstep.gmodel
+
+    def initial_state(self, **field_values):
+        return self.dstep.to_local_state(
+            self.dstep.gmodel.initial_state(**field_values))
+
+    def step(self, state, dt):
+        return self.dstep.raw_step()(state, dt)
+
+    def fill_state_halos(self, state):
+        # steps on this path always fill internally; the Simulation
+        # fast-path entry fill is unnecessary
+        return state
+
+    def global_state(self, state):
+        """Local-halos layout -> global layout, halos filled with the
+        global model's boundary conditions (device-side)."""
+        gs = self.dstep.from_local_state_device(state)
+        return self.dstep.gmodel.fill_state_halos(gs)
+
+    def cfl_timescale(self, state):
+        return self.dstep.gmodel.cfl_timescale(
+            self.dstep.from_local_state_device(state))
+
+    def diffusion_timescale(self, state):
+        return self.dstep.gmodel.diffusion_timescale(
+            self.dstep.from_local_state_device(state))
+
+    def writer_sim(self, sim):
+        """A lightweight view with GLOBAL-layout, halo-filled state and
+        the global model, handed to output writers."""
+        class _View:
+            pass
+
+        v = _View()
+        v.model = self.dstep.gmodel
+        v.state = self.global_state(sim.state)
+        v.dt = sim.dt
+        v.output_writers = sim.output_writers
+        v.callbacks = sim.callbacks
+        return v
+
+
 __all__ += ["DistributedModel"]

@@ -315,24 +315,35 @@ class Simulation:
                 if cb.schedule.actuates(self.state.clock):
                     cb(self)
             if self.output_writers:
+                from oceananigans_tpu.output import WindowedTimeAverage
+                from oceananigans_tpu.utils.schedules import (
+                    AveragedTimeInterval,
+                )
                 # distributed adapters expose a writer view (global
-                # layout + global grid); ordinary models write as-is
-                wsim = (self.model.writer_sim(self)
-                        if hasattr(self.model, "writer_sim") else self)
+                # layout + global grid, halos filled); converting is a
+                # device pass, so build it lazily — only when some
+                # writer actually actuates or accumulates this window
+                wsim = None
+
+                def get_wsim():
+                    nonlocal wsim
+                    if wsim is None:
+                        wsim = (self.model.writer_sim(self)
+                                if hasattr(self.model, "writer_sim")
+                                else self)
+                    return wsim
+
                 for w in self.output_writers.values():
                     # windowed time averages accumulate while inside
                     # their averaging window (windowed_time_average.jl)
-                    from oceananigans_tpu.output import WindowedTimeAverage
-                    from oceananigans_tpu.utils.schedules import (
-                        AveragedTimeInterval,
-                    )
                     if isinstance(w.schedule, AveragedTimeInterval) and \
                             w.schedule.averaging(self.state.clock):
                         for out in getattr(w, "outputs", {}).values():
                             if isinstance(out, WindowedTimeAverage):
-                                out.accumulate(wsim.model, wsim.state)
+                                v = get_wsim()
+                                out.accumulate(v.model, v.state)
                     if w.schedule.actuates(self.state.clock):
-                        w.write(wsim)
+                        w.write(get_wsim())
         return self.state
 
     def __repr__(self):
