@@ -570,11 +570,17 @@ class NonhydrostaticModel:
         g = self.grid
         div = divergence_ccc(g, state.u, state.v, state.w)
         rhs = g.interior(div) / dt
-        phi_int = self.pressure_solver.solve(rhs)
+        if getattr(self.pressure_solver, "wants_grid", False):
+            # distribution-aware solvers need the CURRENT (per-shard)
+            # grid, not the one captured at construction
+            phi_int = self.pressure_solver.solve(rhs, g)
+        else:
+            phi_int = self.pressure_solver.solve(rhs)
         p = new_field(g, phi_int.dtype)
         sx, sy, sz = g.interior_slices
         p = p.at[sx, sy, sz].set(phi_int)
-        p = fill_halo_regions(p, g, self.pressure_bcs, LOC_C)
+        p = self._fill_field(p, self.pressure_bcs, LOC_C,
+                             state.clock.time)
         if getattr(self, "fused_correction", False):
             # one Pallas pass: read p/u/v/w once, write u/v/w once
             from oceananigans_tpu.ops.pallas_kernels import (

@@ -73,19 +73,26 @@ class DistributedFFTPoissonSolver:
         else:
             self.z_transform = "none"
 
+    def local_solve(self, r):
+        """The per-shard solve body: call INSIDE an existing
+        ``shard_map`` over this mesh (e.g. as the preconditioner of a
+        distributed CG). ``r`` is the shard's local interior block."""
+        return self._local_solve(r)
+
     def solve(self, rhs):
         """rhs: GLOBAL interior-shaped array sharded (or shardable) over
         the mesh. Returns φ with zero mean, same sharding."""
-        mesh = self.mesh
+        spec = P("x", "y", None)
+        out = shard_map(self._local_solve, mesh=self.mesh, in_specs=spec,
+                        out_specs=spec)(rhs)
+        return out.astype(rhs.dtype)
+
+    def _local_solve(self, r):
         px, py = self.px, self.py
         Nx, Ny, Nz = self.grid.N
         lam_x, lam_y, lam_z = self.lam_x, self.lam_y, self.lam_z
         z_transform = self.z_transform
-
-        spec = P("x", "y", None)
-
-        @partial(shard_map, mesh=mesh, in_specs=spec, out_specs=spec)
-        def _solve(r):
+        if True:
             # --- forward z (local) ---
             if z_transform == "dct":
                 r = dct2(r, 2)
@@ -134,9 +141,6 @@ class DistributedFFTPoissonSolver:
             else:
                 r = jnp.real(r)
             return r
-
-        out = _solve(rhs)
-        return out.astype(rhs.dtype)
 
 
 class DistributedFourierTridiagonalSolver:

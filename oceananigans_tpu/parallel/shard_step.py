@@ -48,7 +48,8 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from oceananigans_tpu.grids.base import Bounded, Center, Flat, Periodic
+from oceananigans_tpu.grids.base import (Bounded, Center, Face, Flat,
+                                         Periodic)
 from oceananigans_tpu.parallel.halo_exchange import _exchange_axis
 
 __all__ = ["DistributedStep", "dist_fill_halos",
@@ -192,12 +193,11 @@ class DistributedStep:
         self.latlon = isinstance(base_grid, LatitudeLongitudeGrid)
         self.stacked = (self.latlon
                         or isinstance(grid, ImmersedBoundaryGrid))
-        if self.stacked and not self.hydrostatic:
-            raise ValueError("lat-lon / immersed grids on the explicit-"
-                             "halo path are supported for the "
-                             "hydrostatic model (the nonhydrostatic "
-                             "pressure solve needs a global transform; "
-                             "use the GSPMD path)")
+        if self.latlon and not self.hydrostatic:
+            raise ValueError("lat-lon on the explicit-halo path is "
+                             "supported for the hydrostatic model (the "
+                             "nonhydrostatic pressure solve needs a "
+                             "global transform; use the GSPMD path)")
         if not self.latlon:
             if not (base_grid.x_regular and base_grid.y_regular):
                 raise ValueError("DistributedStep needs regular x/y "
@@ -235,10 +235,8 @@ class DistributedStep:
                             "path this needs per-shard coordinates — "
                             "use a stacked (lat-lon/immersed) grid, a "
                             "constant/array value, or the GSPMD path")
-        if isinstance(grid, ImmersedBoundaryGrid) \
-                and not self.hydrostatic:
-            raise ValueError("immersed grids on the explicit-halo path "
-                             "are supported for the hydrostatic model")
+        # immersed nonhydrostatic runs its pressure solve as the
+        # distributed masked CG (DistributedImmersedPoissonSolver)
         self.gmodel = gmodel
 
         px, py, nxl, nyl = _local_sizes(grid, mesh)
@@ -270,9 +268,18 @@ class DistributedStep:
         lmodel.dist_halo = DistHalo(sizes=(px, py))
         lmodel.dist_topo = topo
         self.lmodel = lmodel
+        from oceananigans_tpu.immersed import (
+            ImmersedBoundaryGrid as _IBG,
+        )
         if self.hydrostatic:
             self.solver = None    # no global solve: the free-surface
                                   # stepping is shard-local + exchanges
+        elif isinstance(grid, _IBG):
+            # masked CG inside the shard_map body; the model calls it
+            # with its per-shard grid (wants_grid)
+            self.solver = None
+            lmodel.pressure_solver = DistributedImmersedPoissonSolver(
+                lmodel.dist_halo, topo)
         elif grid.z_regular:
             self.solver = DistributedFFTPoissonSolver(grid, mesh)
         else:
@@ -439,12 +446,14 @@ class DistributedStep:
         return self._map_state(state, self._from_local)
 
     # ---- the distributed step ------------------------------------------
-    def _build_hydrostatic(self):
-        """The hydrostatic step is shard-local apart from its halo
-        fills (already routed through ``dist_fill_halos`` via the local
-        model's ``dist_halo``), so the WHOLE step runs in one
-        ``shard_map`` call — the free-surface substepping's per-substep
-        η exchanges ride ``ppermute`` inside the ``lax.scan``."""
+    def _build_wholesale(self):
+        """The hydrostatic step — and the stacked-grid nonhydrostatic
+        step, whose immersed pressure CG is distribution-aware — is
+        shard-local apart from its halo fills (routed through
+        ``dist_fill_halos`` via the local model's ``dist_halo``), so the
+        WHOLE step runs in one ``shard_map`` call; the free-surface
+        substepping's per-substep η exchanges and the CG iterations ride
+        ``ppermute``/``psum`` inside it."""
         lmodel = self.lmodel
         mesh = self.mesh
         spec = P("x", "y", None)
@@ -486,8 +495,8 @@ class DistributedStep:
         return step
 
     def _build(self):
-        if self.hydrostatic:
-            return self._build_hydrostatic()
+        if self.hydrostatic or self.stacked:
+            return self._build_wholesale()
         lmodel = self.lmodel
         lg = self.local_grid
         mesh = self.mesh
@@ -739,3 +748,99 @@ class DistributedModel:
 
 
 __all__ += ["DistributedModel"]
+
+
+class DistributedImmersedPoissonSolver:
+    """The masked-Poisson CG of
+    :class:`~oceananigans_tpu.immersed.ImmersedPoissonSolver`, running
+    per shard INSIDE the explicit-halo ``shard_map``: operator
+    applications fill halos through the neighbor exchange, inner
+    products and nullspace projections are psum-reduced, and the
+    Jacobi preconditioner is shard-local. ``wants_grid`` makes the
+    model pass its CURRENT (per-shard, stacked-leaf) immersed grid at
+    call time."""
+
+    wants_grid = True
+
+    def __init__(self, ctx, global_topo, maxiter=600, reltol=None):
+        self.ctx = ctx
+        self.topo = global_topo
+        if reltol is None:
+            from oceananigans_tpu.config import config as _cfg
+            reltol = 1e-8 if np.dtype(_cfg.float_dtype).itemsize >= 8 \
+                else 2e-5
+        self.reltol = reltol
+        self.maxiter = maxiter
+
+    def solve(self, rhs_interior, grid):
+        from oceananigans_tpu.boundary_conditions import (
+            regularize_field_boundary_conditions,
+        )
+        from oceananigans_tpu.fields import LOC_C, new_field
+        from oceananigans_tpu.immersed import masked_laplacian
+        from oceananigans_tpu.ops.operators import shift
+        from oceananigans_tpu.solvers.conjugate_gradient import (
+            conjugate_gradient,
+        )
+
+        ctx, topo = self.ctx, self.topo
+        g = grid.underlying_grid
+        sx, sy, sz = g.interior_slices
+        bcs = regularize_field_boundary_conditions(None, g, LOC_C)
+
+        def psum(v):
+            for axis in (0, 1):
+                if ctx.size(axis) > 1:
+                    v = jax.lax.psum(v, ctx.names[axis])
+            return v
+
+        idx = np.zeros(g.shape, bool)
+        idx[sx, sy, sz] = True
+        fluid = jnp.logical_and(~grid.solid_c, idx)
+
+        X, Y, Z = 0, 1, 2
+        Vw = jnp.broadcast_to(grid.V(Center, Center, Center), g.shape)
+        rhs = new_field(g, rhs_interior.dtype).at[sx, sy, sz].set(
+            rhs_interior)
+        b = jnp.where(fluid, rhs * Vw, 0.0)
+        nf = jnp.maximum(psum(jnp.sum(fluid[sx, sy, sz])), 1)
+        b_mean = psum(jnp.sum(b[sx, sy, sz])) / nf
+        b = jnp.where(fluid, b - b_mean, 0.0)
+
+        def A(p):
+            p = dist_fill_halos(p, g, bcs, LOC_C, 0.0, None, ctx, topo)
+            return jnp.where(fluid, Vw * masked_laplacian(grid, p), 0.0)
+
+        # Jacobi preconditioner (shard-local; the FFT preconditioner
+        # would need the pencil solver embedded here — a follow-up)
+        cx = jnp.where(~grid.solid_u,
+                       grid.Ax(Face, Center, Center) / g.dx(Face, Center),
+                       0.0)
+        cy = jnp.where(~grid.solid_v,
+                       grid.Ay(Center, Face, Center) / g.dy(Face, Center),
+                       0.0)
+        cz = jnp.where(~grid.solid_w,
+                       grid.Az(Center, Center) / grid.dz(Face), 0.0)
+        diag = -(cx + shift(cx, 1, X) + cy + shift(cy, 1, Y)
+                 + cz + shift(cz, 1, Z))
+        diag = jnp.where(fluid & (diag < 0), diag, -1.0)
+
+        def M(r):
+            return jnp.where(fluid, r / diag, 0.0)
+
+        def dot(x, y):
+            local = sum(jnp.sum(a * b2) for a, b2 in zip(
+                jax.tree_util.tree_leaves(x),
+                jax.tree_util.tree_leaves(y)))
+            return psum(local)
+
+        x0 = jnp.zeros_like(b)
+        p, _, _ = conjugate_gradient(A, b, x0, preconditioner=M,
+                                     maxiter=self.maxiter,
+                                     reltol=self.reltol, dot=dot)
+        p_mean = psum(jnp.sum(jnp.where(fluid, p, 0.0)[sx, sy, sz])) / nf
+        p = jnp.where(fluid, p - p_mean, 0.0)
+        return p[sx, sy, sz]
+
+
+__all__ += ["DistributedImmersedPoissonSolver"]
