@@ -276,10 +276,18 @@ class DistributedStep:
                                   # stepping is shard-local + exchanges
         elif isinstance(grid, _IBG):
             # masked CG inside the shard_map body; the model calls it
-            # with its per-shard grid (wants_grid)
+            # with its per-shard grid (wants_grid). FFT-preconditioned
+            # when the underlying grid admits the pencil solver.
             self.solver = None
+            precond = None
+            if base_grid.regular \
+                    and getattr(grid, "dz_sigma", None) is None:
+                try:
+                    precond = DistributedFFTPoissonSolver(base_grid, mesh)
+                except ValueError:
+                    precond = None   # pencil divisibility not met
             lmodel.pressure_solver = DistributedImmersedPoissonSolver(
-                lmodel.dist_halo, topo)
+                lmodel.dist_halo, topo, preconditioner=precond)
         elif grid.z_regular:
             self.solver = DistributedFFTPoissonSolver(grid, mesh)
         else:
@@ -762,7 +770,8 @@ class DistributedImmersedPoissonSolver:
 
     wants_grid = True
 
-    def __init__(self, ctx, global_topo, maxiter=600, reltol=None):
+    def __init__(self, ctx, global_topo, maxiter=None, reltol=None,
+                 preconditioner=None):
         self.ctx = ctx
         self.topo = global_topo
         if reltol is None:
@@ -770,6 +779,11 @@ class DistributedImmersedPoissonSolver:
             reltol = 1e-8 if np.dtype(_cfg.float_dtype).itemsize >= 8 \
                 else 2e-5
         self.reltol = reltol
+        #: a DistributedFFTPoissonSolver on the (regular) underlying
+        #: grid, or None for shard-local Jacobi
+        self.preconditioner = preconditioner
+        if maxiter is None:
+            maxiter = 200 if preconditioner is not None else 600
         self.maxiter = maxiter
 
     def solve(self, rhs_interior, grid):
@@ -811,22 +825,33 @@ class DistributedImmersedPoissonSolver:
             p = dist_fill_halos(p, g, bcs, LOC_C, 0.0, None, ctx, topo)
             return jnp.where(fluid, Vw * masked_laplacian(grid, p), 0.0)
 
-        # Jacobi preconditioner (shard-local; the FFT preconditioner
-        # would need the pencil solver embedded here — a follow-up)
-        cx = jnp.where(~grid.solid_u,
-                       grid.Ax(Face, Center, Center) / g.dx(Face, Center),
-                       0.0)
-        cy = jnp.where(~grid.solid_v,
-                       grid.Ay(Center, Face, Center) / g.dy(Face, Center),
-                       0.0)
-        cz = jnp.where(~grid.solid_w,
-                       grid.Az(Center, Center) / grid.dz(Face), 0.0)
-        diag = -(cx + shift(cx, 1, X) + cy + shift(cy, 1, Y)
-                 + cz + shift(cz, 1, Z))
-        diag = jnp.where(fluid & (diag < 0), diag, -1.0)
+        if self.preconditioner is not None:
+            # the pencil-FFT inverse of the uniform-volume operator,
+            # embedded in the surrounding shard_map via local_solve
+            pencil = self.preconditioner
 
-        def M(r):
-            return jnp.where(fluid, r / diag, 0.0)
+            def M(r):
+                pr = pencil.local_solve(r[sx, sy, sz]
+                                        / Vw[sx, sy, sz])
+                out = jnp.zeros_like(r).at[sx, sy, sz].set(
+                    pr.astype(r.dtype))
+                return jnp.where(fluid, out, 0.0)
+        else:
+            # Jacobi (shard-local; handles partial cells)
+            cx = jnp.where(~grid.solid_u,
+                           grid.Ax(Face, Center, Center)
+                           / g.dx(Face, Center), 0.0)
+            cy = jnp.where(~grid.solid_v,
+                           grid.Ay(Center, Face, Center)
+                           / g.dy(Face, Center), 0.0)
+            cz = jnp.where(~grid.solid_w,
+                           grid.Az(Center, Center) / grid.dz(Face), 0.0)
+            diag = -(cx + shift(cx, 1, X) + cy + shift(cy, 1, Y)
+                     + cz + shift(cz, 1, Z))
+            diag = jnp.where(fluid & (diag < 0), diag, -1.0)
+
+            def M(r):
+                return jnp.where(fluid, r / diag, 0.0)
 
         def dot(x, y):
             local = sum(jnp.sum(a * b2) for a, b2 in zip(
