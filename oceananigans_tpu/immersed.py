@@ -320,6 +320,88 @@ def masked_laplacian(grid, p):
     return jnp.where(grid.solid_c, 0.0, lap)
 
 
+def masked_cg_solve(grid, rhs_interior, fill_halos, reduce_sum,
+                    precond_apply, maxiter, reltol):
+    """The masked-Poisson PCG shared by the serial
+    :class:`ImmersedPoissonSolver` and the distributed
+    ``DistributedImmersedPoissonSolver``: the two differ only in the
+    injected halo fill (local vs ppermute exchange), the reduction
+    (``jnp.sum`` vs psum-wrapped), and the preconditioner application
+    (serial FFT solve vs pencil ``local_solve`` vs None → Jacobi)."""
+    from oceananigans_tpu.fields import new_field
+    from oceananigans_tpu.solvers.conjugate_gradient import (
+        conjugate_gradient,
+    )
+
+    g = grid.underlying_grid
+    sx, sy, sz = g.interior_slices
+
+    # CG iterates live on interior fluid cells only: the halo region of
+    # every operator output must be zeroed or the CG dot products pick
+    # up halo garbage and the iteration diverges
+    idx = np.zeros(g.shape, bool)
+    idx[sx, sy, sz] = True
+    fluid = jnp.logical_and(~grid.solid_c, idx)
+
+    # CG needs a SYMMETRIC operator in the plain inner product. The
+    # Laplacian L = V⁻¹·G (G = the flux-difference assembly) is only
+    # symmetric when V is uniform; solve the volume-weighted system
+    # G p = V·rhs instead, which is symmetric for any (partial-cell /
+    # stretched) volumes.
+    Vw = jnp.broadcast_to(grid.V(Center, Center, Center), g.shape)
+    rhs = new_field(g, rhs_interior.dtype).at[sx, sy, sz].set(
+        rhs_interior)
+    b = jnp.where(fluid, rhs * Vw, 0.0)
+    # compatibility: project out the nullspace (constants on fluid)
+    nf = jnp.maximum(reduce_sum(fluid[sx, sy, sz]), 1)
+    b_mean = reduce_sum(b[sx, sy, sz]) / nf
+    b = jnp.where(fluid, b - b_mean, 0.0)
+
+    def A(p):
+        p = fill_halos(p)
+        return jnp.where(fluid, Vw * masked_laplacian(grid, p), 0.0)
+
+    if precond_apply is not None:
+        def M(r):
+            # FFT inverse of the uniform-volume operator: exact when V
+            # is uniform (then G = V₀·L and M ∝ L⁻¹)
+            pr = precond_apply(r[sx, sy, sz] / Vw[sx, sy, sz])
+            out = jnp.zeros_like(r).at[sx, sy, sz].set(
+                pr.astype(r.dtype))
+            return jnp.where(fluid, out, 0.0)
+    else:
+        # Jacobi: diagonal of G (symmetric, handles partial cells)
+        cx = jnp.where(~grid.solid_u,
+                       grid.Ax(Face, Center, Center)
+                       / g.dx(Face, Center), 0.0)
+        cy = jnp.where(~grid.solid_v,
+                       grid.Ay(Center, Face, Center)
+                       / g.dy(Face, Center), 0.0)
+        cz = jnp.where(~grid.solid_w,
+                       grid.Az(Center, Center) / grid.dz(Face), 0.0)
+        diag = -(cx + shift(cx, 1, X) + cy + shift(cy, 1, Y)
+                 + cz + shift(cz, 1, Z))
+        diag = jnp.where(fluid & (diag < 0), diag, -1.0)
+
+        def M(r):
+            return jnp.where(fluid, r / diag, 0.0)
+
+    def dot(x, y):
+        local = sum(jnp.sum(a * b2) for a, b2 in zip(
+            jax.tree_util.tree_leaves(x), jax.tree_util.tree_leaves(y)))
+        # reduce_sum of a scalar is the identity serially and the psum
+        # under distribution
+        return reduce_sum(local)
+
+    x0 = jnp.zeros_like(b)
+    p, _, _ = conjugate_gradient(A, b, x0, preconditioner=M,
+                                 maxiter=maxiter, reltol=reltol, dot=dot)
+    # gauge: zero fluid mean
+    p_mean = reduce_sum(jnp.where(fluid, p, 0.0)[sx, sy, sz]) / nf
+    p = jnp.where(fluid, p - p_mean, 0.0)
+    return p[sx, sy, sz]
+
+
 class ImmersedPoissonSolver:
     """FFT-preconditioned CG for the masked Poisson problem (reference
     ``conjugate_gradient_poisson_solver.jl:9``). Operates on interior-shaped
@@ -356,74 +438,18 @@ class ImmersedPoissonSolver:
         from oceananigans_tpu.boundary_conditions import (
             fill_halo_regions, regularize_field_boundary_conditions,
         )
-        from oceananigans_tpu.fields import LOC_C, new_field
+        from oceananigans_tpu.fields import LOC_C
 
         grid = self.grid
         g = grid.underlying_grid
-        sx, sy, sz = g.interior_slices
         bcs = regularize_field_boundary_conditions(None, g, LOC_C)
-
-        # CG iterates live on interior fluid cells only: the halo region of
-        # every operator output must be zeroed or the CG dot products pick
-        # up halo garbage and the iteration diverges
-        idx = np.zeros(g.shape, bool)
-        idx[sx, sy, sz] = True
-        fluid = jnp.logical_and(~grid.solid_c, idx)
-
-        # CG needs a SYMMETRIC operator in the plain inner product. The
-        # Laplacian L = V⁻¹·G (G = the flux-difference assembly) is only
-        # symmetric when V is uniform; solve the volume-weighted system
-        # G p = V·rhs instead, which is symmetric for any (partial-cell /
-        # stretched) volumes.
-        Vw = jnp.broadcast_to(grid.V(Center, Center, Center), g.shape)
-        rhs = new_field(g, rhs_interior.dtype).at[sx, sy, sz].set(
-            rhs_interior)
-        b = jnp.where(fluid, rhs * Vw, 0.0)
-        # compatibility: project out the nullspace (constants on fluid)
-        nf = jnp.maximum(jnp.sum(fluid[sx, sy, sz]), 1)
-        b_mean = jnp.sum(b[sx, sy, sz]) / nf
-        b = jnp.where(fluid, b - b_mean, 0.0)
-
-        def A(p):
-            p = fill_halo_regions(p, g, bcs, LOC_C)
-            return jnp.where(fluid, Vw * masked_laplacian(grid, p), 0.0)
-
-        if self.preconditioner is not None:
-            def M(r):
-                # FFT inverse of the uniform-volume operator: exact when V
-                # is uniform (then G = V₀·L and M ∝ L⁻¹)
-                pr = self.preconditioner.solve(r[sx, sy, sz] / Vw[sx, sy,
-                                                                  sz])
-                out = jnp.zeros_like(r).at[sx, sy, sz].set(pr)
-                return jnp.where(fluid, out, 0.0)
-        else:
-            # Jacobi: diagonal of G (symmetric, handles partial cells)
-            cx = jnp.where(~grid.solid_u,
-                           grid.Ax(Face, Center, Center)
-                           / g.dx(Face, Center), 0.0)
-            cy = jnp.where(~grid.solid_v,
-                           grid.Ay(Center, Face, Center)
-                           / g.dy(Face, Center), 0.0)
-            cz = jnp.where(~grid.solid_w,
-                           grid.Az(Center, Center) / grid.dz(Face), 0.0)
-            diag = -(cx + shift(cx, 1, X) + cy + shift(cy, 1, Y)
-                     + cz + shift(cz, 1, Z))
-            diag = jnp.where(fluid & (diag < 0), diag, -1.0)
-
-            def M(r):
-                return jnp.where(fluid, r / diag, 0.0)
-
-        from oceananigans_tpu.solvers.conjugate_gradient import (
-            conjugate_gradient,
-        )
-        x0 = jnp.zeros_like(b)
-        p, it, res = conjugate_gradient(A, b, x0, preconditioner=M,
-                                        maxiter=self.maxiter,
-                                        reltol=self.reltol)
-        # gauge: zero fluid mean
-        p_mean = jnp.sum(jnp.where(fluid, p, 0.0)[sx, sy, sz]) / nf
-        p = jnp.where(fluid, p - p_mean, 0.0)
-        return p[sx, sy, sz]
+        precond_apply = (None if self.preconditioner is None
+                         else self.preconditioner.solve)
+        return masked_cg_solve(
+            grid, rhs_interior,
+            fill_halos=lambda p: fill_halo_regions(p, g, bcs, LOC_C),
+            reduce_sum=jnp.sum, precond_apply=precond_apply,
+            maxiter=self.maxiter, reltol=self.reltol)
 
 
 # ---------------------------------------------------------------------------

@@ -27,8 +27,6 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from oceananigans_tpu.grids.base import Bounded, Flat, Periodic
-from oceananigans_tpu.solvers.fft_poisson import poisson_eigenvalues
-from oceananigans_tpu.solvers.transforms import dct2, idct2
 
 __all__ = ["DistributedFFTPoissonSolver",
            "DistributedFourierTridiagonalSolver"]
@@ -37,15 +35,24 @@ __all__ = ["DistributedFFTPoissonSolver",
 class DistributedFFTPoissonSolver:
     """∇²φ = rhs on a fully-regular grid, rhs sharded P("x", "y", None).
 
+    Per-axis ORTHONORMAL-BASIS MATMULS (the ``MatmulPoissonSolver``
+    bases — real-Fourier rows on Periodic axes, DCT-II rows on Bounded
+    ones) replace the fft/dct transforms: all-real arithmetic, correct
+    on ANY topology mix (the earlier fft-only version silently used the
+    wrong basis on Bounded x/y), no composed-FFT TPU miscompile risk,
+    and the contractions ride the MXU.
+
     Layout dance (local shapes, mesh (px, py)):
-        (Nx/px, Ny/py, Nz)  --dct z-->  same
-        --all_to_all over y (split z, concat y)--> (Nx/px, Ny, Nz/py)
-        --fft y-->  same
-        --all_to_all over x (split y, concat x)--> (Nx, Ny/px, Nz/py)
-        --fft x-->  eigen-divide  -->  reverse everything
+        (Nx/px, Ny/py, Nz)  --Tz (local)-->  same
+        --all_to_all "y" (split z, concat y)--> (Nx/px, Ny, Nz/py)
+        --Ty--> --all_to_all "x" (split y, concat x)--> (Nx, Ny/px, Nz/py)
+        --Tx--> eigen-divide --> reverse everything.
     """
 
     def __init__(self, grid, mesh: Mesh):
+        from oceananigans_tpu.solvers.matmul_poisson import (
+            _bounded_basis, _periodic_basis,
+        )
         if not grid.regular:
             raise ValueError("needs regular spacings on every axis")
         self.grid = grid
@@ -58,20 +65,28 @@ class DistributedFFTPoissonSolver:
                 f"interior sizes {grid.N} must divide the pencil layouts "
                 f"of mesh ({self.px}, {self.py})")
         self.topo = tuple(grid.axis_topo(ax) for ax in range(3))
+        self.T = []
         lams = []
         for axis in range(3):
             topo = self.topo[axis]
             N = grid.N[axis]
             d = (grid.Lx / grid.Nx, grid.Ly / grid.Ny,
                  grid.Lz / grid.Nz)[axis] if topo != Flat else 1.0
-            lams.append(poisson_eigenvalues(N, d, topo))
+            if topo == Flat or N == 1:
+                self.T.append(None)
+                lams.append(np.zeros((1,)))
+            elif topo == Periodic:
+                T, lam = _periodic_basis(N, d)
+                self.T.append(T)
+                lams.append(lam)
+            elif topo == Bounded:
+                T, lam = _bounded_basis(N, d)
+                self.T.append(T)
+                lams.append(lam)
+            else:
+                raise ValueError(f"unsupported topology {topo} on a "
+                                 "distributed axis")
         self.lam_x, self.lam_y, self.lam_z = lams
-        if self.topo[2] == Bounded:
-            self.z_transform = "dct"
-        elif self.topo[2] in (Periodic,):
-            self.z_transform = "fft"
-        else:
-            self.z_transform = "none"
 
     def local_solve(self, r):
         """The per-shard solve body: call INSIDE an existing
@@ -91,56 +106,56 @@ class DistributedFFTPoissonSolver:
         px, py = self.px, self.py
         Nx, Ny, Nz = self.grid.N
         lam_x, lam_y, lam_z = self.lam_x, self.lam_y, self.lam_z
-        z_transform = self.z_transform
-        if True:
-            # --- forward z (local) ---
-            if z_transform == "dct":
-                r = dct2(r, 2)
-            elif z_transform == "fft":
-                r = jnp.fft.fft(r, axis=2)
+        Tx, Ty, Tz = self.T
 
-            # --- z -> y transpose over the 'y' mesh axis ---
-            # local (nx, ny_l, Nz) -> (nx, Ny, Nz/py)
+        def apply_T(a, T, axis, transpose):
+            if T is None:
+                return a
+            M = T.T if transpose else T
+            M = M.astype(np.dtype(a.dtype))
+            sub = ("ai,ijk->ajk", "aj,ijk->iak", "ak,ijk->ija")[axis]
+            return jnp.einsum(sub, M, a,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        # --- forward z (local) ---
+        r = apply_T(r, Tz, 2, transpose=False)
+        # --- z -> y transpose over the 'y' mesh axis ---
+        if py > 1:
             r = jax.lax.all_to_all(r, "y", split_axis=2, concat_axis=1,
                                    tiled=True)
-            r = jnp.fft.fft(r, axis=1)
-
-            # --- y -> x transpose over the 'x' mesh axis ---
-            # local (nx, Ny, nz_l) -> (Nx, Ny/px, nz_l)
+        r = apply_T(r, Ty, 1, transpose=False)
+        # --- y -> x transpose over the 'x' mesh axis ---
+        if px > 1:
             r = jax.lax.all_to_all(r, "x", split_axis=1, concat_axis=0,
                                    tiled=True)
-            r = jnp.fft.fft(r, axis=0)
+        r = apply_T(r, Tx, 0, transpose=False)
 
-            # --- eigenvalue division in (Nx, Ny/px, Nz/py) layout ---
-            ix = jax.lax.axis_index("x")
-            iy = jax.lax.axis_index("y")
-            ny_l = Ny // px
-            nz_l = Nz // py
-            # numpy tables sliced dynamically by the shard index (embedded
-            # as literals — never trace-time device arrays)
-            ly = jax.lax.dynamic_slice(lam_y, (ix * ny_l,), (ny_l,))
-            lz = jax.lax.dynamic_slice(lam_z, (iy * nz_l,), (nz_l,))
-            lam = (lam_x.reshape(-1, 1, 1)
-                   + ly.reshape(1, -1, 1) + lz.reshape(1, 1, -1))
-            inv = jnp.where(lam == 0, 0.0, 1.0 / jnp.where(lam == 0, 1.0,
-                                                           lam))
-            r = r * inv.astype(r.real.dtype)
+        # --- eigenvalue division in (Nx, Ny/px, Nz/py) layout ---
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+        ny_l = Ny // px
+        nz_l = Nz // py
+        # numpy tables sliced dynamically by the shard index (embedded
+        # as literals — never trace-time device arrays)
+        ly = jax.lax.dynamic_slice(lam_y, (ix * ny_l,), (ny_l,))
+        lz = jax.lax.dynamic_slice(lam_z, (iy * nz_l,), (nz_l,))
+        lam = (lam_x.reshape(-1, 1, 1)
+               + ly.reshape(1, -1, 1) + lz.reshape(1, 1, -1))
+        inv = jnp.where(lam == 0, 0.0, 1.0 / jnp.where(lam == 0, 1.0,
+                                                       lam))
+        r = r * inv.astype(r.dtype)
 
-            # --- reverse ---
-            r = jnp.fft.ifft(r, axis=0)
+        # --- reverse ---
+        r = apply_T(r, Tx, 0, transpose=True)
+        if px > 1:
             r = jax.lax.all_to_all(r, "x", split_axis=0, concat_axis=1,
                                    tiled=True)
-            r = jnp.fft.ifft(r, axis=1)
+        r = apply_T(r, Ty, 1, transpose=True)
+        if py > 1:
             r = jax.lax.all_to_all(r, "y", split_axis=1, concat_axis=2,
                                    tiled=True)
-            if z_transform == "dct":
-                r = jnp.real(r)
-                r = idct2(r, 2)
-            elif z_transform == "fft":
-                r = jnp.real(jnp.fft.ifft(r, axis=2))
-            else:
-                r = jnp.real(r)
-            return r
+        r = apply_T(r, Tz, 2, transpose=True)
+        return r
 
 
 class DistributedFourierTridiagonalSolver:

@@ -268,13 +268,10 @@ class DistributedStep:
         lmodel.dist_halo = DistHalo(sizes=(px, py))
         lmodel.dist_topo = topo
         self.lmodel = lmodel
-        from oceananigans_tpu.immersed import (
-            ImmersedBoundaryGrid as _IBG,
-        )
         if self.hydrostatic:
             self.solver = None    # no global solve: the free-surface
                                   # stepping is shard-local + exchanges
-        elif isinstance(grid, _IBG):
+        elif isinstance(grid, ImmersedBoundaryGrid):
             # masked CG inside the shard_map body; the model calls it
             # with its per-shard grid (wants_grid). FFT-preconditioned
             # when the underlying grid admits the pencil solver.
@@ -790,16 +787,11 @@ class DistributedImmersedPoissonSolver:
         from oceananigans_tpu.boundary_conditions import (
             regularize_field_boundary_conditions,
         )
-        from oceananigans_tpu.fields import LOC_C, new_field
-        from oceananigans_tpu.immersed import masked_laplacian
-        from oceananigans_tpu.ops.operators import shift
-        from oceananigans_tpu.solvers.conjugate_gradient import (
-            conjugate_gradient,
-        )
+        from oceananigans_tpu.fields import LOC_C
+        from oceananigans_tpu.immersed import masked_cg_solve
 
         ctx, topo = self.ctx, self.topo
         g = grid.underlying_grid
-        sx, sy, sz = g.interior_slices
         bcs = regularize_field_boundary_conditions(None, g, LOC_C)
 
         def psum(v):
@@ -808,64 +800,15 @@ class DistributedImmersedPoissonSolver:
                     v = jax.lax.psum(v, ctx.names[axis])
             return v
 
-        idx = np.zeros(g.shape, bool)
-        idx[sx, sy, sz] = True
-        fluid = jnp.logical_and(~grid.solid_c, idx)
-
-        X, Y, Z = 0, 1, 2
-        Vw = jnp.broadcast_to(grid.V(Center, Center, Center), g.shape)
-        rhs = new_field(g, rhs_interior.dtype).at[sx, sy, sz].set(
-            rhs_interior)
-        b = jnp.where(fluid, rhs * Vw, 0.0)
-        nf = jnp.maximum(psum(jnp.sum(fluid[sx, sy, sz])), 1)
-        b_mean = psum(jnp.sum(b[sx, sy, sz])) / nf
-        b = jnp.where(fluid, b - b_mean, 0.0)
-
-        def A(p):
-            p = dist_fill_halos(p, g, bcs, LOC_C, 0.0, None, ctx, topo)
-            return jnp.where(fluid, Vw * masked_laplacian(grid, p), 0.0)
-
-        if self.preconditioner is not None:
-            # the pencil-FFT inverse of the uniform-volume operator,
-            # embedded in the surrounding shard_map via local_solve
-            pencil = self.preconditioner
-
-            def M(r):
-                pr = pencil.local_solve(r[sx, sy, sz]
-                                        / Vw[sx, sy, sz])
-                out = jnp.zeros_like(r).at[sx, sy, sz].set(
-                    pr.astype(r.dtype))
-                return jnp.where(fluid, out, 0.0)
-        else:
-            # Jacobi (shard-local; handles partial cells)
-            cx = jnp.where(~grid.solid_u,
-                           grid.Ax(Face, Center, Center)
-                           / g.dx(Face, Center), 0.0)
-            cy = jnp.where(~grid.solid_v,
-                           grid.Ay(Center, Face, Center)
-                           / g.dy(Face, Center), 0.0)
-            cz = jnp.where(~grid.solid_w,
-                           grid.Az(Center, Center) / grid.dz(Face), 0.0)
-            diag = -(cx + shift(cx, 1, X) + cy + shift(cy, 1, Y)
-                     + cz + shift(cz, 1, Z))
-            diag = jnp.where(fluid & (diag < 0), diag, -1.0)
-
-            def M(r):
-                return jnp.where(fluid, r / diag, 0.0)
-
-        def dot(x, y):
-            local = sum(jnp.sum(a * b2) for a, b2 in zip(
-                jax.tree_util.tree_leaves(x),
-                jax.tree_util.tree_leaves(y)))
-            return psum(local)
-
-        x0 = jnp.zeros_like(b)
-        p, _, _ = conjugate_gradient(A, b, x0, preconditioner=M,
-                                     maxiter=self.maxiter,
-                                     reltol=self.reltol, dot=dot)
-        p_mean = psum(jnp.sum(jnp.where(fluid, p, 0.0)[sx, sy, sz])) / nf
-        p = jnp.where(fluid, p - p_mean, 0.0)
-        return p[sx, sy, sz]
+        precond_apply = (None if self.preconditioner is None
+                         else self.preconditioner.local_solve)
+        return masked_cg_solve(
+            grid, rhs_interior,
+            fill_halos=lambda p: dist_fill_halos(p, g, bcs, LOC_C, 0.0,
+                                                 None, ctx, topo),
+            reduce_sum=lambda v: psum(jnp.sum(v)),
+            precond_apply=precond_apply,
+            maxiter=self.maxiter, reltol=self.reltol)
 
 
 __all__ += ["DistributedImmersedPoissonSolver"]

@@ -732,9 +732,50 @@ def test_explicit_halo_nonhydrostatic_immersed_matches_serial():
         sl = f(sl, dt)
     final = dstep.from_local_state(sl)
 
-    # serial uses the FFT-preconditioned CG, distributed the Jacobi-
-    # preconditioned one: both converge to reltol, so compare at solver
-    # tolerance rather than roundoff
+    # both sides run FFT-preconditioned CG (serial: FFTPoissonSolver,
+    # distributed: the pencil solver via local_solve); iteration paths
+    # differ, so compare at solver tolerance rather than roundoff
+    for name in ("u", "w"):
+        a = np.asarray(grid.interior(getattr(s_serial, name)))
+        b = np.asarray(grid.interior(jnp.asarray(getattr(final, name))))
+        np.testing.assert_allclose(b, a, atol=5e-7, err_msg=name)
+
+
+def test_explicit_halo_nonhydrostatic_partial_cell_jacobi():
+    """PartialCellBottom disables the FFT preconditioner on both sides
+    (dz_sigma scaling), exercising the distributed solver's JACOBI
+    branch; matches serial at solver tolerance."""
+    from jax.sharding import Mesh
+    from oceananigans_tpu import ImmersedBoundaryGrid, PartialCellBottom
+    from oceananigans_tpu.parallel import DistributedStep
+
+    base = RectilinearGrid(size=(32, 16, 8), x=(0, 2.0), y=(0, 1.0),
+                           z=(-1.0, 0.0),
+                           topology=(Periodic, Periodic, Bounded), halo=2)
+    grid = ImmersedBoundaryGrid(
+        base, PartialCellBottom(
+            lambda x, y: -1.0 + 0.35 * jnp.exp(-((x - 1.0) / 0.4) ** 2)))
+
+    def make_model(g):
+        return NonhydrostaticModel(grid=g,
+                                   timestepper="QuasiAdamsBashforth2")
+
+    model = make_model(grid)
+    state = model.initial_state(u=lambda x, y, z: 0.1 + 0 * x)
+    dt = 5e-3
+    step = jax.jit(lambda s: model.step(s, dt))
+    s_serial = state
+    for _ in range(2):
+        s_serial = step(s_serial)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    dstep = DistributedStep(make_model, grid, mesh)
+    assert dstep.lmodel.pressure_solver.preconditioner is None
+    f = dstep.step_fn()
+    sl = dstep.to_local_state(state)
+    for _ in range(2):
+        sl = f(sl, dt)
+    final = dstep.from_local_state(sl)
     for name in ("u", "w"):
         a = np.asarray(grid.interior(getattr(s_serial, name)))
         b = np.asarray(grid.interior(jnp.asarray(getattr(final, name))))
