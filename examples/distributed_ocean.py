@@ -70,20 +70,20 @@ def make_model(g):
         forcing={"u": tau})
 
 
-if __name__ == "__main__":
-    devices = jax.devices()
-    px = 4 if len(devices) >= 8 else max(len(devices) // 2, 1)
-    py = 2 if len(devices) >= 8 else 1
-    mesh = Mesh(np.array(devices[:px * py]).reshape(px, py), ("x", "y"))
-    print(f"mesh: {px}x{py} over {devices[0].platform}")
+devices = jax.devices()
+px = 4 if len(devices) >= 8 else max(len(devices) // 2, 1)
+py = 2 if len(devices) >= 8 else 1
+mesh = Mesh(np.array(devices[:px * py]).reshape(px, py), ("x", "y"))
 
-    model = make_model(grid)
+model = make_model(grid)
+dstep = DistributedStep(make_model, grid, mesh)
+step = dstep.step_fn()
+
+if __name__ == "__main__":
+    print(f"mesh: {px}x{py} over {devices[0].platform}")
     state = model.initial_state(
         T=lambda lam, phi, z: 18.0 + 8e-3 * z,
         eta=lambda lam, phi: 0.0 * lam)
-
-    dstep = DistributedStep(make_model, grid, mesh)
-    step = dstep.step_fn()
     local = dstep.to_local_state(state)
 
     dt = 300.0

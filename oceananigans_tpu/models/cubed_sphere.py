@@ -123,9 +123,27 @@ class CubedSphereShallowWaterModel:
                  tracers=(),
                  prescribed_velocities=False,
                  vorticity_scheme="hybrid_upwind",
-                 corner_upwind_width=4):
+                 corner_upwind_width=4,
+                 bathymetry=None):
         self.grid = grid
         self.g = float(gravitational_acceleration)
+        # surface topography height hs(λ, φ) (reference shallow-water
+        # bathymetry; Williamson 5's isolated mountain): the momentum
+        # gradient acts on g·(h + hs) while mass conservation advects
+        # the fluid depth h alone
+        if bathymetry is None:
+            self.hs = None
+        else:
+            hs = bathymetry if hasattr(bathymetry, "ndim") \
+                else grid.set_tracer(
+                    lambda lam, phi, z: bathymetry(lam, phi) + 0 * z)
+            hs = cubed_sphere_halo_exchange(jnp.asarray(hs), grid)
+            # single z level, like the state fields (a z-extended hs
+            # would broadcast every tendency to the z-halo slots)
+            g = grid.panel_grid
+            if hs.shape[-1] != 1:
+                hs = hs[..., g.Hz:g.Hz + 1]
+            self.hs = hs
         self.rotation_rate = float(rotation_rate or 0.0)
         self.tracer_advection = tracer_advection or Centered(2)
         self.tracer_names = tuple(tracers)
@@ -230,7 +248,7 @@ class CubedSphereShallowWaterModel:
         return dataclasses.replace(state, u=u, v=v, h=h, tracers=tracers)
 
     # ------------------------------------------------------------------
-    def _panel_tendencies(self, u, v, h, f_ff, zeta, tracers):
+    def _panel_tendencies(self, u, v, h, f_ff, zeta, tracers, hs=None):
         """Per-panel tendencies (vmapped over the panel axis);
         ``zeta`` is precomputed on the stacked array (the cube-corner
         circulation fix couples panels)."""
@@ -247,7 +265,7 @@ class CubedSphereShallowWaterModel:
         h_ff = ix_f(iy_f(h))
         q = (zeta + f_ff) / (h_ff + eps)
         K = 0.5 * (ix_c(u * u) + iy_c(v * v))
-        phi = K + self.g * h
+        phi = K + self.g * (h if hs is None else h + hs)
         if self.vorticity_scheme in ("upwind", "hybrid_upwind"):
             # length-weighted transverse transports (same metric
             # weighting as the reference's vector-invariant forms)
@@ -318,9 +336,15 @@ class CubedSphereShallowWaterModel:
         # standard 4-segment form is O(1) wrong at 3-valent corners)
         zeta = cubed_sphere_corner_vorticity(zeta, state.u, state.v,
                                              self.grid)
-        Gu, Gv = jax.vmap(self._panel_tendencies,
-                          in_axes=(0, 0, 0, 0, 0, 0))(
-            state.u, state.v, state.h, f, zeta, state.tracers)
+        if self.hs is None:
+            Gu, Gv = jax.vmap(self._panel_tendencies,
+                              in_axes=(0, 0, 0, 0, 0, 0))(
+                state.u, state.v, state.h, f, zeta, state.tracers)
+        else:
+            hs = jnp.asarray(self.hs, state.h.dtype)
+            Gu, Gv = jax.vmap(self._panel_tendencies,
+                              in_axes=(0, 0, 0, 0, 0, 0, 0))(
+                state.u, state.v, state.h, f, zeta, state.tracers, hs)
         # conservation: compute mass/tracer fluxes per panel, then make
         # the fluxes through shared edge faces single-valued before the
         # divergence (flux out of one panel == flux into its neighbor
@@ -372,6 +396,8 @@ class CubedSphereShallowWaterModel:
         g = self.grid.panel_grid
         sx, sy, _ = g.interior_slices
         Az = g.Az(Center, Center)[sx, sy, :]
+        # the SW state is single-level (initial_state collapses z), so
+        # the full z slice is exactly the one layer
         return jnp.sum(state.h[:, sx, sy, :] * Az)
 
     def total_tracer(self, state, name):

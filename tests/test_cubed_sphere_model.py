@@ -391,3 +391,68 @@ def test_cubed_sphere_subpanel_partition_matches_serial():
         scale = max(np.abs(a).max(), 1e-30)
         assert np.abs(a - b).max() < 1e-11 * scale, \
             (name, np.abs(a - b).max(), scale)
+
+
+def test_williamson5_flow_over_mountain():
+    """Williamson test 5: zonal flow over an isolated conical mountain
+    (reference validation case; exercises the new shallow-water
+    bathymetry term g∇(h + hs)). Checks: mass conserved to machine
+    precision, fields finite and bounded, and the mountain actually
+    deflects the flow (nonzero meridional velocity develops)."""
+    a = 6.37122e6
+    Omega = 7.292e-5
+    gacc = 9.80616
+    u0 = 20.0
+    h0 = 5960.0
+    hs0 = 2000.0
+    R = np.pi / 9
+    lam_c, phi_c = -90.0, 30.0
+
+    def mountain(lam, phi):
+        dlam = np.deg2rad((lam - lam_c + 180.0) % 360.0 - 180.0)
+        dphi = np.deg2rad(phi - phi_c)
+        r = jnp.minimum(R, jnp.sqrt(dlam ** 2 + dphi ** 2))
+        return hs0 * (1.0 - r / R)
+
+    grid = ConformalCubedSphereGrid((16, 1), z=(-1.0, 0.0), radius=a,
+                                    halo=3)
+    model = CubedSphereShallowWaterModel(
+        grid, gravitational_acceleration=gacc, rotation_rate=Omega,
+        bathymetry=mountain)
+    u, v = panel_vector_components(
+        grid, lambda P: np.cross(np.array([0.0, 0.0, u0 / a]), P * a))
+
+    def h_init(lam, phi, z):
+        s = np.sin(np.deg2rad(phi))
+        # balanced total height minus the topography = fluid depth
+        htot = h0 - (a * Omega * u0 + 0.5 * u0 ** 2) * s ** 2 / gacc
+        return htot + 0 * z
+
+    h_fluid = grid.set_tracer(h_init) - np.asarray(model.hs)
+    state = model.initial_state(u=u, v=v, h=h_fluid)
+
+    g = grid.panel_grid
+    sx, sy, _ = g.interior_slices
+    m0 = float(model.total_mass(state))
+    h_start = np.asarray(state.h)[:, sx, sy, 0].copy()
+
+    dt = 450.0
+    step = jax.jit(lambda s: model.step(s, dt))
+    s = state
+    for _ in range(192):                        # one day
+        s = step(s)
+    s = jax.block_until_ready(s)
+
+    h1 = np.asarray(s.h)[:, sx, sy, 0]
+    u1 = np.asarray(s.u)[:, sx, sy, 0]
+    assert np.isfinite(h1).all() and np.isfinite(u1).all()
+    assert h1.min() > 1000.0                    # fluid never dries out
+    assert np.abs(u1).max() < 4 * u0            # bounded dynamics
+    m1 = float(model.total_mass(s))
+    assert abs(m1 - m0) / m0 < 1e-12            # mass exact
+    # the mountain forces a wave response: the height field departs
+    # from the (otherwise steady) balanced state by O(10-100 m) within
+    # a day, while remaining bounded (the W2 no-mountain control stays
+    # within ~1% of steady at this resolution)
+    dh = np.abs(h1 - h_start).max()
+    assert 10.0 < dh < 0.2 * h0, dh
