@@ -258,9 +258,13 @@ class Simulation:
                 cb(self)
         wsim = (self.model.writer_sim(self)
                 if hasattr(self.model, "writer_sim") else self)
+        from oceananigans_tpu.output import Checkpointer
         for w in self.output_writers.values():
             w.schedule.initialize(self.state.clock)
-            w.write(wsim)
+            # checkpoints serialize the RAW state pytree (restart must
+            # restore the exact layout the step runs on — under the
+            # distributed adapter that is the local-halos layout)
+            w.write(self if isinstance(w, Checkpointer) else wsim)
         self.initialized = True
 
     def _should_stop(self):
@@ -333,6 +337,7 @@ class Simulation:
                                 else self)
                     return wsim
 
+                from oceananigans_tpu.output import Checkpointer
                 for w in self.output_writers.values():
                     # windowed time averages accumulate while inside
                     # their averaging window (windowed_time_average.jl)
@@ -343,7 +348,10 @@ class Simulation:
                                 v = get_wsim()
                                 out.accumulate(v.model, v.state)
                     if w.schedule.actuates(self.state.clock):
-                        w.write(get_wsim())
+                        # checkpoints serialize the RAW state (restart
+                        # restores the layout the step runs on)
+                        w.write(self if isinstance(w, Checkpointer)
+                                else get_wsim())
         return self.state
 
     def __repr__(self):

@@ -780,3 +780,55 @@ def test_explicit_halo_nonhydrostatic_partial_cell_jacobi():
         a = np.asarray(grid.interior(getattr(s_serial, name)))
         b = np.asarray(grid.interior(jnp.asarray(getattr(final, name))))
         np.testing.assert_allclose(b, a, atol=5e-7, err_msg=name)
+
+
+def test_distributed_checkpoint_pickup(tmp_path):
+    """Checkpoint + pickup on the distributed path: the Checkpointer
+    serializes the RAW local-halos state (not the global writer view),
+    so sim.run(pickup=True) restores and continues bit-for-bit."""
+    from jax.sharding import Mesh
+    from oceananigans_tpu import Checkpointer, IterationInterval, Simulation
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+    from oceananigans_tpu.models.hydrostatic import (
+        SplitExplicitFreeSurface,
+    )
+    from oceananigans_tpu.parallel import DistributedModel, DistributedStep
+
+    grid = RectilinearGrid(size=(32, 16, 8), x=(0, 2e5), y=(0, 1e5),
+                           z=(-500.0, 0.0),
+                           topology=(Periodic, Periodic, Bounded), halo=3)
+
+    def make_model(g):
+        return HydrostaticFreeSurfaceModel(
+            grid=g, free_surface=SplitExplicitFreeSurface(substeps=8),
+            tracers=("T",))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+
+    def fresh():
+        dstep = DistributedStep(make_model, grid, mesh)
+        dmodel = DistributedModel(dstep)
+        state = dmodel.initial_state(
+            u=lambda x, y, z: 0.1 * jnp.sin(2 * np.pi * x / 2e5),
+            T=lambda x, y, z: 10.0 + 5e-3 * z)
+        return dmodel, state
+
+    ckdir = str(tmp_path / "ck")
+
+    # run 6 steps with a checkpoint at iteration 3
+    dmodel, state = fresh()
+    sim = Simulation(dmodel, state=state, dt=60.0, stop_iteration=6)
+    sim.output_writers["ck"] = Checkpointer(dirname=ckdir,
+                                            schedule=IterationInterval(3))
+    sim.run()
+    u_ref = np.asarray(jnp.asarray(sim.state.u))
+
+    # restart from the checkpoint and run to the same iteration
+    dmodel2, state2 = fresh()
+    sim2 = Simulation(dmodel2, state=state2, dt=60.0, stop_iteration=6)
+    sim2.output_writers["ck"] = Checkpointer(dirname=ckdir,
+                                             schedule=IterationInterval(3))
+    sim2.run(pickup=True)
+    assert int(sim2.state.clock.iteration) == 6
+    u2 = np.asarray(jnp.asarray(sim2.state.u))
+    np.testing.assert_array_equal(u2, u_ref)    # bitwise restart
