@@ -585,45 +585,75 @@ def _fill_halo_corners(a, H, N):
     return a
 
 
+def _exchange_maps(grid: ConformalCubedSphereGrid, H: int):
+    """Flat (dst_p, dst_i, dst_j, src_p, src_i, src_j) index tables for
+    the center-located inter-panel halo fill: the 6 panels × 4 sides ×
+    H rings × N cells collapse into ONE advanced-indexing gather (far
+    fewer ops than the per-(panel, side, ring) slice loop — smaller
+    jaxprs, and a single gather for GSPMD to partition)."""
+    cache = getattr(grid, "_exch_maps", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(grid, "_exch_maps", cache)
+    if H in cache:
+        return cache[H]
+    g = grid.panel_grid
+    N = g.Nx
+    Hx, Hy = g.Hx, g.Hy
+    ks = np.arange(N)
+    dst_p = []
+    dst_i = []
+    dst_j = []
+    src_p = []
+    src_i = []
+    src_j = []
+    for p in range(6):
+        for side in _SIDES:
+            q, r, rev = grid.connectivity[(p, side)]
+            for h in range(H):
+                # source line: interior cells ``h`` in from side ``r``
+                # of panel ``q`` (index order along the edge)
+                if r == "west":
+                    si, sj = np.full(N, Hx + h), Hy + ks
+                elif r == "east":
+                    si, sj = np.full(N, Hx + N - 1 - h), Hy + ks
+                elif r == "south":
+                    si, sj = Hx + ks, np.full(N, Hy + h)
+                else:
+                    si, sj = Hx + ks, np.full(N, Hy + N - 1 - h)
+                if rev:
+                    si, sj = si[::-1], sj[::-1]
+                if side == "west":
+                    di, dj = np.full(N, Hx - 1 - h), Hy + ks
+                elif side == "east":
+                    di, dj = np.full(N, Hx + N + h), Hy + ks
+                elif side == "south":
+                    di, dj = Hx + ks, np.full(N, Hy - 1 - h)
+                else:
+                    di, dj = Hx + ks, np.full(N, Hy + N + h)
+                dst_p.append(np.full(N, p))
+                dst_i.append(di)
+                dst_j.append(dj)
+                src_p.append(np.full(N, q))
+                src_i.append(si)
+                src_j.append(sj)
+    maps = tuple(np.concatenate(v) for v in
+                 (dst_p, dst_i, dst_j, src_p, src_i, src_j))
+    cache[H] = maps
+    return maps
+
+
 def cubed_sphere_halo_exchange(a, grid: ConformalCubedSphereGrid,
                                width=None, fill_corners=True):
     """Fill the x/y halos of a stacked (6, nx, ny, nz) CENTER-located
     field from the neighboring panels (reference
     ``multi_region_boundary_conditions.jl`` inter-region fill, with the
-    cubed-sphere rotated connectivity)."""
+    cubed-sphere rotated connectivity) — one precomputed gather."""
     g = grid.panel_grid
     H = g.Hx if width is None else width
     N = g.Nx
-    out = a
-
-    def interior_line(ap, side, offset):
-        """(N, nz) line of interior cells ``offset`` in from ``side``."""
-        sx, sy, _ = g.interior_slices
-        if side == "west":
-            return ap[g.Hx + offset, sy, :]
-        if side == "east":
-            return ap[g.Hx + N - 1 - offset, sy, :]
-        if side == "south":
-            return ap[sx, g.Hy + offset, :]
-        return ap[sx, g.Hy + N - 1 - offset, :]
-
-    for p in range(6):
-        for side in _SIDES:
-            q, r, rev = grid.connectivity[(p, side)]
-            for h in range(H):
-                line = interior_line(a[q], r, h)
-                if rev:
-                    line = line[::-1]
-                sy = g.interior_slices[1]
-                sx = g.interior_slices[0]
-                if side == "west":
-                    out = out.at[p, g.Hx - 1 - h, sy, :].set(line)
-                elif side == "east":
-                    out = out.at[p, g.Hx + N + h, sy, :].set(line)
-                elif side == "south":
-                    out = out.at[p, sx, g.Hy - 1 - h, :].set(line)
-                else:
-                    out = out.at[p, sx, g.Hy + N + h, :].set(line)
+    dp, di, dj, sp, si, sj = _exchange_maps(grid, H)
+    out = a.at[dp, di, dj, :].set(a[sp, si, sj, :])
     if fill_corners:
         out = _fill_halo_corners(out, H, N)
     return out
