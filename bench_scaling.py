@@ -183,6 +183,43 @@ def run_cubed_sphere(R=1, panels=6, n=16, inner=3):
     return el, 6 * n * n, colls
 
 
+def run_cubed_sphere_explicit(R=1, panels=6, n=16, inner=3):
+    """Explicit mirror-rank cubed-sphere path
+    (`parallel/cubed_sphere_shard.py`): the same step with precomputed
+    per-device-pair ppermute rounds — bounded collectives, no
+    all-gathers, independent of R and the advection order."""
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereShallowWaterModel, ConformalCubedSphereGrid,
+        panel_vector_components,
+    )
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedSW,
+    )
+
+    a = 6.37122e6
+    grid = ConformalCubedSphereGrid((n, 1), z=(-1.0, 0.0), radius=a,
+                                    halo=3)
+    model = CubedSphereShallowWaterModel(
+        grid, gravitational_acceleration=9.80616, rotation_rate=7.292e-5)
+    u0 = 2 * np.pi * a / (12.0 * 86400)
+    u, v = panel_vector_components(
+        grid, lambda P: np.cross(np.array([0.0, 0.0, u0 / a]), P * a))
+    state = model.initial_state(u=u, v=v,
+                                h=grid.set_tracer(lambda lam, phi, z:
+                                                  2.94e4 / 9.80616 + 0 * z))
+    dsw = CubedSphereDistributedSW(model, R=R, panels=panels)
+    state = dsw.to_local_state(state)
+    step = jax.jit(lambda s: dsw.step(s, 300.0))
+    colls = count_collectives(step, state)
+    state = jax.block_until_ready(step(state))
+    t0 = time.perf_counter()
+    for _ in range(inner):
+        state = step(state)
+    jax.block_until_ready(state.h)
+    el = (time.perf_counter() - t0) / inner
+    return el, 6 * n * n, colls
+
+
 def main():
     if jax.devices()[0].platform == "cpu":
         print("# NOTE: virtual CPU devices share one host's cores — this "
@@ -224,6 +261,10 @@ def main():
         el, pts, colls = run_cubed_sphere(**kw)
         print(f"cubed sphere {label}: {el*1e3:8.2f} ms/step  {pts:7d} pts  "
               f"collectives/step {sum(colls.values())} {colls}")
+        el, pts, colls = run_cubed_sphere_explicit(**kw)
+        print(f"cubed sphere {label} EXPLICIT: {el*1e3:8.2f} ms/step  "
+              f"{pts:7d} pts  collectives/step {sum(colls.values())} "
+              f"{colls}")
 
     print(json.dumps({"metric": "weak_scaling_efficiency",
                       "value": results[-1]["weak_efficiency"],

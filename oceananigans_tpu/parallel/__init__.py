@@ -10,3 +10,6 @@ from oceananigans_tpu.parallel.distributed_fft import (
 from oceananigans_tpu.parallel.shard_step import (
     DistributedModel, DistributedStep, dist_fill_halos,
 )
+from oceananigans_tpu.parallel.cubed_sphere_shard import (
+    CubedSphereDistributedSW,
+)
