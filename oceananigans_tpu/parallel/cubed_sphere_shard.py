@@ -46,7 +46,7 @@ from oceananigans_tpu.grids.orthogonal import OrthogonalSphericalShellGrid
 from oceananigans_tpu.ops.operators import vorticity_z_ff
 from oceananigans_tpu.timesteppers import RK3_STAGES, tick
 
-__all__ = ["CubedSphereDistributedSW"]
+__all__ = ["CubedSphereDistributedSW", "CubedSphereDistributedHydrostatic"]
 
 _AXES = ("panel", "x", "y")
 
@@ -195,11 +195,14 @@ def _apply_exchange(ex: _Exchange, arrays, dev, mean=False):
 # Entry derivation from the serial global tables
 # ---------------------------------------------------------------------------
 
-def _state_fill_entries(grid, lay: _Layout, n_center):
+def _state_fill_entries(grid, lay: _Layout, n_center,
+                        with_velocity=True):
     """Entries for the merged state fill: fields [u, v, c0, c1, ...]
-    (velocity rotation tables + center tables + within-panel copies)."""
+    (velocity rotation tables + center tables + within-panel copies).
+    ``with_velocity=False``: center fields only, offsets from 0."""
     N, H, nloc, nl2 = lay.N, lay.H, lay.nloc, lay.nl2
     C = lay.cells
+    coff = 2 * C if with_velocity else 0
 
     dp, di, dj, sp, si, sj = _exchange_maps(grid, H)
     cdict = {}
@@ -208,12 +211,13 @@ def _state_fill_entries(grid, lay: _Layout, n_center):
             int(sp[k]), int(si[k]), int(sj[k]))
 
     vdict = {}
-    for comp, (DP, DI, DJ, SQ, SI, SJ, SGN, ISU) in \
-            _velocity_maps_flat(N, H).items():
-        for k in range(DP.size):
-            vdict[(comp, int(DP[k]), int(DI[k]), int(DJ[k]))] = (
-                int(SQ[k]), int(SI[k]), int(SJ[k]), float(SGN[k]),
-                bool(ISU[k]))
+    if with_velocity:
+        for comp, (DP, DI, DJ, SQ, SI, SJ, SGN, ISU) in \
+                _velocity_maps_flat(N, H).items():
+            for k in range(DP.size):
+                vdict[(comp, int(DP[k]), int(DI[k]), int(DJ[k]))] = (
+                    int(SQ[k]), int(SI[k]), int(SJ[k]), float(SGN[k]),
+                    bool(ISU[k]))
 
     entries = []
     for p in range(6):
@@ -227,7 +231,8 @@ def _state_fill_entries(grid, lay: _Layout, n_center):
                         dflat = lay.cell(p, li, lj)
                         # --- u (field 0) and v (field 1): each field's
                         # owned region includes its shared block face
-                        for f, comp in ((0, "u"), (1, "v")):
+                        for f, comp in (((0, "u"), (1, "v"))
+                                        if with_velocity else ()):
                             iu = comp == "u"
                             if (H <= li < H + nloc + iu
                                     and H <= lj < H + nloc + (not iu)):
@@ -258,13 +263,13 @@ def _state_fill_entries(grid, lay: _Layout, n_center):
                             q, sgi, sgj = hit
                             sdev, sflat = lay.locate(q, sgi, sgj)
                             for f in range(n_center):
-                                off = (2 + f) * C
+                                off = coff + f * C
                                 entries.append((ddev, off + dflat, sdev,
                                                 off + sflat, 1.0))
                         elif H <= gi < H + N and H <= gj < H + N:
                             sdev, sflat = lay.locate(p, gi, gj)
                             for f in range(n_center):
-                                off = (2 + f) * C
+                                off = coff + f * C
                                 entries.append((ddev, off + dflat, sdev,
                                                 off + sflat, 1.0))
                         # else: panel-corner wedge — filled by the local
@@ -362,15 +367,17 @@ def _corner_avg_flags(lay: _Layout):
 # The distributed model
 # ---------------------------------------------------------------------------
 
-class CubedSphereDistributedSW:
-    """Explicit-halo distributed ``CubedSphereShallowWaterModel``.
+class _CSDistBase:
+    """Shared machinery of the explicit-halo distributed cubed-sphere
+    models: block layout + mesh, layout conversions, block-windowed
+    grid/metric leaves, and the per-device corner table ops.
 
-    Usage::
+    Usage (both subclasses)::
 
-        dsw = CubedSphereDistributedSW(model, R=2, panels=2)  # 8 devices
-        bstate = dsw.to_local_state(state)                    # once
-        bstate = dsw.step(bstate, dt)                         # jitted
-        state = dsw.from_local_state(bstate)
+        dm = CubedSphereDistributed*(model, R=2, panels=2)  # 8 devices
+        bstate = dm.to_local_state(state)                   # once
+        bstate = dm.step(bstate, dt)                        # jitted
+        state = dm.from_local_state(bstate)
 
     The step matches the serial model bitwise: each device's block
     window evolves exactly like the same window of the serial panel
@@ -380,12 +387,6 @@ class CubedSphereDistributedSW:
     """
 
     def __init__(self, model, R=1, panels=6, devices=None):
-        from oceananigans_tpu.models.cubed_sphere import (
-            CubedSphereShallowWaterModel,
-        )
-        if not isinstance(model, CubedSphereShallowWaterModel):
-            raise ValueError("CubedSphereDistributedSW wraps a "
-                             "CubedSphereShallowWaterModel")
         grid = model.grid
         g = grid.panel_grid
         N, H = grid.N_panel, g.Hx
@@ -413,13 +414,6 @@ class CubedSphereDistributedSW:
         self._state_sharding = NamedSharding(self.mesh,
                                              P("panel", "x", "y", None))
 
-        names = model.tracer_names
-        self.ex_state = _build_exchange(
-            _state_fill_entries(grid, self.lay, 1 + len(names)),
-            self.lay, 3 + len(names))
-        self.ex_flux = _build_exchange(
-            _flux_sync_entries(self.lay, 1 + len(names)),
-            self.lay, 2 * (1 + len(names)))
         self.corner_taps = _corner_tap_tables(grid, self.lay)
         self.avg_flags = _corner_avg_flags(self.lay)
 
@@ -436,8 +430,6 @@ class CubedSphereDistributedSW:
         self.f_blocked = jax.device_put(
             self._block_panel(jnp.asarray(model.f_ff)),
             self._state_sharding)
-        self.hs_blocked = None if model.hs is None else jax.device_put(
-            self._block_panel(model.hs), self._state_sharding)
         self.cm_blocked = self._block_tile_2d(
             jnp.asarray(model._corner_mask))
         # block-local interior masks (device-independent: every block
@@ -576,6 +568,39 @@ class CubedSphereDistributedSW:
         a = upd(a, hi, hi, rhi, rhi, fl[3])
         return a
 
+    def step(self, state, dt):
+        if self._pstep is None:
+            self._pstep = self._build()
+        return self._pstep(state, dt)
+
+    def __repr__(self):
+        lay = self.lay
+        return (f"{type(self).__name__}(N={lay.N}, R={lay.R}, "
+                f"panels={lay.panels}, devices={lay.n_dev})")
+
+
+class CubedSphereDistributedSW(_CSDistBase):
+    """Explicit-halo distributed ``CubedSphereShallowWaterModel``
+    (see ``_CSDistBase`` for the usage pattern and guarantees)."""
+
+    def __init__(self, model, R=1, panels=6, devices=None):
+        from oceananigans_tpu.models.cubed_sphere import (
+            CubedSphereShallowWaterModel,
+        )
+        if not isinstance(model, CubedSphereShallowWaterModel):
+            raise ValueError("CubedSphereDistributedSW wraps a "
+                             "CubedSphereShallowWaterModel")
+        super().__init__(model, R=R, panels=panels, devices=devices)
+        names = model.tracer_names
+        self.ex_state = _build_exchange(
+            _state_fill_entries(self.grid, self.lay, 1 + len(names)),
+            self.lay, 3 + len(names))
+        self.ex_flux = _build_exchange(
+            _flux_sync_entries(self.lay, 1 + len(names)),
+            self.lay, 2 * (1 + len(names)))
+        self.hs_blocked = None if model.hs is None else jax.device_put(
+            self._block_panel(model.hs), self._state_sharding)
+
     def _build(self):
         from oceananigans_tpu.models.cubed_sphere import (
             CubedSphereShallowWaterModel as SW,
@@ -687,12 +712,197 @@ class CubedSphereDistributedSW:
 
         return jax.jit(step)
 
-    def step(self, state, dt):
-        if self._pstep is None:
-            self._pstep = self._build()
-        return self._pstep(state, dt)
 
-    def __repr__(self):
-        lay = self.lay
-        return (f"CubedSphereDistributedSW(N={lay.N}, R={lay.R}, "
-                f"panels={lay.panels}, devices={lay.n_dev})")
+class CubedSphereDistributedHydrostatic(_CSDistBase):
+    """Explicit-halo distributed ``CubedSphereHydrostaticModel`` (see
+    ``_CSDistBase`` for the usage pattern and guarantees). The 3-D
+    state (u, v, tracers at nz; eta at 1 level) exchanges in two
+    round-sets per fill; w/pressure integrals, closures (including
+    vertically-implicit column solves), and forcings run block-local."""
+
+    def __init__(self, model, R=1, panels=6, devices=None):
+        from oceananigans_tpu.models.cubed_sphere import (
+            CubedSphereHydrostaticModel,
+        )
+        if not isinstance(model, CubedSphereHydrostaticModel):
+            raise ValueError("CubedSphereDistributedHydrostatic wraps a "
+                             "CubedSphereHydrostaticModel")
+        super().__init__(model, R=R, panels=panels, devices=devices)
+        names = model.tracer_names
+        T = len(names)
+        self.ex_uvtr = _build_exchange(
+            _state_fill_entries(self.grid, self.lay, T), self.lay, 2 + T)
+        self.ex_eta = _build_exchange(
+            _state_fill_entries(self.grid, self.lay, 1,
+                                with_velocity=False), self.lay, 1)
+        self.ex_flux2d = _build_exchange(
+            _flux_sync_entries(self.lay, 1), self.lay, 2)
+        self.ex_fluxtr = _build_exchange(
+            _flux_sync_entries(self.lay, T), self.lay, 2 * T) if T \
+            else None
+        if model.forcings:
+            self.lam_blocked = jax.device_put(
+                self._block_panel(jnp.asarray(model._lam_full)),
+                self._state_sharding)
+            self.phi_blocked = jax.device_put(
+                self._block_panel(jnp.asarray(model._phi_full)),
+                self._state_sharding)
+        else:
+            self.lam_blocked = self.phi_blocked = None
+
+    def _build(self):
+        from oceananigans_tpu.models.cubed_sphere import (
+            CubedSphereHydrostaticModel as HY,
+        )
+        from oceananigans_tpu import closures as closures_mod
+        model, lay, mesh = self.model, self.lay, self.mesh
+        names = model.tracer_names
+        mu_l, mv_l, mc_l = self._lmasks
+        fields2d = self._grid_fields_2d
+        R = lay.R
+        gf = self.grid.panel_grid
+        Hz, Nz = gf.Hz, gf.Nz
+        kk = np.arange(gf.shape[2])
+        kin_np = ((kk >= Hz) & (kk < Hz + Nz)).astype(
+            float).reshape(1, 1, 1, -1)
+        implicit = model.closure is not None and \
+            closures_mod.closure_is_vertically_implicit(model.closure)
+        has_forcing = bool(model.forcings)
+
+        def state_specs(state):
+            return jax.tree_util.tree_map(
+                lambda leaf: P("panel", "x", "y", None)
+                if getattr(leaf, "ndim", 0) == 4 else P(), state)
+
+        g2d_specs = {k: P("x", "y", None) for k in fields2d}
+
+        def fill_z(a):
+            if Hz == 0 or a.shape[-1] == 1:
+                return a
+            a = a.at[..., Hz - 1].set(a[..., Hz])
+            return a.at[..., Hz + Nz].set(a[..., Hz + Nz - 1])
+
+        def sstep(state, dt, g2d, fff, cm, lam, phi):
+            dev = (jax.lax.axis_index("panel") * R
+                   + jax.lax.axis_index("x")) * R \
+                + jax.lax.axis_index("y")
+            lg = self._local_grid(g2d)
+            view = SimpleNamespace(
+                grid=SimpleNamespace(panel_grid=lg), g=model.g,
+                tracer_advection=model.tracer_advection,
+                _corner_mask=cm)
+            view._panel_w = lambda uu, vv: HY._panel_w(view, uu, vv)
+            view._panel_pressure = lambda bb: HY._panel_pressure(view, bb)
+            mu = jnp.asarray(mu_l, state.u.dtype)
+            mv = jnp.asarray(mv_l, state.u.dtype)
+            mc = jnp.asarray(mc_l, state.u.dtype)
+            kin = jnp.asarray(kin_np, state.u.dtype)
+
+            def fill(u, v, tr, eta):
+                res = _apply_exchange(
+                    self.ex_uvtr, [u, v] + [tr[n] for n in names], dev)
+                u = fill_z(res[0])
+                v = fill_z(res[1])
+                tr = {n: fill_z(self._corner_avg(res[2 + i], dev))
+                      for i, n in enumerate(names)}
+                eta = self._corner_avg(
+                    _apply_exchange(self.ex_eta, [eta], dev)[0], dev)
+                return u, v, tr, eta
+
+            def tendencies(u, v, eta, tr, t):
+                zeta = jax.vmap(
+                    lambda up, vp: vorticity_z_ff(lg, up, vp))(u, v)
+                zeta = self._corner_fix(zeta, u, v, dev)
+                Gu, Gv, w = jax.vmap(
+                    partial(HY._panel_tendencies, view))(
+                    u, v, eta, fff, zeta, tr)
+                Fx, Fy, Ft = jax.vmap(partial(HY._panel_fluxes, view))(
+                    u, v, w, tr)
+                Fx, Fy = _apply_exchange(self.ex_flux2d, [Fx, Fy], dev,
+                                         mean=True)
+                if names:
+                    arrays = []
+                    for n in names:
+                        arrays += [Ft[n][0], Ft[n][1]]
+                    res = _apply_exchange(self.ex_fluxtr, arrays, dev,
+                                          mean=True)
+                    Ft = {n: (res[2 * i], res[2 * i + 1], Ft[n][2])
+                          for i, n in enumerate(names)}
+                Geta, Gt = jax.vmap(
+                    partial(HY._panel_divergences, view))(Fx, Fy, Ft)
+                diff = None
+                if model.closure is not None:
+                    def panel_closure(uu, vv, tts):
+                        ww = HY._panel_w(view, uu, vv)
+                        d = closures_mod.compute_diffusivities(
+                            model.closure, lg, uu, vv, ww, tts,
+                            model._closure_buoyancy)
+                        du, dv, _ = closures_mod.momentum_flux_divergences(
+                            model.closure, lg, uu, vv, ww, tts, d,
+                            include_implicit=False)
+                        gt = {n: closures_mod.tracer_flux_divergence(
+                            model.closure, lg, n, tts[n], tts, d,
+                            include_implicit=False) for n in tts}
+                        du = du + jnp.zeros_like(uu)
+                        dv = dv + jnp.zeros_like(vv)
+                        gt = {n: tt + jnp.zeros_like(tts[n])
+                              for n, tt in gt.items()}
+                        return du, dv, gt, d
+
+                    du, dv, gtc, diff = jax.vmap(panel_closure)(u, v, tr)
+                    Gu = Gu + du
+                    Gv = Gv + dv
+                    Gt = {n: Gt[n] + gtc[n] for n in Gt}
+                if has_forcing:
+                    for n, fn in model.forcings.items():
+                        Gt[n] = Gt[n] + fn(lam, phi, model._z_row, t)
+                return (Gu * mu * kin, Gv * mv * kin, Geta * mc,
+                        {n: G * mc * kin for n, G in Gt.items()}, diff)
+
+            dt_ = jnp.asarray(dt, state.u.dtype)
+            psi = (state.u, state.v, state.eta,
+                   {n: state.tracers[n] for n in names})
+            u, v, eta = state.u, state.v, state.eta
+            tr = dict(state.tracers)
+            for gamma, zeta_c in ((1.0, 0.0), (0.25, 0.75),
+                                  (2.0 / 3.0, 1.0 / 3.0)):
+                u, v, tr, eta = fill(u, v, tr, eta)
+                Gu, Gv, Geta, Gt, diff = tendencies(
+                    u, v, eta, tr, state.clock.time)
+                un = zeta_c * psi[0] + gamma * (u + dt_ * Gu)
+                vn = zeta_c * psi[1] + gamma * (v + dt_ * Gv)
+                trn = {n: zeta_c * psi[3][n]
+                       + gamma * (tr[n] + dt_ * Gt[n]) for n in names}
+                if implicit:
+                    def panel_implicit(uu, vv, tts, dd):
+                        return closures_mod.implicit_vertical_diffusion_step(
+                            lg, model.closure, dd, gamma * dt_,
+                            u=uu, v=vv, tracers=tts)
+                    un, vn, trn = jax.vmap(panel_implicit)(un, vn, trn,
+                                                           diff)
+                eta = zeta_c * psi[2] + gamma * (eta + dt_ * Geta)
+                u, v, tr = un, vn, trn
+            u, v, tr, eta = fill(u, v, tr, eta)
+            return dataclasses.replace(
+                state, u=u, v=v, eta=eta, tracers=tr,
+                clock=tick(state.clock, dt_))
+
+        def step(state, dt):
+            specs = state_specs(state)
+            fn = shard_map(
+                sstep, mesh=mesh,
+                in_specs=(specs, P(), g2d_specs,
+                          P("panel", "x", "y", None),
+                          P("x", "y", None),
+                          P("panel", "x", "y", None) if has_forcing
+                          else P(),
+                          P("panel", "x", "y", None) if has_forcing
+                          else P()),
+                out_specs=specs, check_vma=False)
+            z = jnp.zeros(())
+            return fn(state, dt, fields2d, self.f_blocked,
+                      self.cm_blocked,
+                      self.lam_blocked if has_forcing else z,
+                      self.phi_blocked if has_forcing else z)
+
+        return jax.jit(step)

@@ -141,3 +141,99 @@ def test_rejects_bad_partitions():
         CubedSphereDistributedSW(model, R=1, panels=4)   # 6 % 4
     with pytest.raises(ValueError):
         CubedSphereDistributedSW(model, R=8, panels=1)   # nloc <= halo
+
+
+# ---------------------------------------------------------------------------
+# Hydrostatic cubed sphere on the explicit path
+# ---------------------------------------------------------------------------
+
+def _hydro_setup(closure=None, forcing=None, N=16, nz=6, halo=None):
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+    a = 6.37122e6
+    grid = ConformalCubedSphereGrid((N, nz), z=(-1000.0, 0.0), radius=a,
+                                    halo=halo)
+    model = CubedSphereHydrostaticModel(grid, closure=closure,
+                                        forcing=forcing)
+
+    def eta0(lam, phi, z):
+        r = np.deg2rad(phi) ** 2 \
+            + np.deg2rad(((lam + 180) % 360) - 180) ** 2
+        return np.exp(-r / 0.02) + 0 * z
+
+    g = grid.panel_grid
+    e0 = grid.set_tracer(eta0)[..., g.Hz:g.Hz + 1]
+    state = model.initial_state(eta=e0, b=lambda lam, phi, z: 1e-5 * z)
+    return grid, model, state
+
+
+def _hydro_compare(model, dhy, state, n_steps=3, dt=150.0, rtol=1e-12):
+    bstate = dhy.to_local_state(state)
+    sstate = state
+    sstep = jax.jit(model.step)
+    for _ in range(n_steps):
+        sstate = sstep(sstate, dt)
+        bstate = dhy.step(bstate, dt)
+    dstate = dhy.from_local_state(bstate)
+    g = model.grid.panel_grid
+    sx, sy, sz = g.interior_slices
+    for name in ("u", "v"):
+        a = np.asarray(getattr(sstate, name))[:, sx, sy, sz]
+        b = np.asarray(getattr(dstate, name))[:, sx, sy, sz]
+        np.testing.assert_allclose(b, a, rtol=rtol, atol=1e-15,
+                                   err_msg=name)
+    a = np.asarray(sstate.eta)[:, sx, sy]
+    b = np.asarray(dstate.eta)[:, sx, sy]
+    np.testing.assert_allclose(b, a, rtol=rtol, atol=1e-13,
+                               err_msg="eta")
+    for n in model.tracer_names:
+        a = np.asarray(sstate.tracers[n])[:, sx, sy, sz]
+        b = np.asarray(dstate.tracers[n])[:, sx, sy, sz]
+        np.testing.assert_allclose(b, a, rtol=rtol, atol=1e-14,
+                                   err_msg=n)
+
+
+def test_hydrostatic_subpanel_matches_serial():
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedHydrostatic,
+    )
+    grid, model, state = _hydro_setup()
+    dhy = CubedSphereDistributedHydrostatic(model, R=2, panels=2)
+    _hydro_compare(model, dhy, state)
+
+
+def test_hydrostatic_dist_closure_and_forcing():
+    """Vertically-implicit closure (column Thomas solve) + coordinate
+    forcing, block-local on the explicit path."""
+    from oceananigans_tpu.closures import VerticalScalarDiffusivity
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedHydrostatic,
+    )
+    grid, model, state = _hydro_setup(
+        closure=VerticalScalarDiffusivity(nu=1e-2, kappa=1e-2),
+        # jnp ops: on the explicit path the forcing coordinates are
+        # traced shard_map arguments (numpy constants on the serial path)
+        forcing={"b": lambda lam, phi, z, t:
+                 1e-9 * jnp.cos(jnp.deg2rad(phi)) + 0 * z + 0 * t})
+    dhy = CubedSphereDistributedHydrostatic(model, R=2, panels=2)
+    _hydro_compare(model, dhy, state)
+
+
+def test_hydrostatic_dist_conservation():
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedHydrostatic,
+    )
+    grid, model, state = _hydro_setup()
+    dhy = CubedSphereDistributedHydrostatic(model, R=1, panels=6)
+    b = dhy.to_local_state(state)
+    v0 = float(model.total_volume(state))
+    b0 = float(model.total_tracer(state, "b"))
+    for _ in range(10):
+        b = dhy.step(b, 150.0)
+    final = dhy.from_local_state(b)
+    eta = np.asarray(final.eta)
+    assert np.isfinite(eta).all()
+    assert abs(float(model.total_volume(final)) - v0) \
+        < 1e-9 * max(abs(v0), 1e12) + 1.0
+    assert abs(float(model.total_tracer(final, "b")) / b0 - 1) < 1e-12
