@@ -53,6 +53,9 @@ def _kernel(lamx_ref, x_ref, ey_ref, ez_ref, lyz_ref, out_ref, *, TI):
     Ez = ez_ref[:]
     lyz = lyz_ref[:]
     dt = x_ref.dtype
+    # lamx is the FULL vector in SMEM (TPU rank-1 blocks must cover the
+    # array or tile by 128); index it by program id.
+    base = pl.program_id(0) * TI
     for ii in range(TI):
         M = x_ref[ii]                                       # (Ny, Nz)
         # forward y: contract j (major axis of the plane)
@@ -62,7 +65,7 @@ def _kernel(lamx_ref, x_ref, ey_ref, ez_ref, lyz_ref, out_ref, *, TI):
                              precision=_HI, preferred_element_type=dt)
         # eigenvalue scale; λ sums to exactly 0 only at the (0,0,0) mode,
         # which the solver zeroes (zero-mean gauge)
-        ls = lamx_ref[ii] + lyz
+        ls = lamx_ref[base + ii] + lyz
         inv = jnp.where(ls == 0.0, 0.0,
                         1.0 / jnp.where(ls == 0.0, 1.0, ls))
         Zs = Zf * inv
@@ -99,7 +102,7 @@ def fused_middle_solve(x, Ey, Ez, lamx, lamy, lamz, tile_i=8,
         kern,
         grid=(Nx // TI,),
         in_specs=[
-            pl.BlockSpec((TI,), lambda i: (i,),
+            pl.BlockSpec((Nx,), lambda i: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TI, Ny, Nz), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
