@@ -358,6 +358,24 @@ class WENO(AdvectionScheme):
             return _WENO_BETAS[self.order](s)
         return self._betas_from_forms(s)
 
+    @staticmethod
+    def _z_alphas(gammas, betas, eps):
+        """WENO-Z unnormalized weights α_r = γ_r (1 + (τ/(β_r+ε))²) with a
+        float32 overflow guard. When the smoothness field is dimensional
+        (e.g. VelocityStencil / divergence-flux smoothness, where the
+        field is δx(Ax u) ~ 1e7 so β ~ 1e14 while ε = 1e-8), the raw
+        ratio reaches ~1e22; squaring overflows float32 to inf and the
+        weight normalization returns inf/inf = NaN. Capping the ratio
+        keeps every non-extreme weight bit-identical (the cap only
+        engages when a stencil is already ~1e24× preferred); stencils
+        past the cap share weight equally, which is physically the same
+        'perfectly smooth' verdict. float64 uses a cap that is
+        unreachable in practice, preserving reference parity."""
+        tau = abs(betas[0] - betas[-1])
+        cap = 1e12 if jnp.result_type(tau) == jnp.float32 else 1e60
+        return [g * (1.0 + jnp.minimum(tau / (b + eps), cap) ** 2)
+                for g, b in zip(gammas, betas)]
+
     def _onesided(self, shifts, axis, o, reflect, smooth_shifts=None):
         """``smooth_shifts``: optional list of shift-dicts of OTHER fields
         whose summed Jiang-Shu indicators replace ψ's own — the whole-array
@@ -386,9 +404,7 @@ class WENO(AdvectionScheme):
             else:
                 betas = self._betas_of(s)
             eps = self.epsilon
-            tau = abs(betas[0] - betas[-1])
-            alphas = [g * (1.0 + (tau / (b + eps)) ** 2)
-                      for g, b in zip(gammas, betas)]
+            alphas = self._z_alphas(gammas, betas, eps)
             asum = alphas[0]
             for al in alphas[1:]:
                 asum = asum + al
@@ -408,9 +424,7 @@ class WENO(AdvectionScheme):
             betas = self._betas_of(s)
         gammas = self._gammas
         eps = self.epsilon
-        tau = abs(betas[0] - betas[-1])
-        alphas = [g * (1.0 + (tau / (b + eps)) ** 2)
-                  for g, b in zip(gammas, betas)]
+        alphas = self._z_alphas(gammas, betas, eps)
         asum = alphas[0]
         for al in alphas[1:]:
             asum = asum + al

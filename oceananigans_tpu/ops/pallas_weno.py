@@ -112,10 +112,17 @@ def _weno_face(s, U, eps):
     b2R = c1 * d2 + c2 * (3 * s[0] - 4 * s[-1] + s[-2]) ** 2
 
     def combine(b0, b1, b2, q0, q1, q2):
+        # ratio capped exactly as WENO._z_alphas: f32 (tau/(b+eps))**2
+        # overflows to inf for dimensional fields (beta ~ 1e14, eps 1e-8)
+        # and the normalization would return inf/inf = NaN
+        cap = 1e12 if jnp.result_type(b0) == jnp.float32 else 1e60
         tau = jnp.abs(b0 - b2)
-        a0 = (1 / 10) * (1.0 + (tau * _recip(b0 + eps)) ** 2)
-        a1 = (6 / 10) * (1.0 + (tau * _recip(b1 + eps)) ** 2)
-        a2 = (3 / 10) * (1.0 + (tau * _recip(b2 + eps)) ** 2)
+        r0 = jnp.minimum(tau * _recip(b0 + eps), cap)
+        r1 = jnp.minimum(tau * _recip(b1 + eps), cap)
+        r2 = jnp.minimum(tau * _recip(b2 + eps), cap)
+        a0 = (1 / 10) * (1.0 + r0 * r0)
+        a1 = (6 / 10) * (1.0 + r1 * r1)
+        a2 = (3 / 10) * (1.0 + r2 * r2)
         return (a0 * q0 + a1 * q1 + a2 * q2) * _recip(a0 + a1 + a2)
 
     left = combine(b0L, b1L, b2L, q0L, q1L, q2L)

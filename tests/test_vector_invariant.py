@@ -238,3 +238,31 @@ def test_multi_dimensional_stencil_smooth_agreement():
     assert devs[0] < 0.05, devs
     # the 2-D filter converges to the 1-D value with resolution
     assert devs[1] < 0.5 * devs[0], devs
+
+
+def test_weno_z_weights_no_float32_overflow_nan():
+    """float32 WENOVectorInvariant on a lat-lon grid must not NaN.
+
+    The WENO-Z ratio tau/(beta+eps) reaches ~1e22 when smoothness is
+    measured on the dimensional divergence flux (dxU ~ Ax*u ~ 1e7, so
+    beta ~ 1e14 while eps = 1e-8); squaring overflowed float32 to inf
+    and the weight normalization returned inf/inf = NaN (caught on-chip
+    by tools/tpu_smoke.py hydro_vi in round 3). The reference never
+    sees this because it defaults to Float64; the capped form in
+    WENO._z_alphas keeps non-extreme weights bit-identical."""
+    grid = LatitudeLongitudeGrid(size=(48, 32, 8), longitude=(-30.0, 30.0),
+                                 latitude=(15.0, 55.0), z=(-1000.0, 0.0),
+                                 halo=6, dtype="float32")
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, momentum_advection=WENOVectorInvariant(),
+        free_surface=ExplicitFreeSurface())
+    state = model.initial_state(
+        u=lambda lam, phi, z: 0.5 * np.cos(np.deg2rad(phi)) + 0 * lam,
+        eta=lambda lam, phi: 0.05 * np.sin(np.deg2rad(lam) * 6))
+    step = jax.jit(lambda s: model.step(s, jnp.float32(30.0)))
+    s = state
+    for _ in range(5):
+        s = step(s)
+    u = np.asarray(s.u)
+    assert np.isfinite(u).all(), "float32 WENO-Z weights overflowed"
+    assert np.abs(u).max() < 1.0

@@ -188,7 +188,7 @@ def _cases():
         fused ops/pallas_tracer kernel auto-engages."""
         grid = RectilinearGrid(size=(48, 48, 48), extent=(1.0, 1.0, 1.0),
                                topology=(Bounded, Periodic, Periodic),
-                               halo=(4, 0, 0), dtype="float32")
+                               halo=(4, 4, 4), dtype="float32")
         model = NonhydrostaticModel(grid=grid, advection=WENO(7),
                                     tracers=("a", "b"),
                                     timestepper="QuasiAdamsBashforth2")
