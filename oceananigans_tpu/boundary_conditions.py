@@ -410,16 +410,19 @@ def _fill_axis(a, grid, axis, loc_ax, left_bc, right_bc, left_val, right_val,
 
 
 def fill_halo_regions(a, grid, bcs=None, loc=(Center, Center, Center),
-                      time=None, dt=None):
+                      time=None, dt=None, axes=(0, 1, 2)):
     """Return ``a`` with all halo rings filled per its boundary conditions.
 
     The functional analog of the reference's ``fill_halo_regions!``
-    (``src/BoundaryConditions/fill_halo_regions.jl:50-80``).
+    (``src/BoundaryConditions/fill_halo_regions.jl:50-80``). ``axes``
+    restricts the fill to a subset of axes (used by the models'
+    pre-projection fills, which only need the normal-component halo
+    along each haloed axis).
     """
     if bcs is None:
         bcs = regularize_field_boundary_conditions(None, grid, loc)
     zipper = getattr(grid, "zipper", False)
-    for axis in range(3):
+    for axis in axes:
         lbc, rbc = bcs.sides(axis)
         # flux halos are no-flux mirror fills: the condition value enters
         # the tendency (apply_flux_bcs), never the halo — skip evaluating

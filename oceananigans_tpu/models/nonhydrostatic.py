@@ -232,14 +232,42 @@ class NonhydrostaticModel:
         else:
             self.fused_kernels = (kernel if bool(fused_kernels)
                                   and kernel is not None else False)
-        # fused pressure-correction kernel: scheme-independent, so it
-        # engages whenever the layout allows, on the same auto gate
-        from oceananigans_tpu.ops.pallas_kernels import correction_available
-        import jax as _jax
-        self.fused_correction = (
-            correction_available(grid)
-            and _jax.default_backend() != "cpu"
-            and (fused_kernels == "auto" or bool(fused_kernels)))
+        # fused pressure-correction Pallas kernel: measured on a real
+        # v5e (round 3) it LOSES to the XLA gradient+axpy path by
+        # ~0.5 ms/step at 256³ (XLA fuses the three updates into
+        # bandwidth-bound loops; the hand kernel serializes its DMA
+        # windows), so it is opt-in only (model.fused_correction = True).
+        self.fused_correction = False
+        # fused tendency+AB2 kernel: applies when the momentum tendency
+        # is PURE advection (no Coriolis/buoyancy/closure/Stokes/forcing/
+        # flux-BC/immersed terms and no tracers) — the headline-benchmark
+        # configuration, mirroring the reference's published benchmark
+        # model (benchmark/benchmarkable_nonhydrostatic_model.jl:20-30)
+        from oceananigans_tpu.ops.pallas_kernels import ab2_fused_available
+
+        def _momentum_flux_bcs():
+            for name in ("u", "v", "w"):
+                for axis in range(3):
+                    for bc in self.bcs[name].sides(axis):
+                        if (bc is not None
+                                and bc.classification == "flux"
+                                and bc.condition is not None):
+                            return True
+            return False
+
+        self.fused_ab2 = (
+            self.fused_kernels == "centered2"
+            and timestepper == "QuasiAdamsBashforth2"
+            and ab2_fused_available(grid, self.advection)
+            and self.closure is None
+            and self.coriolis is None
+            and self.buoyancy is None
+            and self.stokes_drift is None
+            and not self.tracer_names
+            and not self.background_fields
+            and not self.immersed_bcs
+            and all(self.forcings[n] is None for n in ("u", "v", "w"))
+            and not _momentum_flux_bcs())
         # generic-order fused tracer advection (ops/pallas_tracer) for
         # WENO orders the hand-written WENO-5 kernel does not cover
         from oceananigans_tpu.advection import WENO as _WENO
@@ -322,6 +350,34 @@ class NonhydrostaticModel:
             return dist_fill_halos(a, self.grid, bcs, loc, t, dt, ctx,
                                    self.dist_topo)
         return fill_halo_regions(a, self.grid, bcs, loc, t, dt=dt)
+
+    def _fill_before_projection(self, state):
+        """Fill only the halos ``_pressure_correct`` reads.
+
+        The divergence source term shifts each velocity component along
+        its OWN axis only (``divergence_ccc``), so before the projection
+        just the normal-component halos of haloed axes need filling —
+        u in x, v in y, w in z (halo-free periodic axes wrap exactly via
+        roll). Saves two of the three full-field fills per step in the
+        default layout. Immersed/distributed/zipper configurations keep
+        the full fill (masking and fold coupling touch everything)."""
+        from oceananigans_tpu.immersed import ImmersedBoundaryGrid
+        g = self.grid
+        if (isinstance(g, ImmersedBoundaryGrid)
+                or getattr(self, "dist_halo", None) is not None
+                or getattr(g, "zipper", False)):
+            return self.fill_state_halos(state)
+        t = state.clock.time
+        dtl = state.clock.last_dt
+        upd = {}
+        for axis, name, loc in ((0, "u", LOC_U), (1, "v", LOC_V),
+                                (2, "w", LOC_W)):
+            if g.H[axis] == 0:
+                continue
+            field = getattr(state, name)
+            upd[name] = fill_halo_regions(field, g, self.bcs[name], loc,
+                                          t, dt=dtl, axes=(axis,))
+        return _replace(state, **upd) if upd else state
 
     def fill_state_halos(self, state):
         from oceananigans_tpu.immersed import mask_immersed_field
@@ -668,7 +724,7 @@ class NonhydrostaticModel:
             }
             state = _replace(state, u=u, v=v, w=w, tracers=tracers)
             state = self._implicit_diffusion(state, diffusivities, stage_dt)
-            state = self.fill_state_halos(state)
+            state = self._fill_before_projection(state)
             state = self._pressure_correct(state, stage_dt)
             Gu_prev, Gv_prev, Gw_prev, Gt_prev = Gu, Gv, Gw, Gt
         state = _replace(state, Gu=Gu_prev, Gv=Gv_prev, Gw=Gw_prev,
@@ -682,20 +738,35 @@ class NonhydrostaticModel:
         ``quasi_adams_bashforth_2.jl:74-175``)."""
         if not assume_filled:
             state = self.fill_state_halos(state)
-        Gu, Gv, Gw, Gt, diffusivities = self.compute_tendencies(state)
         c_now, c_prev = ab2_coefficients(state.clock.iteration, chi)
-        u = state.u + dt * (c_now * Gu + c_prev * state.Gu)
-        v = state.v + dt * (c_now * Gv + c_prev * state.Gv)
-        w = state.w + dt * (c_now * Gw + c_prev * state.Gw)
-        tracers = {
-            name: state.tracers[name]
-            + dt * (c_now * Gt[name] + c_prev * state.Gtracers[name])
-            for name in self.tracer_names
-        }
-        state = _replace(state, u=u, v=v, w=w, tracers=tracers,
-                         Gu=Gu, Gv=Gv, Gw=Gw, Gtracers=Gt)
+        if (getattr(self, "fused_ab2", False)
+                and not self.tendency_callbacks
+                and getattr(self, "dist_halo", None) is None):
+            # pure-advection fast path: tendency + AB2 update in one
+            # Pallas pass (see ops/pallas_kernels.centered2_ab2_update)
+            from oceananigans_tpu.ops.pallas_kernels import (
+                centered2_ab2_update,
+            )
+            u, v, w, Gu, Gv, Gw = centered2_ab2_update(
+                self.grid, state.u, state.v, state.w,
+                state.Gu, state.Gv, state.Gw,
+                dt * c_now, dt * c_prev)
+            state = _replace(state, u=u, v=v, w=w, Gu=Gu, Gv=Gv, Gw=Gw)
+            diffusivities = None
+        else:
+            Gu, Gv, Gw, Gt, diffusivities = self.compute_tendencies(state)
+            u = state.u + dt * (c_now * Gu + c_prev * state.Gu)
+            v = state.v + dt * (c_now * Gv + c_prev * state.Gv)
+            w = state.w + dt * (c_now * Gw + c_prev * state.Gw)
+            tracers = {
+                name: state.tracers[name]
+                + dt * (c_now * Gt[name] + c_prev * state.Gtracers[name])
+                for name in self.tracer_names
+            }
+            state = _replace(state, u=u, v=v, w=w, tracers=tracers,
+                             Gu=Gu, Gv=Gv, Gw=Gw, Gtracers=Gt)
         state = self._implicit_diffusion(state, diffusivities, dt)
-        state = self.fill_state_halos(state)
+        state = self._fill_before_projection(state)
         state = self._pressure_correct(state, dt)
         state = _replace(state, clock=tick(state.clock, dt))
         return self.fill_state_halos(state)

@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["centered2_momentum_tendency", "pallas_available",
-           "pressure_correction", "correction_available"]
+           "pressure_correction", "correction_available",
+           "centered2_ab2_update", "ab2_fused_available"]
 
 
 def pallas_available(grid, advection) -> bool:
@@ -63,23 +64,10 @@ def pallas_available(grid, advection) -> bool:
     return all(n > 1 for n in grid.N)
 
 
-def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, gw_ref,
-            u_s, v_s, w_s, sems, *, TX, inv_dx, inv_dy, inv_dz):
-    i = pl.program_id(0)
-    x0 = i * TX
-
-    cps = []
-    for src, dst, s in ((u_hbm, u_s, 0), (v_hbm, v_s, 1), (w_hbm, w_s, 2)):
-        cp = pltpu.make_async_copy(src.at[pl.ds(x0, TX + 2)], dst,
-                                   sems.at[s])
-        cp.start()
-        cps.append(cp)
-    for cp in cps:
-        cp.wait()
-
-    u = u_s[:]
-    v = v_s[:]
-    w = w_s[:]
+def _centered2_body(u, v, w, *, TX, inv_dx, inv_dy, inv_dz):
+    """Centered-2 momentum tendencies (Gu, Gv, Gw) for the TX interior
+    x-rows of a (TX+2)-row VMEM window; shared by the tendency-only and
+    the fused tendency+AB2 kernels."""
 
     def ym(a):    # a[j-1] (wraps into halo rows — junk there is fine)
         return pltpu.roll(a, 1, 1)
@@ -114,7 +102,6 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, gw_ref,
     wbar = 0.5 * (w_xm + w_c)
     fxz = wbar * 0.5 * (zm(u_c) + u_c)
     gu = gu - (zp(fxz) - fxz) * inv_dz
-    gu_ref[:] = gu
 
     # ---------------- Gv at (c,f,c) ----------------
     fyy_r = 0.25 * (v_c + yp(v_c)) ** 2
@@ -130,7 +117,6 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, gw_ref,
     wbar_v = 0.5 * (ym(w_c) + w_c)
     fyz = wbar_v * 0.5 * (zm(v_c) + v_c)
     gv = gv - (zp(fyz) - fyz) * inv_dz
-    gv_ref[:] = gv
 
     # ---------------- Gw at (c,c,f) ----------------
     fzz_r = 0.25 * (w_c + zp(w_c)) ** 2
@@ -144,7 +130,81 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, gw_ref,
     wybar = 0.5 * (ym(w_c) + w_c)
     fzy = vbar_w * wybar
     gw = gw - (yp(fzy) - fzy) * inv_dy
+    return gu, gv, gw
+
+
+def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, gw_ref,
+            u_s, v_s, w_s, sems, *, TX, inv_dx, inv_dy, inv_dz):
+    i = pl.program_id(0)
+    x0 = i * TX
+
+    cps = []
+    for src, dst, s in ((u_hbm, u_s, 0), (v_hbm, v_s, 1), (w_hbm, w_s, 2)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(x0, TX + 2)], dst,
+                                   sems.at[s])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    gu, gv, gw = _centered2_body(u_s[:], v_s[:], w_s[:], TX=TX,
+                                 inv_dx=inv_dx, inv_dy=inv_dy,
+                                 inv_dz=inv_dz)
+    gu_ref[:] = gu
+    gv_ref[:] = gv
     gw_ref[:] = gw
+
+
+def _ab2_kernel(coef_ref, u_hbm, v_hbm, w_hbm, gum_hbm, gvm_hbm, gwm_hbm,
+                un_hbm, vn_hbm, wn_hbm, gu_hbm, gv_hbm, gw_hbm,
+                u_s, v_s, w_s, gum_s, gvm_s, gwm_s,
+                un_s, vn_s, wn_s, gu_s, gv_s, gw_s, isems, osems,
+                *, TX, inv_dx, inv_dy, inv_dz):
+    """Fused Centered-2 tendency + quasi-AB2 velocity update with direct
+    HBM slab stores: u' = u + a·G + b·G⁻ (a = Δt(3/2+χ), b = −Δt(1/2+χ)),
+    one read of (u, v, w, G⁻) and one write of (u', G) per step — the
+    separate AB2 axpy pass and the interior-embed copies of the
+    tendency-only kernel disappear."""
+    i = pl.program_id(0)
+    x0 = i * TX
+
+    cps = []
+    for src, dst, s, lo, n in (
+            (u_hbm, u_s, 0, x0, TX + 2),
+            (v_hbm, v_s, 1, x0, TX + 2),
+            (w_hbm, w_s, 2, x0, TX + 2),
+            (gum_hbm, gum_s, 3, x0 + 1, TX),
+            (gvm_hbm, gvm_s, 4, x0 + 1, TX),
+            (gwm_hbm, gwm_s, 5, x0 + 1, TX)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(lo, n)], dst, isems.at[s])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    gu, gv, gw = _centered2_body(u_s[:], v_s[:], w_s[:], TX=TX,
+                                 inv_dx=inv_dx, inv_dy=inv_dy,
+                                 inv_dz=inv_dz)
+    a = coef_ref[0]
+    b = coef_ref[1]
+    P = slice(1, TX + 1)
+    un_s[:] = u_s[P] + a * gu + b * gum_s[:]
+    vn_s[:] = v_s[P] + a * gv + b * gvm_s[:]
+    wn_s[:] = w_s[P] + a * gw + b * gwm_s[:]
+    gu_s[:] = gu
+    gv_s[:] = gv
+    gw_s[:] = gw
+
+    ocps = []
+    for src, dst, s in ((un_s, un_hbm, 0), (vn_s, vn_hbm, 1),
+                        (wn_s, wn_hbm, 2), (gu_s, gu_hbm, 3),
+                        (gv_s, gv_hbm, 4), (gw_s, gw_hbm, 5)):
+        cp = pltpu.make_async_copy(src, dst.at[pl.ds(x0 + 1, TX)],
+                                   osems.at[s])
+        cp.start()
+        ocps.append(cp)
+    for cp in ocps:
+        cp.wait()
 
 
 def correction_available(grid) -> bool:
@@ -332,3 +392,68 @@ def centered2_momentum_tendency(grid, u, v, w, tile_x=None,
         return full.at[1:1 + gx * TX].set(g[:, :ny0, :nz0])
 
     return embed(gu), embed(gv), embed(gw)
+
+
+def ab2_fused_available(grid, advection) -> bool:
+    """True when the fused tendency+AB2 kernel applies: everything
+    ``pallas_available`` needs PLUS pad-free (8, 128) alignment of the
+    full y/z extents — the kernel writes its slabs straight to the
+    full-shaped HBM outputs, so there is no crop step to absorb
+    alignment padding."""
+    if not pallas_available(grid, advection):
+        return False
+    ny = grid.N[1] + 2 * grid.H[1]
+    nz = grid.N[2] + 2 * grid.H[2]
+    return ny % 8 == 0 and nz % 128 == 0
+
+
+def centered2_ab2_update(grid, u, v, w, Gu_prev, Gv_prev, Gw_prev,
+                         a, b, tile_x=8, interpret=False):
+    """Fused Centered-2 momentum tendency + quasi-AB2 update.
+
+    Returns ``(u', v', w', Gu, Gv, Gw)`` with
+    ``u' = u + a·Gu + b·Gu_prev`` (caller passes a = Δt(3/2+χ),
+    b = −Δt(1/2+χ); Euler first step folds into the coefficients) — the
+    reference's `ab2_step_field!` kernel
+    (``quasi_adams_bashforth_2.jl:128-154``) fused with `compute_Gu!`
+    into one HBM pass. Interior x-rows are stored directly into the
+    full-shaped outputs; the x-halo rows of the velocity outputs are
+    UNWRITTEN (the caller's trailing halo fill overwrites them) and the
+    G outputs alias G_prev's buffers, so their halo rows carry the
+    previous step's (unused) halo values.
+    """
+    nx, ny, nz = u.shape
+    if ny % 8 or nz % 128:
+        raise ValueError("fused AB2 kernel needs (8,128)-aligned y/z")
+    TX = tile_x
+    while TX > 1 and (nx - 2) % TX:
+        TX //= 2
+    gx = (nx - 2) // TX
+    inv_dx = float(grid.Nx / grid.Lx) if grid.N[0] > 1 else 0.0
+    inv_dy = float(grid.Ny / grid.Ly) if grid.N[1] > 1 else 0.0
+    inv_dz = float(grid.Nz / grid.Lz) if grid.N[2] > 1 else 0.0
+
+    coef = jnp.stack([jnp.asarray(a, u.dtype), jnp.asarray(b, u.dtype)])
+    kern = partial(_ab2_kernel, TX=TX, inv_dx=inv_dx, inv_dy=inv_dy,
+                   inv_dz=inv_dz)
+    out_shape = [jax.ShapeDtypeStruct((nx, ny, nz), u.dtype)] * 6
+    win = pltpu.VMEM((TX + 2, ny, nz), u.dtype)
+    slab = pltpu.VMEM((TX, ny, nz), u.dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(gx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
+        out_shape=out_shape,
+        scratch_shapes=[win, win, win, slab, slab, slab,
+                        slab, slab, slab, slab, slab, slab,
+                        pltpu.SemaphoreType.DMA((6,)),
+                        pltpu.SemaphoreType.DMA((6,))],
+        # G⁻ buffers are recycled as the G outputs (same rows read then
+        # written by the same program; programs touch disjoint rows)
+        input_output_aliases={4: 3, 5: 4, 6: 5},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret or _config.pallas_interpret,
+    )(coef, u, v, w, Gu_prev, Gv_prev, Gw_prev)

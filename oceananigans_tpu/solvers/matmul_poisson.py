@@ -94,8 +94,24 @@ class MatmulPoissonSolver:
         self.inv_lam = np.where(lam_sum == 0, 0.0,
                                 1.0 / np.where(lam_sum == 0, 1.0, lam_sum))
         self.lams = lams
-        #: "auto" (fused Pallas middle stage on TPU), True, or False
-        self.fused = "auto"
+        #: False (six XLA einsums), True/"auto" (fused Pallas middle
+        #: stage), or "interpret". Default False: measured on a real v5e
+        #: (round 3), XLA pipelines the einsum chain as well as the hand
+        #: kernel (8.40 vs 8.40 ms full step at 256³), so the simpler
+        #: path wins; the kernel is kept for configs where einsum fusion
+        #: regresses.
+        self.fused = False
+        #: matmul precision: "auto" = 3-pass bf16 (HIGH) for float32 —
+        #: measured identical projection residual to HIGHEST at f32
+        #: (max|div| 1.75e-7 both, 50 steps @256³) for ~0.7 ms/step less
+        #: MXU time — and HIGHEST for float64/x64 parity runs.
+        self.precision = "auto"
+
+    def _precision(self, dtype):
+        if self.precision != "auto":
+            return self.precision
+        return (lax.Precision.HIGH if np.dtype(dtype) == np.float32
+                else lax.Precision.HIGHEST)
 
     def _apply(self, x, axis, transpose):
         T = self.T[axis]
@@ -105,7 +121,7 @@ class MatmulPoissonSolver:
         M = M.astype(np.dtype(x.dtype))
         sub = "ai,ijk->ajk" if axis == 0 else (
             "aj,ijk->iak" if axis == 1 else "ak,ijk->ija")
-        return jnp.einsum(sub, M, x, precision=lax.Precision.HIGHEST)
+        return jnp.einsum(sub, M, x, precision=self._precision(x.dtype))
 
     def solve(self, rhs):
         """rhs: interior-shaped (Nx, Ny, Nz) -> φ with zero mean."""
@@ -158,6 +174,13 @@ class MatmulHorizontalBasis:
             lams.append(lam)
         #: (Nx, Ny, 1) eigenvalues of the horizontal Laplacian
         self.lam2d = (lams[0][:, None, None] + lams[1][None, :, None])
+        self.precision = "auto"
+
+    def _precision(self, dtype):
+        if self.precision != "auto":
+            return self.precision
+        return (lax.Precision.HIGH if np.dtype(dtype) == np.float32
+                else lax.Precision.HIGHEST)
 
     def _apply(self, x, axis, transpose):
         T = self.T[axis]
@@ -165,7 +188,7 @@ class MatmulHorizontalBasis:
             return x
         M = (T.T if transpose else T).astype(np.dtype(x.dtype))
         sub = "ai,ijk->ajk" if axis == 0 else "aj,ijk->iak"
-        return jnp.einsum(sub, M, x, precision=lax.Precision.HIGHEST)
+        return jnp.einsum(sub, M, x, precision=self._precision(x.dtype))
 
     def forward(self, x):
         return self._apply(self._apply(x, 0, False), 1, False)

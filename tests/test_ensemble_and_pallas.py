@@ -194,3 +194,75 @@ def test_pallas_pressure_correction_matches_xla():
         np.testing.assert_allclose(np.asarray(a[sx, sy, sz]),
                                    np.asarray(b[sx, sy, sz]),
                                    rtol=0, atol=1e-12)
+
+
+def test_fused_ab2_step_matches_plain():
+    """The fused tendency+AB2 kernel (ops/pallas_kernels.centered2_ab2_update,
+    direct HBM slab stores, G buffers aliased) reproduces the plain
+    compute_tendencies + AB2-axpy path over several steps, including the
+    Euler first step and the projection that follows."""
+    from oceananigans_tpu.config import config
+
+    grid = RectilinearGrid(size=(16, 16, 128), extent=(1.0, 1.0, 1.0),
+                           topology=(Bounded, Periodic, Periodic),
+                           halo=(1, 0, 0), dtype="float32")
+    m_fused = NonhydrostaticModel(grid=grid, fused_kernels=True,
+                                  timestepper="QuasiAdamsBashforth2")
+    m_plain = NonhydrostaticModel(grid=grid, fused_kernels=False,
+                                  timestepper="QuasiAdamsBashforth2")
+    assert m_fused.fused_ab2
+    assert not m_plain.fused_ab2
+
+    def init(m):
+        return m.initial_state(
+            u=lambda x, y, z: 0.1 * jnp.sin(4 * np.pi * x)
+            * jnp.cos(2 * np.pi * y),
+            v=lambda x, y, z: 0.1 * jnp.cos(2 * np.pi * x)
+            * jnp.sin(6 * np.pi * z))
+
+    dt = jnp.float32(1e-3)
+    old = config.pallas_interpret
+    config.pallas_interpret = True
+    try:
+        sf, sp = init(m_fused), init(m_plain)
+        step_f = jax.jit(lambda s: m_fused.step(s, dt))
+        step_p = jax.jit(lambda s: m_plain.step(s, dt))
+        for _ in range(4):
+            sf = step_f(sf)
+            sp = step_p(sp)
+    finally:
+        config.pallas_interpret = old
+    ii = grid.interior_slices
+    # normalize per field but floor at the overall velocity scale: w is
+    # dynamically tiny here, so a bare per-field relative error would
+    # amplify pure f32 roundoff
+    floor = float(np.abs(np.asarray(sp.u)).max())
+    for name in ("u", "v", "w", "Gu", "Gv", "Gw"):
+        a = np.asarray(getattr(sf, name))[ii]
+        b = np.asarray(getattr(sp, name))[ii]
+        scale = max(float(np.abs(b).max()), floor)
+        assert np.abs(a - b).max() / scale < 5e-6, name
+
+
+def test_fused_ab2_gate_disables_with_extra_terms():
+    """Any non-advection momentum term must push the model off the fused
+    tendency+AB2 path (the kernel computes pure advection only)."""
+    from oceananigans_tpu import FPlane
+    from oceananigans_tpu.ops.pallas_kernels import ab2_fused_available
+
+    grid = RectilinearGrid(size=(16, 16, 128), extent=(1.0, 1.0, 1.0),
+                           topology=(Bounded, Periodic, Periodic),
+                           halo=(1, 0, 0), dtype="float32")
+    assert ab2_fused_available(grid, Centered(2))
+    m = NonhydrostaticModel(grid=grid, fused_kernels=True,
+                            timestepper="QuasiAdamsBashforth2",
+                            coriolis=FPlane(f=1e-4))
+    assert not m.fused_ab2
+    m = NonhydrostaticModel(grid=grid, fused_kernels=True,
+                            timestepper="QuasiAdamsBashforth2",
+                            tracers=("b",))
+    assert not m.fused_ab2
+    # RK3 never uses it
+    m = NonhydrostaticModel(grid=grid, fused_kernels=True,
+                            timestepper="RungeKutta3")
+    assert not m.fused_ab2
