@@ -180,6 +180,15 @@ class AbstractGrid:
 
     def interior(self, a):
         sx, sy, sz = self.interior_slices
+        # reduced fields (e.g. a free surface with one z level on a 3-D
+        # grid) carry no halo along their squeezed axes
+        full = self.shape
+        if a.shape[-1] != full[2] and a.shape[-1] == 1:
+            sz = slice(None)
+        if a.shape[-2] != full[1] and a.shape[-2] == 1:
+            sy = slice(None)
+        if a.shape[-3] != full[0] and a.shape[-3] == 1:
+            sx = slice(None)
         return a[..., sx, sy, sz]
 
     def axis_size(self, axis: int) -> int:

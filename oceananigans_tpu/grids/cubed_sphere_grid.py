@@ -144,6 +144,34 @@ class ConformalCubedSphereGrid:
             full[p][sx, sy, sz] = vals
         return jnp.asarray(full, config.float_dtype)
 
+    # ---- Simulation / writer interface (stacked-panel semantics) ------
+    @property
+    def N(self):
+        """(N, N, Nz) per-panel interior sizes (writer metadata)."""
+        g = self.panel_grid
+        return (self.N_panel, self.N_panel, g.Nz)
+
+    @property
+    def interior_slices(self):
+        return self.panel_grid.interior_slices
+
+    def interior(self, a):
+        """Interior view of a stacked (6, nx, ny, nz) field (the panel
+        axis passes through; per-panel halos drop; size-1 reduced axes —
+        e.g. eta's z — pass through)."""
+        return self.panel_grid.interior(a)
+
+    def xnodes(self, *a, **kw):
+        """Cell-center longitudes, flattened (6·N·N,) — curvilinear
+        grids have no separable 1-D x coordinate."""
+        return np.asarray(self.lam_cc).ravel()
+
+    def ynodes(self, *a, **kw):
+        return np.asarray(self.phi_cc).ravel()
+
+    def znodes(self, *a, **kw):
+        return self.panel_grid.znodes(*a, **kw)
+
     def __repr__(self):
         return (f"ConformalCubedSphereGrid(panels=6, "
                 f"N={self.N_panel}, Nz={self.panel_grid.Nz})")

@@ -46,6 +46,143 @@ __all__ = ["CubedSphereShallowWaterModel", "CubedSphereState",
 OMEGA_EARTH = 7.292115e-5
 
 
+# ---------------------------------------------------------------------------
+# Barotropic (free-surface) machinery shared by the serial stacked-panel
+# model and the explicit-halo distributed step (which injects its own
+# exchange/sync/dot closures). All fields are stacked (P, nx, ny, ·)
+# arrays; ``g`` is the (possibly shard-local) panel grid.
+# ---------------------------------------------------------------------------
+
+def cs_column_depth(g):
+    """Total fluid column depth Σ dz over interior z-cells, broadcastable
+    against (P, nx, ny, 1) barotropic fields (flat-bottom cubed-sphere
+    ocean: the reference's ``static_column_depthᶜᶜᵃ`` on a plain grid,
+    ``grid_utils.jl:323-326``)."""
+    dz = jnp.broadcast_to(g.dz(Center), g.shape)
+    k = jnp.arange(g.shape[2]).reshape(1, 1, -1)
+    interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
+    return jnp.sum(jnp.where(interior, dz, 0.0), axis=2,
+                   keepdims=True)[None]
+
+
+def cs_barotropic_mode(g, u, v):
+    """(U, V) = ∫ u dz per panel of stacked (P, nx, ny, nz) velocities
+    (reference ``_compute_barotropic_mode!``)."""
+    dz = jnp.broadcast_to(g.dz(Center), g.shape)[None]
+    k = jnp.arange(g.shape[2]).reshape(1, 1, 1, -1)
+    dzm = jnp.where((k >= g.Hz) & (k < g.Hz + g.Nz), dz, 0.0)
+    U = jnp.sum(u * dzm, axis=3, keepdims=True)
+    V = jnp.sum(v * dzm, axis=3, keepdims=True)
+    return U, V
+
+
+def cs_transport_divergence(g, U, V, sync_fluxes):
+    """∇·(U, V) per unit area with edge-SYNCED panel fluxes: the flux
+    leaving a panel through a shared edge face is exactly the flux
+    entering its neighbor, so ∑ Az η is conserved to roundoff (the
+    reference's shared multi-region face fluxes)."""
+    Fx = g.dy(Center, Face)[:, :, :1][None] * U
+    Fy = g.dx(Center, Face)[:, :, :1][None] * V
+    Fx, Fy = sync_fluxes(Fx, Fy)
+    Az = g.Az(Center, Center)[:, :, :1]
+    return jax.vmap(lambda fx, fy: (dx_c(fx) + dy_c(fy)) / Az)(Fx, Fy)
+
+
+def cs_eta_gradients(g, eta):
+    """(∂x η at u-faces, ∂y η at v-faces) per panel; eta halos must be
+    exchanged by the caller."""
+    dxFC = g.dx(Face, Center)[:, :, :1]
+    dyCF = g.dy(Center, Face)[:, :, :1]
+    gx = jax.vmap(lambda e: dx_f(e) / dxFC)(eta)
+    gy = jax.vmap(lambda e: dy_f(e) / dyCF)(eta)
+    return gx, gy
+
+
+def cs_split_explicit_free_surface(g, U0, V0, eta0, GU, GV, dt,
+                                   fs, exchange_eta, sync_fluxes,
+                                   mask_u, mask_v):
+    """Barotropic substepping on the cubed sphere: ONE ``lax.scan`` over
+    the averaging weights, each substep = forward η step (edge-synced
+    transport divergence) + η panel exchange + backward transport step
+    (reference ``multi_region_split_explicit_free_surface.jl:12-80`` +
+    ``step_split_explicit_free_surface.jl:11-64``, re-expressed as a scan
+    over stacked panels). ``U0``/``V0`` are the PERSISTENT barotropic
+    transports (prognostic free-surface state, initialized once from the
+    initial velocities and carried across steps — reference
+    ``initialize_split_explicit_substepping.jl:15-25``: re-deriving them
+    from the already-tendency-stepped baroclinic mode each step would
+    double-count the slow forcing ``GU``). Returns filtered (η̄, Ū, V̄)."""
+    H = cs_column_depth(g)
+    dtau = fs.fractional_step * dt
+    weights = np.asarray(fs.weights, np.float64)
+    mu = jnp.asarray(mask_u, eta0.dtype)
+    mv = jnp.asarray(mask_v, eta0.dtype)
+
+    def substep(carry, wgt):
+        eta, U, V, eta_f, U_f, V_f = carry
+        eta = eta - dtau * cs_transport_divergence(g, U, V, sync_fluxes)
+        eta = exchange_eta(eta)
+        gx, gy = cs_eta_gradients(g, eta)
+        U = (U + dtau * (-fs.g * H * gx + GU)) * mu
+        V = (V + dtau * (-fs.g * H * gy + GV)) * mv
+        return (eta, U, V, eta_f + wgt * eta, U_f + wgt * U,
+                V_f + wgt * V), None
+
+    init = (eta0, U0, V0, jnp.zeros_like(eta0), jnp.zeros_like(U0),
+            jnp.zeros_like(V0))
+    (eta, U, V, eta_f, U_f, V_f), _ = jax.lax.scan(
+        substep, init, weights.astype(eta0.dtype))
+    return eta_f, U_f, V_f
+
+
+def cs_barotropic_correct(g, u, v, U_target, V_target, mask_u, mask_v):
+    """Replace the barotropic mode of (u, v) with the filtered substepped
+    transports (reference ``barotropic_split_explicit_corrector.jl``)."""
+    U, V = cs_barotropic_mode(g, u, v)
+    H = cs_column_depth(g)
+    u = u + (U_target - U) / H * jnp.asarray(mask_u, u.dtype)
+    v = v + (V_target - V) / H * jnp.asarray(mask_v, v.dtype)
+    return u, v
+
+
+def cs_implicit_free_surface(g, u_star, v_star, eta0, dt, fs,
+                             exchange_eta, sync_fluxes, mask_c,
+                             dot=None):
+    """Backward-Euler barotropic step across all panels: matrix-free CG
+    on [∇·(gH∇) − 1/Δt²] η = (∇·U* − ηⁿ/Δt)/Δt with the panel exchange
+    inside the operator (reference
+    ``unified_implicit_free_surface_solver.jl:1-40`` — there a unified
+    single-device solve across regions; here one CG whose operator spans
+    the stacked panels). The inner product is Az-weighted, under which
+    the flux-form operator is symmetric on the curvilinear panels."""
+    from oceananigans_tpu.solvers.conjugate_gradient import (
+        conjugate_gradient,
+    )
+    mc = jnp.asarray(mask_c, eta0.dtype)
+    Az = g.Az(Center, Center)[:, :, :1][None] * mc
+    H = cs_column_depth(g)
+
+    U, V = cs_barotropic_mode(g, u_star, v_star)
+    div_U = cs_transport_divergence(g, U, V, sync_fluxes)
+    rhs = (div_U - eta0 / dt) / dt * mc
+
+    def L(eta):
+        eta = exchange_eta(eta)
+        gx, gy = cs_eta_gradients(g, eta)
+        div = cs_transport_divergence(g, fs.g * H * gx, fs.g * H * gy,
+                                      sync_fluxes)
+        return (div - eta / (dt * dt)) * mc
+
+    if dot is None:
+        def dot(x, y):
+            return jnp.sum(Az * x * y)
+
+    eta, _, _ = conjugate_gradient(L, rhs, jnp.zeros_like(eta0),
+                                   maxiter=fs.maxiter, reltol=fs.reltol,
+                                   dot=dot)
+    return exchange_eta(eta * mc)
+
+
 def _tangents(p, x, y, axis, h=1e-6):
     """(n, 3) unit tangents of panel p's grid direction at panel coords."""
     x = np.asarray(x, float).ravel()
@@ -107,6 +244,9 @@ class CubedSphereState:
     Gh: jnp.ndarray
     Gtracers: Dict[str, jnp.ndarray]
     clock: Clock
+
+    def fields(self):
+        return {"u": self.u, "v": self.v, "h": self.h, **self.tracers}
 
 
 class CubedSphereShallowWaterModel:
@@ -421,12 +561,20 @@ class CubedSphereShallowWaterModel:
 @dataclasses.dataclass
 class CubedSphereHydrostaticState:
     """Stacked-panel hydrostatic state: (6, nx, ny, nz) u, v, tracers;
-    (6, nx, ny, 1) eta."""
+    (6, nx, ny, 1) eta and persistent barotropic transports U, V (the
+    split-explicit free surface's own prognostic state; barotropic mode
+    of the velocities otherwise)."""
     u: jnp.ndarray
     v: jnp.ndarray
     eta: jnp.ndarray
     tracers: Dict[str, jnp.ndarray]
     clock: Clock
+    U: jnp.ndarray = None
+    V: jnp.ndarray = None
+
+    def fields(self):
+        return {"u": self.u, "v": self.v, "eta": self.eta,
+                **self.tracers}
 
 
 class CubedSphereHydrostaticModel:
@@ -451,6 +599,7 @@ class CubedSphereHydrostaticModel:
                  tracers=("b",),
                  closure=None,
                  forcing=None,
+                 free_surface=None,
                  corner_upwind_width=4):
         """``closure``: any closure (or tuple) from the main stack — it is
         applied per panel through the standard
@@ -465,6 +614,33 @@ class CubedSphereHydrostaticModel:
         self.grid = grid
         self.g = float(gravitational_acceleration)
         self.rotation_rate = float(rotation_rate or 0.0)
+        # free surface: explicit (default — the round-2 behavior),
+        # split-explicit barotropic substepping, or implicit (CG across
+        # panels). Reference: multi_region_split_explicit_free_surface.jl
+        # + unified_implicit_free_surface_solver.jl.
+        from oceananigans_tpu.models.hydrostatic import (
+            ExplicitFreeSurface, ImplicitFreeSurface,
+            SplitExplicitFreeSurface,
+        )
+        if free_surface is None:
+            free_surface = ExplicitFreeSurface(gravitational_acceleration)
+        if isinstance(free_surface, ImplicitFreeSurface) \
+                and free_surface.solver_method != "cg":
+            raise ValueError(
+                "the cubed sphere supports ImplicitFreeSurface("
+                "solver_method='cg') only (spectral/matrix solvers need "
+                "a separable grid)")
+        if not isinstance(free_surface, (ExplicitFreeSurface,
+                                         ImplicitFreeSurface,
+                                         SplitExplicitFreeSurface)):
+            raise ValueError(f"unknown free surface {free_surface!r}")
+        self.free_surface = free_surface
+        self.g = float(free_surface.g)
+        #: the momentum tendency carries the −g∇η term only when the free
+        #: surface is stepped explicitly (the split/implicit paths apply
+        #: the barotropic gradient in their own sub/implicit steps)
+        self._explicit_eta_grad = isinstance(free_surface,
+                                             ExplicitFreeSurface)
         self.tracer_advection = tracer_advection or Centered(2)
         from oceananigans_tpu import closures as closures_mod
         tracers = tuple(tracers)
@@ -544,8 +720,16 @@ class CubedSphereHydrostaticModel:
                 tr[name] = jnp.asarray(val, dtype)
         state = CubedSphereHydrostaticState(
             u=u, v=v, eta=jnp.asarray(eta, dtype), tracers=tr,
-            clock=Clock.start(time=float(time), dtype=dtype))
-        return self.fill_state_halos(state)
+            clock=Clock.start(time=float(time), dtype=dtype),
+            U=jnp.zeros_like(zero2), V=jnp.zeros_like(zero2))
+        state = self.fill_state_halos(state)
+        # persistent barotropic transports from the initial velocities
+        # (reference initialize_free_surface!,
+        # initialize_split_explicit_substepping.jl:15-25)
+        U0, V0 = cs_barotropic_mode(g, state.u, state.v)
+        mu = jnp.asarray(self._mask_u, dtype)
+        mv = jnp.asarray(self._mask_v, dtype)
+        return dataclasses.replace(state, U=U0 * mu, V=V0 * mv)
 
     # ------------------------------------------------------------------
     def fill_state_halos(self, state):
@@ -602,7 +786,10 @@ class CubedSphereHydrostaticModel:
         K = 0.5 * (ix_c(u * u) + iy_c(v * v))
         b = tracers.get("b")
         p = self._panel_pressure(b) if b is not None else 0.0
-        phi = K + p + self.g * eta
+        # the distributed view namespaces default to the explicit form
+        phi = K + p + (self.g * eta
+                       if getattr(self, "_explicit_eta_grad", True)
+                       else 0.0)
         from oceananigans_tpu.advection import (
             UpwindBiased, _face_value,
         )
@@ -736,24 +923,72 @@ class CubedSphereHydrostaticModel:
                 {n: G * mc * kin for n, G in Gt.items()}, diffusivities)
 
     # ------------------------------------------------------------------
-    def step(self, state, dt):
-        """SSP (Shu-Osher) RK3 with per-stage exchange; vertically-
-        implicit closures get the per-stage column Thomas solve the
-        rectilinear hydrostatic split-RK3 uses."""
+    def _euler_free_surface(self, s, u_e, v_e, Gu, Gv, Geta, dt):
+        """Free-surface part of one Euler substage: returns the stage
+        (u, v, eta, U, V) after the configured barotropic treatment."""
+        from oceananigans_tpu.models.hydrostatic import (
+            ExplicitFreeSurface, ImplicitFreeSurface,
+        )
+        fs = self.free_surface
+        g = self.grid.panel_grid
+        grid = self.grid
+        exchange_eta = lambda e: cubed_sphere_halo_exchange(e, grid)
+        sync_fluxes = lambda Fx, Fy: cubed_sphere_sync_edge_fluxes(
+            Fx, Fy, grid)
+        mu = jnp.asarray(self._mask_u, u_e.dtype)
+        mv = jnp.asarray(self._mask_v, u_e.dtype)
+        if isinstance(fs, ExplicitFreeSurface):
+            eta = s.eta + dt * Geta
+            U, V = cs_barotropic_mode(g, u_e, v_e)
+            return u_e, v_e, eta, U * mu, V * mv
+        if isinstance(fs, ImplicitFreeSurface):
+            eta = cs_implicit_free_surface(
+                g, u_e, v_e, s.eta, dt, fs, exchange_eta, sync_fluxes,
+                self._mask_c)
+            gx, gy = cs_eta_gradients(g, eta)
+            u_e = u_e - dt * fs.g * gx * mu
+            v_e = v_e - dt * fs.g * gy * mv
+            U, V = cs_barotropic_mode(g, u_e, v_e)
+            return u_e, v_e, eta, U * mu, V * mv
+        # split-explicit barotropic substepping from the PERSISTENT
+        # barotropic state (s.U, s.V), slow-forced by ∫ G dz
+        GU, GV = cs_barotropic_mode(g, Gu, Gv)
+        eta_f, U_f, V_f = cs_split_explicit_free_surface(
+            g, s.U, s.V, s.eta, GU, GV, dt, fs, exchange_eta,
+            sync_fluxes, self._mask_u, self._mask_v)
+        u_e, v_e = cs_barotropic_correct(g, u_e, v_e, U_f, V_f,
+                                         self._mask_u, self._mask_v)
+        return u_e, v_e, eta_f, U_f, V_f
+
+    def step(self, state, dt, assume_filled=False):
+        """SSP (Shu-Osher) RK3 with per-stage exchange; each stage is a
+        full-Δt Euler substage (with its own free-surface treatment —
+        explicit, split-explicit substepping, or implicit CG solve)
+        convex-combined with Ψⁿ. Vertically-implicit closures get the
+        per-stage column Thomas solve the rectilinear hydrostatic
+        split-RK3 uses. ``assume_filled=True`` (Simulation's batched
+        windows) skips the first stage's leading exchange — every step
+        ends with one."""
         from oceananigans_tpu import closures as closures_mod
         dt = jnp.asarray(dt, state.u.dtype)
         psi = (state.u, state.v, state.eta,
-               {n: state.tracers[n] for n in self.tracer_names})
+               {n: state.tracers[n] for n in self.tracer_names},
+               state.U, state.V)
         s = state
         implicit = self.closure is not None and \
             closures_mod.closure_is_vertically_implicit(self.closure)
         g = self.grid.panel_grid
-        for gamma, zeta_c in ((1.0, 0.0), (0.25, 0.75),
-                              (2.0 / 3.0, 1.0 / 3.0)):
-            s = self.fill_state_halos(s)
+        for stage, (gamma, zeta_c) in enumerate((
+                (1.0, 0.0), (0.25, 0.75), (2.0 / 3.0, 1.0 / 3.0))):
+            if stage > 0 or not assume_filled:
+                s = self.fill_state_halos(s)
             Gu, Gv, Geta, Gt, diff = self.compute_tendencies(s)
-            u = zeta_c * psi[0] + gamma * (s.u + dt * Gu)
-            v = zeta_c * psi[1] + gamma * (s.v + dt * Gv)
+            u_e = s.u + dt * Gu
+            v_e = s.v + dt * Gv
+            u_e, v_e, eta_e, U_e, V_e = self._euler_free_surface(
+                s, u_e, v_e, Gu, Gv, Geta, dt)
+            u = zeta_c * psi[0] + gamma * u_e
+            v = zeta_c * psi[1] + gamma * v_e
             tracers = {n: zeta_c * psi[3][n]
                        + gamma * (s.tracers[n] + dt * Gt[n])
                        for n in self.tracer_names}
@@ -766,10 +1001,25 @@ class CubedSphereHydrostaticModel:
                                                          diff)
             s = dataclasses.replace(
                 s, u=u, v=v,
-                eta=zeta_c * psi[2] + gamma * (s.eta + dt * Geta),
+                eta=zeta_c * psi[2] + gamma * eta_e,
+                U=zeta_c * psi[4] + gamma * U_e,
+                V=zeta_c * psi[5] + gamma * V_e,
                 tracers=tracers)
         s = dataclasses.replace(s, clock=tick(s.clock, dt))
         return self.fill_state_halos(s)
+
+    # ------------------------------------------------------------------
+    def cfl_timescale(self, state):
+        """min(Δ/|u|) over panels — drives TimeStepWizard (reference
+        ``cell_advection_timescale``)."""
+        from oceananigans_tpu.advection import cell_advection_timescale
+        g = self.grid.panel_grid
+
+        def panel(u, v):
+            w = self._panel_w(u, v)
+            return cell_advection_timescale(g, u, v, w)
+
+        return jnp.min(jax.vmap(panel)(state.u, state.v))
 
     # ------------------------------------------------------------------
     def total_volume(self, state):

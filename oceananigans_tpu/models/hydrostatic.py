@@ -617,6 +617,11 @@ class HydrostaticState:
     Geta: jnp.ndarray
     Gtracers: Dict[str, jnp.ndarray]
     particles: object = None  # LagrangianParticles state (or None)
+    # persistent barotropic transports (the split-explicit free surface's
+    # own prognostic state — reference barotropic_velocities,
+    # initialize_split_explicit_substepping.jl:15-25; zeros otherwise)
+    U: jnp.ndarray = None
+    V: jnp.ndarray = None
 
     @property
     def velocities(self):
@@ -818,9 +823,15 @@ class HydrostaticFreeSurfaceModel:
             Gtracers={t: new_field(g, dtype) for t in self.tracer_names},
             particles=(self.particles.initial
                        if self.particles is not None else None),
+            U=zeros2d, V=zeros2d,
         )
         state = self.update_state(state)
-        return state
+        # persistent barotropic transports from the initial velocities
+        # (reference initialize_free_surface!,
+        # initialize_split_explicit_substepping.jl:15-25)
+        U0, V0 = self._barotropic_mode(state.u, state.v)
+        U0, V0 = self._zero_wall_transports(U0, V0)
+        return _replace(state, U=U0, V=V0)
 
     def _eta_field(self, value, dtype):
         g = self.grid
@@ -846,6 +857,36 @@ class HydrostaticFreeSurfaceModel:
             return dist_fill_halos(a, g, bcs, loc, t, dt, ctx,
                                    self.dist_topo)
         return fill_halo_regions(a, g, bcs, loc, t, dt=dt)
+
+    def _fill_transport_halos(self, U, V):
+        """x/y halo fill for the persistent barotropic transports with
+        DEFAULT face-location semantics (periodic images / wall-face
+        zero): under the explicit-halo distributed step the shard-local
+        U/V halo strips are stale between steps (the local layout is
+        rebuilt from interiors), and the substepped transport divergence
+        reads them."""
+        g = self.grid
+        # reuse the velocities' REGULARIZED side classifications (built
+        # once against the static grid — re-regularizing here would
+        # inspect grid coordinates inside the traced distributed step)
+        # with condition values disabled: flux/value conditions belong
+        # to the 3-D fields, the transports only need the topology fill
+        bcs_u, bcs_v = self.bcs["u"], self.bcs["v"]
+        ctx = getattr(self, "dist_halo", None)
+        if ctx is not None:
+            from oceananigans_tpu.parallel.shard_step import dist_fill_xy
+            U = dist_fill_xy(U, g, bcs_u, LOC_U, None, None, ctx,
+                             self.dist_topo, use_values=False)
+            V = dist_fill_xy(V, g, bcs_v, LOC_V, None, None, ctx,
+                             self.dist_topo, use_values=False)
+            return U, V
+        from oceananigans_tpu.boundary_conditions import _fill_axis
+        for axis in (X, Y):
+            lu, ru = bcs_u.sides(axis)
+            lv, rv = bcs_v.sides(axis)
+            U = _fill_axis(U, g, axis, LOC_U[axis], lu, ru, None, None)
+            V = _fill_axis(V, g, axis, LOC_V[axis], lv, rv, None, None)
+        return U, V
 
     def _fill_eta_halos(self, eta):
         g = self.grid
@@ -1236,7 +1277,17 @@ class HydrostaticFreeSurfaceModel:
         GU = jnp.sum(Gu_ab2 * dzm, axis=Z, keepdims=True)
         GV = jnp.sum(Gv_ab2 * dzm, axis=Z, keepdims=True)
 
-        U0, V0 = self._barotropic_mode(state.u, state.v)
+        # substep from the PERSISTENT barotropic transports (reference
+        # barotropic_velocities state, initialized once from the initial
+        # conditions and advanced only by the substepping itself —
+        # re-deriving them from the already-tendency-stepped baroclinic
+        # mode here would double-count the slow forcing GU and go
+        # unstable at large Δt)
+        if state.U is not None:
+            U0, V0 = self._fill_transport_halos(state.U, state.V)
+        else:
+            # legacy states (pre-round-3 checkpoints) carry no U/V
+            U0, V0 = self._barotropic_mode(state.u, state.v)
         eta0 = state.eta
         dtau = fs.fractional_step * dt
 
@@ -1480,7 +1531,7 @@ class HydrostaticFreeSurfaceModel:
             eta_f, U_f, V_f = self._step_free_surface_split(
                 _replace(state, u=u, v=v), Gu, Gv, dt, fs)
             state2 = _replace(state, u=u, v=v, tracers=tracers,
-                              eta=eta_f)
+                              eta=eta_f, U=U_f, V=V_f)
             state2 = self.fill_state_halos(state2)
             state2 = self._barotropic_correct(state2, U_f, V_f)
         return state2, diffusivities
@@ -1493,18 +1544,23 @@ class HydrostaticFreeSurfaceModel:
         psi_u, psi_v = state.u, state.v
         psi_eta = state.eta
         psi_tr = state.tracers
+        psi_U, psi_V = state.U, state.V
         s = state
         diffusivities = None
         for gamma, zeta in ((1.0, 0.0), (0.25, 0.75),
                             (2.0 / 3.0, 1.0 / 3.0)):
             s2, diffusivities = self._substep_euler(s, dt)
+            upd = {}
+            if psi_U is not None and s2.U is not None:
+                upd = dict(U=zeta * psi_U + gamma * s2.U,
+                           V=zeta * psi_V + gamma * s2.V)
             s = _replace(
                 s2,
                 u=zeta * psi_u + gamma * s2.u,
                 v=zeta * psi_v + gamma * s2.v,
                 eta=zeta * psi_eta + gamma * s2.eta,
                 tracers={n: zeta * psi_tr[n] + gamma * s2.tracers[n]
-                         for n in self.tracer_names})
+                         for n in self.tracer_names}, **upd)
             s = self.fill_state_halos(s)
         s = self._implicit_diffusion(s, diffusivities, dt)
         s = _replace(s, clock=tick(s.clock, dt))
@@ -1568,7 +1624,8 @@ class HydrostaticFreeSurfaceModel:
         else:
             eta_f, U_f, V_f = self._step_free_surface_split(
                 _replace(state, u=u, v=v), Gu_ab2, Gv_ab2, dt, fs)
-            state2 = _replace(state, u=u, v=v, tracers=tracers, eta=eta_f)
+            state2 = _replace(state, u=u, v=v, tracers=tracers, eta=eta_f,
+                              U=U_f, V=V_f)
             state2 = self.fill_state_halos(state2)
             state2 = self._barotropic_correct(state2, U_f, V_f)
 

@@ -42,6 +42,7 @@ from oceananigans_tpu.grids.cubed_sphere_grid import (
     ConformalCubedSphereGrid, _edge_face_maps_flat, _exchange_maps,
     _velocity_maps_flat, corner_circulation_tables,
 )
+from oceananigans_tpu.grids.base import Center as _Center
 from oceananigans_tpu.grids.orthogonal import OrthogonalSphericalShellGrid
 from oceananigans_tpu.ops.operators import vorticity_z_ff
 from oceananigans_tpu.timesteppers import RK3_STAGES, tick
@@ -790,7 +791,9 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
             view = SimpleNamespace(
                 grid=SimpleNamespace(panel_grid=lg), g=model.g,
                 tracer_advection=model.tracer_advection,
-                _corner_mask=cm)
+                _corner_mask=cm,
+                _explicit_eta_grad=getattr(model, "_explicit_eta_grad",
+                                           True))
             view._panel_w = lambda uu, vv: HY._panel_w(view, uu, vv)
             view._panel_pressure = lambda bb: HY._panel_pressure(view, bb)
             mu = jnp.asarray(mu_l, state.u.dtype)
@@ -859,18 +862,75 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 return (Gu * mu * kin, Gv * mv * kin, Geta * mc,
                         {n: G * mc * kin for n, G in Gt.items()}, diff)
 
+            # free-surface machinery on the blocked layout: the same
+            # cs_* functions as the serial model, with the block
+            # exchange/sync/psum-dot injected (mirror-rank collectives
+            # instead of stacked-axis gathers)
+            from oceananigans_tpu.models.cubed_sphere import (
+                cs_barotropic_correct, cs_barotropic_mode,
+                cs_eta_gradients, cs_implicit_free_surface,
+                cs_split_explicit_free_surface,
+            )
+            from oceananigans_tpu.models.hydrostatic import (
+                ExplicitFreeSurface, ImplicitFreeSurface,
+            )
+            fs = model.free_surface
+
+            def exch_eta(e):
+                return self._corner_avg(
+                    _apply_exchange(self.ex_eta, [e], dev)[0], dev)
+
+            def sync2d(Fx, Fy):
+                r = _apply_exchange(self.ex_flux2d, [Fx, Fy], dev,
+                                    mean=True)
+                return r[0], r[1]
+
+            def psum_dot(x, y):
+                loc = jnp.sum(
+                    lg.Az(_Center, _Center)[:, :, :1][None]
+                    * jnp.asarray(mc_l, x.dtype) * x * y)
+                return jax.lax.psum(loc, ("panel", "x", "y"))
+
+            def euler_fs(s_eta, s_U, s_V, u_e, v_e, Gu, Gv, Geta, dt_):
+                if isinstance(fs, ExplicitFreeSurface):
+                    eta_e = s_eta + dt_ * Geta
+                    U_e, V_e = cs_barotropic_mode(lg, u_e, v_e)
+                    return u_e, v_e, eta_e, U_e * mu, V_e * mv
+                if isinstance(fs, ImplicitFreeSurface):
+                    eta_e = cs_implicit_free_surface(
+                        lg, u_e, v_e, s_eta, dt_, fs, exch_eta, sync2d,
+                        mc_l, dot=psum_dot)
+                    gx, gy = cs_eta_gradients(lg, eta_e)
+                    u_e = u_e - dt_ * fs.g * gx * mu
+                    v_e = v_e - dt_ * fs.g * gy * mv
+                    U_e, V_e = cs_barotropic_mode(lg, u_e, v_e)
+                    return u_e, v_e, eta_e, U_e * mu, V_e * mv
+                GU, GV = cs_barotropic_mode(lg, Gu, Gv)
+                eta_f, U_f, V_f = cs_split_explicit_free_surface(
+                    lg, s_U, s_V, s_eta, GU, GV, dt_, fs, exch_eta,
+                    sync2d, mu_l, mv_l)
+                u_e, v_e = cs_barotropic_correct(lg, u_e, v_e, U_f, V_f,
+                                                 mu_l, mv_l)
+                return u_e, v_e, eta_f, U_f, V_f
+
             dt_ = jnp.asarray(dt, state.u.dtype)
             psi = (state.u, state.v, state.eta,
-                   {n: state.tracers[n] for n in names})
+                   {n: state.tracers[n] for n in names},
+                   state.U, state.V)
             u, v, eta = state.u, state.v, state.eta
+            U_, V_ = state.U, state.V
             tr = dict(state.tracers)
             for gamma, zeta_c in ((1.0, 0.0), (0.25, 0.75),
                                   (2.0 / 3.0, 1.0 / 3.0)):
                 u, v, tr, eta = fill(u, v, tr, eta)
                 Gu, Gv, Geta, Gt, diff = tendencies(
                     u, v, eta, tr, state.clock.time)
-                un = zeta_c * psi[0] + gamma * (u + dt_ * Gu)
-                vn = zeta_c * psi[1] + gamma * (v + dt_ * Gv)
+                u_e = u + dt_ * Gu
+                v_e = v + dt_ * Gv
+                u_e, v_e, eta_e, U_e, V_e = euler_fs(
+                    eta, U_, V_, u_e, v_e, Gu, Gv, Geta, dt_)
+                un = zeta_c * psi[0] + gamma * u_e
+                vn = zeta_c * psi[1] + gamma * v_e
                 trn = {n: zeta_c * psi[3][n]
                        + gamma * (tr[n] + dt_ * Gt[n]) for n in names}
                 if implicit:
@@ -880,11 +940,13 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                             u=uu, v=vv, tracers=tts)
                     un, vn, trn = jax.vmap(panel_implicit)(un, vn, trn,
                                                            diff)
-                eta = zeta_c * psi[2] + gamma * (eta + dt_ * Geta)
+                eta = zeta_c * psi[2] + gamma * eta_e
+                U_ = zeta_c * psi[4] + gamma * U_e
+                V_ = zeta_c * psi[5] + gamma * V_e
                 u, v, tr = un, vn, trn
             u, v, tr, eta = fill(u, v, tr, eta)
             return dataclasses.replace(
-                state, u=u, v=v, eta=eta, tracers=tr,
+                state, u=u, v=v, eta=eta, tracers=tr, U=U_, V=V_,
                 clock=tick(state.clock, dt_))
 
         def step(state, dt):

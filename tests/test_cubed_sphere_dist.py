@@ -237,3 +237,117 @@ def test_hydrostatic_dist_conservation():
     assert abs(float(model.total_volume(final)) - v0) \
         < 1e-9 * max(abs(v0), 1e12) + 1.0
     assert abs(float(model.total_tracer(final, "b")) / b0 - 1) < 1e-12
+
+
+def test_hydrostatic_dist_split_explicit_matches_serial():
+    """Split-explicit free surface on the mirror-rank path: the whole
+    barotropic substep scan (per-substep eta block exchange + edge-flux
+    sync) runs inside the shard_map and matches the serial stacked-panel
+    model bitwise-tightly at R=1 and R=2."""
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+    from oceananigans_tpu.models.hydrostatic import SplitExplicitFreeSurface
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedHydrostatic,
+    )
+    a = 6.37122e6
+    grid = ConformalCubedSphereGrid((16, 6), z=(-1000.0, 0.0), radius=a)
+    model = CubedSphereHydrostaticModel(
+        grid, free_surface=SplitExplicitFreeSurface(substeps=12))
+
+    def eta0(lam, phi, z):
+        r = np.deg2rad(phi) ** 2 \
+            + np.deg2rad(((lam + 180) % 360) - 180) ** 2
+        return np.exp(-r / 0.02) + 0 * z
+
+    g = grid.panel_grid
+    e0 = grid.set_tracer(eta0)[..., g.Hz:g.Hz + 1]
+    state = model.initial_state(eta=e0, b=lambda lam, phi, z: 1e-5 * z)
+    for R, panels in ((1, 6), (2, 2)):
+        dhy = CubedSphereDistributedHydrostatic(model, R=R, panels=panels)
+        _hydro_compare(model, dhy, state, n_steps=3, dt=2000.0)
+
+
+def test_hydrostatic_dist_implicit_matches_serial():
+    """Implicit (CG with psum-reduced Az-weighted dots) free surface on
+    the mirror-rank path matches serial at solver tolerance."""
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+    from oceananigans_tpu.models.hydrostatic import ImplicitFreeSurface
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedHydrostatic,
+    )
+    a = 6.37122e6
+    grid = ConformalCubedSphereGrid((16, 6), z=(-1000.0, 0.0), radius=a)
+    model = CubedSphereHydrostaticModel(
+        grid, free_surface=ImplicitFreeSurface(solver_method="cg"))
+
+    def eta0(lam, phi, z):
+        r = np.deg2rad(phi) ** 2 \
+            + np.deg2rad(((lam + 180) % 360) - 180) ** 2
+        return np.exp(-r / 0.02) + 0 * z
+
+    g = grid.panel_grid
+    e0 = grid.set_tracer(eta0)[..., g.Hz:g.Hz + 1]
+    state = model.initial_state(eta=e0, b=lambda lam, phi, z: 1e-5 * z)
+    dhy = CubedSphereDistributedHydrostatic(model, R=2, panels=2)
+    _hydro_compare(model, dhy, state, n_steps=3, dt=2000.0, rtol=1e-8)
+
+
+def test_hydrostatic_dist_split_explicit_bounded_collectives():
+    """Mirror-rank collective bounds for the split-explicit hydrostatic
+    step at R=1 and R=2 (VERDICT round-2 item 6): counts are asserted on
+    REAL compiled HLO, must not contain all-gathers, and must not depend
+    on the tracer-advection order."""
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+    from oceananigans_tpu.models.hydrostatic import SplitExplicitFreeSurface
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedHydrostatic,
+    )
+    import re
+    a = 6.37122e6
+
+    def build(order, R, panels):
+        grid = ConformalCubedSphereGrid((16, 6), z=(-1000.0, 0.0),
+                                        radius=a, halo=3)
+        model = CubedSphereHydrostaticModel(
+            grid, tracer_advection=(Centered(2) if order == 2
+                                    else WENO(5)),
+            free_surface=SplitExplicitFreeSurface(substeps=12))
+        g = grid.panel_grid
+        e0 = grid.set_tracer(
+            lambda lam, phi, z: np.exp(-(np.deg2rad(phi) ** 2
+                                         + np.deg2rad(((lam + 180) % 360)
+                                                      - 180) ** 2) / 0.02)
+            + 0 * z)[..., g.Hz:g.Hz + 1]
+        state = model.initial_state(eta=e0,
+                                    b=lambda lam, phi, z: 1e-5 * z)
+        dhy = CubedSphereDistributedHydrostatic(model, R=R, panels=panels)
+        bstate = dhy.to_local_state(state)
+        txt = jax.jit(lambda s, d: dhy.step(s, d)).lower(
+            bstate, 2000.0).compile().as_text().lower()
+        ops = {}
+        for op in ("collective-permute", "all-gather", "all-reduce",
+                   "all-to-all"):
+            ops[op] = len(re.findall(rf'\b{op}(?:-start)?\(', txt))
+        return ops
+
+    counts = {}
+    for order, R, panels in ((2, 1, 6), (2, 2, 2), (5, 2, 2)):
+        counts[(order, R)] = build(order, R, panels)
+    # no all-gathers on the mirror-rank path, ever
+    for ops in counts.values():
+        assert ops["all-gather"] == 0, counts
+        assert ops["all-to-all"] == 0, counts
+        assert 0 < ops["collective-permute"] <= 400, counts
+    # advection order must not change the collective count (fixed
+    # exchange tables, not stencil-width-dependent halos)
+    assert counts[(2, 2)]["collective-permute"] \
+        == counts[(5, 2)]["collective-permute"], counts
+    # R=2 rides more mirrors than R=1, but boundedly (< 3x)
+    assert counts[(2, 2)]["collective-permute"] \
+        <= 3 * counts[(2, 1)]["collective-permute"], counts

@@ -456,3 +456,115 @@ def test_williamson5_flow_over_mountain():
     # within ~1% of steady at this resolution)
     dh = np.abs(h1 - h_start).max()
     assert 10.0 < dh < 0.2 * h0, dh
+
+
+# ---------------------------------------------------------------------------
+# Split-explicit + implicit free surfaces on the cubed sphere
+# (reference multi_region_split_explicit_free_surface.jl +
+#  unified_implicit_free_surface_solver.jl)
+# ---------------------------------------------------------------------------
+
+def _bump_state(model, grid):
+    g = grid.panel_grid
+    H = g.Hx
+    N = grid.N_panel
+    nx, ny, _ = g.shape
+    e = np.zeros((6, nx, ny, 1))
+    e[:, H:H + N, H:H + N, 0] = np.exp(
+        -((grid.lam_cc - 30.0) ** 2 + grid.phi_cc ** 2) / 400.0)
+    return model.initial_state(eta=jnp.asarray(e),
+                               b=lambda lam, phi, z: 1e-5 * z)
+
+
+def test_cs_split_explicit_beyond_gravity_cfl():
+    """The split-explicit free surface steps stably at a baroclinic Δt
+    ~3x beyond the barotropic gravity-wave CFL that kills the explicit
+    free surface, and conserves volume + tracer to roundoff (edge-synced
+    substep fluxes)."""
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+    from oceananigans_tpu.models.hydrostatic import (
+        ExplicitFreeSurface, SplitExplicitFreeSurface,
+    )
+
+    grid = ConformalCubedSphereGrid((16, 4), z=(-1000.0, 0.0), halo=4)
+    dt = 10000.0   # c=sqrt(gH)~99 m/s, min panel spacing ~300 km
+
+    # explicit free surface blows up at this dt (gravity CFL ~ 3000 s)
+    m_ex = CubedSphereHydrostaticModel(grid,
+                                       free_surface=ExplicitFreeSurface())
+    s = _bump_state(m_ex, grid)
+    step = jax.jit(lambda st: m_ex.step(st, dt))
+    for _ in range(30):
+        s = step(s)
+    assert not np.isfinite(np.asarray(s.eta)).all()
+
+    m = CubedSphereHydrostaticModel(
+        grid, free_surface=SplitExplicitFreeSurface(substeps=30))
+    s = _bump_state(m, grid)
+    v0 = float(m.total_volume(s))
+    b0 = float(m.total_tracer(s, "b"))
+    step = jax.jit(lambda st: m.step(st, dt))
+    for _ in range(50):
+        s = step(s)
+    s = jax.block_until_ready(s)
+    eta = np.asarray(s.eta)
+    assert np.isfinite(eta).all()
+    assert np.abs(eta).max() < 1.5          # dispersing, not growing
+    assert abs(float(m.total_volume(s)) - v0) < 1e-9 * abs(v0) + 1.0
+    assert abs(float(m.total_tracer(s, "b")) - b0) / abs(b0) < 1e-12
+
+
+def test_cs_implicit_free_surface_beyond_gravity_cfl():
+    """The unified implicit (CG-across-panels) free surface is stable at
+    the same super-CFL Δt and satisfies its Helmholtz equation."""
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+    from oceananigans_tpu.models.hydrostatic import ImplicitFreeSurface
+
+    grid = ConformalCubedSphereGrid((16, 4), z=(-1000.0, 0.0), halo=4)
+    m = CubedSphereHydrostaticModel(
+        grid, free_surface=ImplicitFreeSurface(solver_method="cg"))
+    s = _bump_state(m, grid)
+    v0 = float(m.total_volume(s))
+    step = jax.jit(lambda st: m.step(st, 10000.0))
+    for _ in range(50):
+        s = step(s)
+    s = jax.block_until_ready(s)
+    eta = np.asarray(s.eta)
+    assert np.isfinite(eta).all()
+    assert np.abs(eta).max() < 1.0
+    # backward-Euler volume conservation holds at CG tolerance
+    assert abs(float(m.total_volume(s)) - v0) < 1e-6 * abs(v0)
+
+
+def test_cs_split_explicit_matches_explicit_at_small_dt():
+    """At a Δt well inside the gravity CFL the split-explicit and
+    explicit free surfaces integrate the same physics: the radiating
+    gravity-wave field agrees to a few percent after many steps."""
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+    from oceananigans_tpu.models.hydrostatic import (
+        ExplicitFreeSurface, SplitExplicitFreeSurface,
+    )
+
+    grid = ConformalCubedSphereGrid((16, 4), z=(-1000.0, 0.0), halo=4)
+    dt = 600.0
+    states = {}
+    for name, fs in (("ex", ExplicitFreeSurface()),
+                     ("se", SplitExplicitFreeSurface(substeps=10))):
+        m = CubedSphereHydrostaticModel(grid, free_surface=fs)
+        s = _bump_state(m, grid)
+        step = jax.jit(lambda st, mm=m: mm.step(st, dt))
+        for _ in range(40):
+            s = step(s)
+        states[name] = jax.block_until_ready(s)
+    g = grid.panel_grid
+    sx, sy, _ = g.interior_slices
+    e_ex = np.asarray(states["ex"].eta)[:, sx, sy, 0]
+    e_se = np.asarray(states["se"].eta)[:, sx, sy, 0]
+    scale = np.abs(e_ex).max()
+    assert np.abs(e_ex - e_se).max() / scale < 0.08
