@@ -261,6 +261,35 @@ def _bc_value(bc, grid, axis, loc, time, fields=None, idx=None):
     cond = bc.condition
     if cond is None:
         return None
+    if hasattr(cond, "times") and hasattr(cond, "data"):
+        # FieldTimeSeries-valued boundary condition: interpolate the
+        # stored boundary slabs to the clock time INSIDE the jitted fill
+        # (reference field_time_series_indexing.jl:179 — FTS BCs update
+        # in the model loop). ``cond.data`` is (T, n1, n2): the interior
+        # extents of the two transverse axes, embedded here into the
+        # halo-extended slab the fill/flux machinery broadcasts.
+        times = jnp.asarray(np.asarray(cond.times))
+        data = jnp.asarray(np.asarray(cond.data))
+        t = jnp.clip(0.0 if time is None else time, times[0], times[-1])
+        i = jnp.clip(jnp.searchsorted(times, t, side="right") - 1,
+                     0, times.shape[0] - 2)
+        f = (t - times[i]) / jnp.maximum(times[i + 1] - times[i], 1e-30)
+        d0 = jax.lax.dynamic_index_in_dim(data, i, 0, keepdims=False)
+        d1 = jax.lax.dynamic_index_in_dim(data, i + 1, 0, keepdims=False)
+        val = (1.0 - f) * d0 + f * d1
+        t1, t2 = [ax for ax in range(3) if ax != axis]
+        shape = [1, 1, 1]
+        shape[t1], shape[t2] = grid.shape[t1], grid.shape[t2]
+        full = jnp.zeros(tuple(shape), val.dtype)
+        s1 = grid.interior_slices[t1]
+        s2 = grid.interior_slices[t2]
+        sl = [slice(None)] * 3
+        sl[t1], sl[t2] = s1, s2
+        return full.at[tuple(sl)].set(
+            val.reshape(val.shape[0], val.shape[1], 1)
+            if axis == 2 else (val.reshape(val.shape[0], 1, val.shape[1])
+                               if axis == 1
+                               else val.reshape(1, *val.shape)))
     if callable(cond):
         c1, c2 = _transverse_coords(grid, axis, loc)
         t = 0.0 if time is None else time

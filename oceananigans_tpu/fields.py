@@ -271,20 +271,21 @@ def ZFaceField(grid, value=0.0, dtype=None):
 
 
 class BackgroundField:
-    """A background field ``f(x, y, z, *parameters)`` for the mean-flow
-    decomposition (reference ``src/Fields/background_fields.jl``
-    ``BackgroundField(func; parameters)``). Instances are callables with
-    the ``(x, y, z)`` signature ``set_field`` evaluates, so they can be
-    passed directly in a model's ``background_fields`` dict."""
+    """A background field ``func(x, y, z, t[, parameters])`` for the
+    mean-flow decomposition (reference
+    ``src/Fields/background_fields.jl:45-58`` — time-dependent, so
+    oscillating mean flows are expressible; the model evaluates it at
+    the traced clock time each step). ``t`` defaults to 0 so instances
+    also work as static ``set_field`` initializers."""
 
     def __init__(self, func, parameters=None):
         self.func = func
         self.parameters = parameters
 
-    def __call__(self, x, y, z):
+    def __call__(self, x, y, z, t=0.0):
         if self.parameters is None:
-            return self.func(x, y, z)
-        return self.func(x, y, z, self.parameters)
+            return self.func(x, y, z, t)
+        return self.func(x, y, z, t, self.parameters)
 
     def __repr__(self):
         return f"BackgroundField({self.func!r}, parameters={self.parameters!r})"

@@ -379,6 +379,34 @@ class NonhydrostaticModel:
                                           t, dt=dtl, axes=(axis,))
         return _replace(state, **upd) if upd else state
 
+    def _eval_background(self, fn, loc, t):
+        """Materialize one background field at clock time ``t``:
+        ``BackgroundField`` / 4-arg callables get ``f(x, y, z, t)``
+        (reference ``background_fields.jl:52-58``); 3-arg callables and
+        arrays keep the static ``set_field`` semantics."""
+        from oceananigans_tpu.fields import (
+            BackgroundField, location_coords,
+        )
+        g = self.grid
+        dtype = g.xC.dtype
+
+        def eval4(f):
+            x, y, z = location_coords(g, loc)
+            return jnp.broadcast_to(
+                jnp.asarray(f(x, y, z, t), dtype), g.shape)
+
+        if isinstance(fn, BackgroundField):
+            return eval4(fn)
+        if callable(fn):
+            import inspect
+            try:
+                n = len(inspect.signature(fn).parameters)
+            except (TypeError, ValueError):
+                n = 3
+            if n >= 4:
+                return eval4(fn)
+        return set_field(g, fn, loc=loc)
+
     def fill_state_halos(self, state):
         from oceananigans_tpu.immersed import mask_immersed_field
         t = state.clock.time
@@ -430,11 +458,14 @@ class NonhydrostaticModel:
         if self.background_fields:
             # mean-flow decomposition: advect (q + q_bg) by (U + U_bg),
             # minus the background self-advection (assumed balanced;
-            # reference background_fields.jl semantics)
-            from oceananigans_tpu.fields import set_field
+            # reference background_fields.jl semantics). Backgrounds may
+            # be time-dependent f(x, y, z, t) (reference
+            # background_fields.jl:52-58) — evaluated at the traced clock
+            # time, so oscillating mean flows trace into the step.
             bg = {}
             for name, fn in self.background_fields.items():
-                bg[name] = set_field(g, fn, loc=self.locations[name])
+                bg[name] = self._eval_background(
+                    fn, self.locations[name], time)
             ub = bg.get("u", jnp.zeros_like(u))
             vb = bg.get("v", jnp.zeros_like(v))
             wb = bg.get("w", jnp.zeros_like(w))

@@ -77,7 +77,7 @@ def test_field_constructors():
     u = ot.XFaceField(g, 1.5)
     assert c.shape == g.shape and u.shape == g.shape
     assert float(u[g.interior_slices][0, 0, 0]) == 1.5
-    bg = ot.BackgroundField(lambda x, y, z, p: p["s"] * x,
+    bg = ot.BackgroundField(lambda x, y, z, t, p: p["s"] * x,
                             parameters={"s": 2.0})
     f = ot.Field(g, bg)
     xc = g.xnodes()
