@@ -47,6 +47,20 @@ sim.output_writers["fields"] = HDF5Writer(
               m.grid.Hy:m.grid.Hy + m.grid.Ny, 0])},
     filename="baroclinic_adjustment.h5", schedule=TimeInterval(86400.0))
 
+
+def validate():
+    """CI physics check: the buoyancy front slumps and spins up a
+    geostrophic jet (max|u| grows from rest)."""
+    import jax.numpy as jnp
+    sim.stop_time = 2 * 86400.0
+    sim.run()
+    u = np.asarray(sim.state.u)
+    assert np.isfinite(u).all()
+    assert np.abs(u).max() > 0.01          # jet developed
+    b = np.asarray(sim.state.tracers["b"])
+    assert np.isfinite(b).all()
+
+
 if __name__ == "__main__":
     sim.run()
     print(f"done: {sim!r}")

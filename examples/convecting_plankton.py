@@ -67,6 +67,23 @@ sim.output_writers["fields"] = HDF5Writer(
     outputs={"w": "w", "P": "P"}, filename="convecting_plankton.h5",
     schedule=TimeInterval(2 * hours))
 
+
+def validate():
+    """CI physics check: plankton grows in the sunlit surface layer
+    (growth exceeds mortality where exp(z/lam) mu0 > m)."""
+    import jax.numpy as jnp
+    g = model.grid
+    sx, sy, sz = g.interior_slices
+    P0 = np.asarray(sim.state.tracers["P"][sx, sy, sz])
+    surf0 = P0[:, :, -8:].mean()
+    sim.stop_time = 4 * hours
+    sim.run()
+    P1 = np.asarray(sim.state.tracers["P"][sx, sy, sz])
+    assert np.isfinite(P1).all()
+    assert P1[:, :, -8:].mean() > 1.02 * surf0    # surface bloom
+    assert P1[:, :, :8].mean() < P0[:, :, :8].mean()  # deep mortality
+
+
 if __name__ == "__main__":
     sim.run()
     print(f"done: {sim!r}")

@@ -38,6 +38,23 @@ state = model.initial_state(u=u, v=v, h=grid.set_tracer(h_init),
 dt = 245.0
 step = jax.jit(lambda s: model.step(s, dt))
 
+
+def validate():
+    """CI physics check (Williamson 2): the geostrophically balanced
+    solid-body flow is a steady state — velocity drift stays small over
+    20 steps and mass is conserved to roundoff."""
+    m0 = float(model.total_mass(state))
+    u_scale = float(np.abs(np.asarray(state.u)).max())
+    s = state
+    for _ in range(20):
+        s = step(s)
+    du = np.abs(np.asarray(s.u) - np.asarray(state.u)).max()
+    assert np.isfinite(np.asarray(s.h)).all()
+    assert du < 0.01 * u_scale, (du, u_scale)
+    m1 = float(model.total_mass(s))
+    assert abs(m1 - m0) < 1e-12 * abs(m0)
+
+
 if __name__ == "__main__":
     m0 = float(model.total_mass(state))
     s = state

@@ -79,6 +79,21 @@ model = make_model(grid)
 dstep = DistributedStep(make_model, grid, mesh)
 step = dstep.step_fn()
 
+
+def validate():
+    """CI check: a few distributed steps on the mesh; the wind forcing
+    spins up a finite circulation."""
+    st = model.initial_state(T=lambda lam, phi, z: 18.0 + 8e-3 * z,
+                             eta=lambda lam, phi: 0.0 * lam)
+    local = dstep.to_local_state(st)
+    for _ in range(3):
+        local = step(local, 300.0)
+    final = dstep.from_local_state(jax.block_until_ready(local))
+    u = np.asarray(jnp.asarray(final.u))
+    assert np.isfinite(u).all()
+    assert np.abs(u).max() > 0.0
+
+
 if __name__ == "__main__":
     print(f"mesh: {px}x{py} over {devices[0].platform}")
     state = model.initial_state(

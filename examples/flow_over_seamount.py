@@ -29,6 +29,18 @@ sim.callbacks["progress"] = Callback(
                     f"max|w| {float(jnp.max(jnp.abs(s.state.w))):.4f}"),
     TimeInterval(2.0))
 
+
+def validate():
+    """CI physics check: stratified flow over the seamount deflects
+    vertically (nonzero w) and stays stable."""
+    import jax.numpy as jnp
+    sim.stop_time = 2.0
+    sim.run()
+    w = np.asarray(model.grid.interior(sim.state.w))
+    assert np.isfinite(w).all()
+    assert np.abs(w).max() > 1e-3
+
+
 if __name__ == "__main__":
     sim.run()
     print(f"done: {sim!r}")

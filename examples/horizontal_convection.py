@@ -49,6 +49,19 @@ sim.output_writers["fields"] = HDF5Writer(
     outputs={"b": "b", "w": "w"}, filename="horizontal_convection.h5",
     schedule=TimeInterval(5.0))
 
+
+def validate():
+    """CI physics check: the surface buoyancy gradient spins up a
+    circulation from rest, and |b| stays bounded by the imposed b*."""
+    import jax.numpy as jnp
+    sim.stop_time = 2.0
+    sim.run()
+    ke = float(jnp.mean(sim.state.u ** 2 + sim.state.w ** 2))
+    b = np.asarray(model.grid.interior(sim.state.tracers["b"]))
+    assert np.isfinite(ke) and ke > 1e-8
+    assert np.abs(b).max() <= 1.05 * b_star
+
+
 if __name__ == "__main__":
     sim.run()
     print(f"done: {sim!r}")

@@ -48,6 +48,28 @@ sim.output_writers["w"] = HDF5Writer(
     outputs={"w": "w"}, filename="internal_wave.h5",
     schedule=TimeInterval(1.0))
 
+
+def validate():
+    """CI physics check: linear internal-wave energy
+    E = (u^2 + w^2 + b^2/N^2)/2 is conserved by the inviscid dynamics."""
+    import jax.numpy as jnp
+
+    def energy(s):
+        return float(jnp.mean(s.u ** 2 + s.w ** 2
+                              + s.tracers["b"] ** 2 / N2))
+
+    e0 = energy(sim.state)
+    sim.stop_iteration = 400
+    sim.run()
+    e1 = energy(sim.state)
+    assert np.isfinite(e1)
+    # staggered-location sampling makes this functional only approximately
+    # the conserved discrete energy; bound the drift loosely
+    assert abs(e1 - e0) < 0.1 * e0, (e0, e1)
+    # the wave still oscillates in the linear regime (no spurious growth)
+    assert float(np.abs(np.asarray(sim.state.w)).max()) < 100 * A
+
+
 if __name__ == "__main__":
     sim.run()
     print("done; wave frequency omega =", omega)

@@ -47,6 +47,22 @@ sim.output_writers["fields"] = HDF5Writer(
     outputs={"w": "w", "b": "b"}, filename="kelvin_helmholtz.h5",
     schedule=TimeInterval(5.0))
 
+
+def validate():
+    """CI physics check: at Ri = 0.1 < 1/4 the shear layer is unstable —
+    perturbation kinetic energy grows."""
+    sim.stop_time = 30.0
+    sim.run()
+    ke_mid = mean_ke(sim)      # noise transient has decayed by now
+    sim.stop_time = 60.0
+    sim.running = True
+    sim.run()
+    ke1 = mean_ke(sim)
+    assert np.isfinite(ke1)
+    # exponential growth of the organized KH mode after the transient
+    assert ke1 > 1.5 * ke_mid, (ke_mid, ke1)
+
+
 if __name__ == "__main__":
     ke0 = mean_ke(sim)
     sim.run()

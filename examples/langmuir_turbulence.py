@@ -48,6 +48,22 @@ sim = Simulation(model, state=state, dt=5.0, stop_time=1800.0)
 sim.callbacks["wizard"] = Callback(TimeStepWizard(cfl=0.7, max_dt=30.0),
                                    IterationInterval(5))
 
+
+def validate():
+    """CI physics check: the wind stress injects the right momentum
+    (d<u>/dt integrates the surface flux)."""
+    import jax.numpy as jnp
+    u0 = float(jnp.mean(model.grid.interior(sim.state.u)))
+    sim.stop_time = 120.0
+    sim.run()
+    u1 = float(jnp.mean(model.grid.interior(sim.state.u)))
+    t = float(sim.state.clock.time)
+    expected = -Qu * t / 64.0     # flux/Lz (Qu < 0 -> mean u grows)
+    assert np.isfinite(u1)
+    assert abs((u1 - u0) - expected) < 0.2 * abs(expected), \
+        (u1 - u0, expected)
+
+
 if __name__ == "__main__":
     sim.run()
     print(f"done: {sim!r}")

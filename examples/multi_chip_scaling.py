@@ -38,6 +38,16 @@ state = model.initial_state(
 state = shard_state(dist, state)
 step = sharded_step_fn(model, dist, dt=1e-3)
 
+
+def validate():
+    """CI check: the sharded step runs on the available mesh and stays
+    finite."""
+    s = step(state)
+    s = step(s)
+    u = np.asarray(jax.device_get(s.u))
+    assert np.isfinite(u).all()
+
+
 if __name__ == "__main__":
     import time
     state = jax.block_until_ready(step(state))    # compile

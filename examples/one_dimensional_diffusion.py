@@ -32,6 +32,23 @@ sim.output_writers["temperature"] = HDF5Writer(
     outputs={"T": "T"}, filename="one_dimensional_diffusion.h5",
     schedule=IterationInterval(100))
 
+
+def validate():
+    """CI physics check: heat conserved exactly; the bump's peak decays
+    and its width grows (pure diffusion)."""
+    T0 = np.asarray(model.grid.interior(sim.state.tracers["T"]))
+    sim.stop_iteration = 300
+    sim.run()
+    T1 = np.asarray(model.grid.interior(sim.state.tracers["T"]))
+    assert np.isfinite(T1).all()
+    assert abs(T1.sum() - T0.sum()) <= 1e-10 * abs(T0.sum())
+    assert T1.max() < T0.max()
+    # analytic spreading: peak ~ width/sqrt(width^2 + 2 kappa t)
+    t = float(sim.state.clock.time)
+    expected_peak = width / np.sqrt(width ** 2 + 2 * 1.0 * t)
+    assert abs(T1.max() - expected_peak) < 0.02 * expected_peak
+
+
 if __name__ == "__main__":
     sim.run()
     # the bump spreads and its peak decays; total heat is conserved

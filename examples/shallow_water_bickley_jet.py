@@ -39,6 +39,19 @@ sim.output_writers["fields"] = HDF5Writer(
     outputs={"h": "h", "uh": "uh", "vh": "vh"},
     filename="bickley_jet.h5", schedule=TimeInterval(2.0))
 
+
+def validate():
+    """CI physics check: the Bickley jet is barotropically unstable —
+    the transverse-transport perturbation grows from its 1e-4 seed."""
+    import jax.numpy as jnp
+    v0 = float(jnp.max(jnp.abs(sim.state.vh)))
+    sim.stop_time = 5.0
+    sim.run()
+    v1 = float(jnp.max(jnp.abs(sim.state.vh)))
+    assert np.isfinite(v1)
+    assert v1 > 1.3 * max(v0, 1e-5) and v1 < 10.0, (v0, v1)
+
+
 if __name__ == "__main__":
     sim.run()
     print(f"done: {sim!r}")

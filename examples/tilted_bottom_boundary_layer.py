@@ -85,6 +85,21 @@ sim.output_writers["fields"] = HDF5Writer(
     filename="tilted_bottom_boundary_layer.h5",
     schedule=TimeInterval(6 * 3600.0))
 
+
+def validate():
+    """CI physics check: quadratic bottom drag + tilted rotation spin up
+    cross-slope (Ekman) flow from rest; the solution stays bounded by
+    the far-field current."""
+    import jax.numpy as jnp
+    sim.stop_iteration = 40
+    sim.run()
+    u = np.asarray(model.grid.interior(sim.state.u))
+    v = np.asarray(model.grid.interior(sim.state.v))
+    assert np.isfinite(u).all() and np.isfinite(v).all()
+    assert np.abs(u).max() > 1e-6          # cross-slope flow developed
+    assert np.abs(v + V_inf).max() < 2 * V_inf
+
+
 if __name__ == "__main__":
     sim.run()
     print(f"done: {sim!r}")

@@ -31,6 +31,26 @@ sim.output_writers["fields"] = HDF5Writer(
     filename="two_dimensional_turbulence.h5",
     schedule=TimeInterval(0.5))
 
+
+def validate():
+    """CI physics check: 2-D selective decay — enstrophy decays much
+    faster than energy."""
+    ke0 = float(jnp.mean(sim.state.u ** 2 + sim.state.v ** 2))
+    z0 = np.asarray(vertical_vorticity(model.grid, sim.state.u,
+                                       sim.state.v))[4:-4, 4:-4]
+    sim.stop_time = 0.5
+    sim.run()
+    ke1 = float(jnp.mean(sim.state.u ** 2 + sim.state.v ** 2))
+    z1 = np.asarray(vertical_vorticity(model.grid, sim.state.u,
+                                       sim.state.v))[4:-4, 4:-4]
+    assert np.isfinite(z1).all()
+    # WENO rapidly dissipates the grid-scale part of the random seed, but
+    # enstrophy must decay much faster than energy (selective decay)
+    assert 0.0 < ke1 <= ke0 * 1.0001
+    assert np.mean(z1 ** 2) < 0.9 * np.mean(z0 ** 2)
+    assert (np.mean(z1 ** 2) / np.mean(z0 ** 2)) < 0.9 * (ke1 / ke0)
+
+
 if __name__ == "__main__":
     sim.run()
     print(f"done: {sim!r}")

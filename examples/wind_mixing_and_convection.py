@@ -56,6 +56,34 @@ sim.output_writers["fields"] = HDF5Writer(
     outputs={"T": "T", "w": "w"}, filename="wind_mixing.h5",
     schedule=TimeInterval(600.0))
 
+
+def validate():
+    """CI physics check: surface cooling extracts the prescribed heat —
+    the mean temperature drops by exactly QT·t/Lz."""
+    import jax.numpy as jnp
+
+    def mean_T(s):
+        # volume-weighted mean over the stretched grid
+        g = model.grid
+        dz = jnp.broadcast_to(g.dz(None), g.shape)
+        sx, sy, sz = g.interior_slices
+        T = s.tracers["T"][sx, sy, sz]
+        d = dz[sx, sy, sz]
+        return float(jnp.sum(T * d) / jnp.sum(d))
+
+    T0 = mean_T(sim.state)
+    sim.stop_time = 300.0
+    sim.run()
+    T1 = mean_T(sim.state)
+    t = float(sim.state.clock.time)
+    expected = -QT * t / Lz
+    assert np.isfinite(T1)
+    # the bottom GradientBC also conducts a little heat, so the budget
+    # closes only approximately
+    assert abs((T1 - T0) - expected) < 0.3 * abs(expected), \
+        (T1 - T0, expected)
+
+
 if __name__ == "__main__":
     sim.run()
     print(f"done: {sim!r}")

@@ -301,10 +301,21 @@ class CATKEVerticalDiffusivity(AbstractClosure):
         wdelta3 = jnp.maximum(Jb, 0.0) * dz_top
         J_e = -(te.CW_ustar * u_star ** 3 + te.CW_wdelta * wdelta3)
 
+        # linear implicit coefficient Le of ∂t e = Le·e + ... (reference
+        # time_step_catke_equation.jl:110-145): the dissipation −ω e and
+        # the DESTABILIZING part of the buoyancy flux wb⁻ go into the
+        # diagonal of the vertically-implicit solve (Patankar split), so
+        # large Δt cannot drive e negative through explicit destruction
+        k_idx = jnp.arange(grid.shape[2]).reshape(1, 1, -1)
+        in_faces = (k_idx > grid.Hz) & (k_idx < grid.Hz + grid.Nz)
+        wb_ccf = jnp.where(in_faces, -kc * N2_ccf, 0.0)
+        wb_minus = iz_c(jnp.minimum(wb_ccf, 0.0))
+        Le = wb_minus / jnp.maximum(e, self.minimum_tke) - omega
+
         return {"nu_z_ccf": ku, "kappa_z_ccf": kc, "kappa_e_ccf": ke,
                 "mixing_length_ccf": ell_u, "N2_ccf": N2_ccf,
                 "shear_production_ccf": ku * S2_ccf,
-                "dissipation_rate_ccc": omega,
+                "dissipation_rate_ccc": omega, "Le_ccc": Le,
                 "tke_top_flux": J_e, "dz_top": dz_top}
 
     def momentum_flux_divergences(self, grid, u, v, w, tracers,
@@ -326,12 +337,15 @@ class CATKEVerticalDiffusivity(AbstractClosure):
             kc = diffusivities["kappa_z_ccf"]
             N2 = diffusivities["N2_ccf"]
             P = diffusivities["shear_production_ccf"]
-            wb = -kc * N2
+            # explicit sources: shear production + the STABILIZING part
+            # of the buoyancy flux; dissipation and destabilizing wb are
+            # handled implicitly via Le_ccc (reference Patankar split,
+            # time_step_catke_equation.jl:110-145)
+            wb = jnp.maximum(-kc * N2, 0.0)
             k_idx = jnp.arange(grid.shape[2]).reshape(1, 1, -1)
             in_faces = (k_idx > grid.Hz) & (k_idx < grid.Hz + grid.Nz)
             source_ccf = jnp.where(in_faces, P + wb, 0.0)
             src = iz_c(source_ccf)
-            src = src - diffusivities["dissipation_rate_ccc"] * e
             # surface TKE injection into the top interior cell
             J_e = diffusivities["tke_top_flux"]
             dz_top = diffusivities["dz_top"]
@@ -344,6 +358,14 @@ class CATKEVerticalDiffusivity(AbstractClosure):
         fz = kz * dz_f(c) / grid.dz(Face)
         zero = jnp.zeros_like(c)
         return _div_c_fluxes(grid, zero, zero, fz)
+
+    def implicit_linear_coefficient(self, grid, diffusivities, name):
+        """Diagonal L of ∂t e = L e + ... (dissipation + destabilizing
+        buoyancy flux), solved implicitly with the vertical diffusion
+        (reference time_step_catke_equation.jl:110-145)."""
+        if name == "e":
+            return diffusivities["Le_ccc"]
+        return None
 
     def vertical_nu(self, grid, diffusivities):
         return diffusivities["nu_z_ccf"]

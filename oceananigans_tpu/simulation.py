@@ -94,8 +94,14 @@ class NaNChecker:
         self.fields = fields
 
     def __call__(self, sim):
-        for name in self.fields:
-            arr = sim.state.fields()[name]
+        state_fields = sim.state.fields()
+        names = [n for n in self.fields if n in state_fields]
+        if not names:
+            # state without the configured names (e.g. a shallow-water
+            # model's (uh, vh, h)): guard the first prognostic field
+            names = [next(iter(state_fields))]
+        for name in names:
+            arr = state_fields[name]
             if not bool(jnp.all(jnp.isfinite(arr))):
                 sim.running = False
                 sim.stop_reason = f"NaN found in field {name!r}"
