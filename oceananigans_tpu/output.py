@@ -165,8 +165,69 @@ class NetCDFWriter:
                     exist_ok=True)
         self._initialized = False
 
+    @staticmethod
+    def _coordinate_schema(g):
+        """CF coordinate schema per grid family (reference
+        ``ext/OceananigansNCDatasetsExt.jl`` dimension/attribute schema):
+
+        - rectilinear: 1-D ``x``/``y``/``z`` metric coordinates;
+        - LatitudeLongitude: 1-D ``longitude``/``latitude`` (degrees) +
+          ``z``;
+        - orthogonal shells (tripolar/rotated): index dims ``i``/``j`` +
+          2-D ``longitude(i, j)``/``latitude(i, j)`` auxiliary
+          coordinates and a CF ``coordinates`` attribute on each field;
+        - cubed sphere: ``panel``/``i``/``j`` dims + per-panel 2-D
+          geographic coordinates.
+
+        Returns (dim list [(name, 1-D values, attrs)], aux list
+        [(name, nd values, attrs)], coordinates-attr or None).
+        """
+        from oceananigans_tpu.grids.cubed_sphere_grid import (
+            ConformalCubedSphereGrid,
+        )
+        from oceananigans_tpu.grids.latlon import LatitudeLongitudeGrid
+        from oceananigans_tpu.grids.orthogonal import (
+            OrthogonalSphericalShellGrid,
+        )
+        from oceananigans_tpu.immersed import ImmersedBoundaryGrid
+        if isinstance(g, ImmersedBoundaryGrid):
+            g = g.underlying_grid
+        deg_e = {"units": "degrees_east", "standard_name": "longitude"}
+        deg_n = {"units": "degrees_north", "standard_name": "latitude"}
+        zvals = np.asarray(g.znodes()).ravel()
+        zdim = ("z", zvals, {"units": "m", "positive": "up",
+                             "standard_name": "depth"})
+        if isinstance(g, ConformalCubedSphereGrid):
+            N = g.N_panel
+            dims = [("panel", np.arange(6), {"long_name": "cube panel"}),
+                    ("i", np.arange(N), {"long_name": "panel x index"}),
+                    ("j", np.arange(N), {"long_name": "panel y index"}),
+                    zdim]
+            aux = [("longitude", np.asarray(g.lam_cc), deg_e),
+                   ("latitude", np.asarray(g.phi_cc), deg_n)]
+            return dims, aux, "longitude latitude"
+        if isinstance(g, OrthogonalSphericalShellGrid):
+            sx, sy, _ = g.interior_slices
+            lam = np.asarray(g.lamCC)[sx, sy, 0]
+            phi = np.asarray(g.phiCC)[sx, sy, 0]
+            dims = [("i", np.arange(g.Nx), {"long_name": "grid x index"}),
+                    ("j", np.arange(g.Ny), {"long_name": "grid y index"}),
+                    zdim]
+            aux = [("longitude", lam, deg_e), ("latitude", phi, deg_n)]
+            return dims, aux, "longitude latitude"
+        if isinstance(g, LatitudeLongitudeGrid):
+            dims = [("longitude", np.asarray(g.xnodes()).ravel(), deg_e),
+                    ("latitude", np.asarray(g.ynodes()).ravel(), deg_n),
+                    zdim]
+            return dims, [], None
+        dims = [("x", np.asarray(g.xnodes()).ravel(), {"units": "m"}),
+                ("y", np.asarray(g.ynodes()).ravel(), {"units": "m"}),
+                zdim]
+        return dims, [], None
+
     def _init_file(self, sim, shapes):
         g = sim.model.grid
+        dims, aux, coord_attr = self._coordinate_schema(g)
         with h5py.File(self.filename, "a") as f:
             for key, val in self.global_attributes.items():
                 f.attrs[key] = val
@@ -177,25 +238,32 @@ class NetCDFWriter:
             t.attrs["units"] = "seconds"
             t.attrs["long_name"] = "model time"
             t.make_scale("time")
-            coords = {}
-            for name, arr, units in (
-                    ("x", np.asarray(g.xnodes()).ravel(), "m"),
-                    ("y", np.asarray(g.ynodes()).ravel(), "m"),
-                    ("z", np.asarray(g.znodes()).ravel(), "m")):
-                d = f.create_dataset(name, data=arr)
-                d.attrs["units"] = units
+            scales = []
+            for name, vals, attrs in dims:
+                d = f.create_dataset(name, data=vals)
+                for k, v in attrs.items():
+                    d.attrs[k] = v
                 d.make_scale(name)
-                coords[name] = d
+                scales.append((name, d, len(vals)))
+            for name, vals, attrs in aux:
+                d = f.create_dataset(name, data=vals)
+                for k, v in attrs.items():
+                    d.attrs[k] = v
             for name, shape in shapes.items():
                 ds = f.create_dataset(name, shape=(0, *shape),
                                       maxshape=(None, *shape),
                                       dtype=self.array_type,
                                       chunks=(1, *shape))
                 ds.dims[0].attach_scale(f["time"])
-                for di, ax in zip(range(1, 4), ("x", "y", "z")):
-                    if di - 1 < len(shape) and shape[di - 1] == len(
-                            coords[ax]):
-                        ds.dims[di].attach_scale(coords[ax])
+                si = 0
+                for di, n in enumerate(shape, start=1):
+                    while si < len(scales) and scales[si][2] != n:
+                        si += 1
+                    if si < len(scales):
+                        ds.dims[di].attach_scale(scales[si][1])
+                        si += 1
+                if coord_attr is not None:
+                    ds.attrs["coordinates"] = coord_attr
         self._initialized = True
 
     def write(self, sim):

@@ -30,7 +30,9 @@ distributed axes are shard-index-guarded; LatitudeLongitudeGrid and
 ImmersedBoundaryGrid supported by passing the grid's shard-dependent
 coordinate/metric/mask arrays through ``shard_map`` as sharded
 grid-pytree leaves; ZStar works — the column stretching is shard-local;
-implicit-FS excluded, it needs a global 2-D solve). Constant-coefficient
+the implicit free surface runs as a shard-local CG with psum-reduced
+inner products, see ``test_parallel.py`` implicit-FS coverage).
+Constant-coefficient
 closures; no particles, background fields, or coordinate-dependent
 forcings/boundary functions on rectilinear local grids (lat-lon local
 grids DO carry true coordinates; the GSPMD path ``sharded_step_fn``

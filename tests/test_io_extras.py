@@ -140,3 +140,162 @@ def test_file_splitting_by_size(tmp_path):
         assert len(fts) >= 1
         total += len(fts)
     assert total == 13
+
+
+# ---------------------------------------------------------------------------
+# Curvilinear NetCDF coordinate schema (reference
+# ext/OceananigansNCDatasetsExt.jl dimension/attribute handling)
+# ---------------------------------------------------------------------------
+
+def test_netcdf_latlon_coordinates(tmp_path):
+    """Lat-lon output carries 1-D longitude/latitude coordinates in
+    degrees with CF attributes, attached as dimension scales."""
+    import h5py
+
+    from oceananigans_tpu import (
+        IterationInterval, LatitudeLongitudeGrid, Simulation,
+    )
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+    from oceananigans_tpu.output import NetCDFWriter
+
+    grid = LatitudeLongitudeGrid(size=(12, 8, 4), longitude=(0.0, 60.0),
+                                 latitude=(10.0, 50.0), z=(-100.0, 0.0))
+    model = HydrostaticFreeSurfaceModel(grid=grid, tracers=("T",))
+    sim = Simulation(model, state=model.initial_state(T=15.0), dt=60.0,
+                     stop_iteration=2)
+    path = str(tmp_path / "latlon.nc")
+    sim.output_writers["nc"] = NetCDFWriter({"T": "T"}, path,
+                                            schedule=IterationInterval(1))
+    sim.run()
+    with h5py.File(path, "r") as f:
+        assert f.attrs["Conventions"] == "CF-1.8"
+        lon = f["longitude"]
+        lat = f["latitude"]
+        assert lon.attrs["units"] == "degrees_east"
+        assert lat.attrs["units"] == "degrees_north"
+        np.testing.assert_allclose(lon[:], np.asarray(grid.xnodes()))
+        np.testing.assert_allclose(lat[:], np.asarray(grid.ynodes()))
+        T = f["T"]
+        assert T.shape[1:] == (12, 8, 4)
+        # dimension scales attached in order (lon, lat, z)
+        assert T.dims[1][0].name.endswith("longitude")
+        assert T.dims[2][0].name.endswith("latitude")
+        assert T.dims[3][0].name.endswith("z")
+
+
+def test_netcdf_tripolar_coordinates(tmp_path):
+    """Tripolar (curvilinear) output carries index dims + 2-D
+    longitude(i, j)/latitude(i, j) auxiliary coordinates and the CF
+    ``coordinates`` attribute pointing at them."""
+    import types
+
+    import h5py
+
+    from oceananigans_tpu import IterationInterval
+    from oceananigans_tpu.grids.orthogonal import TripolarGrid
+    from oceananigans_tpu.output import NetCDFWriter
+
+    grid = TripolarGrid(size=(12, 8, 3), z=(-100.0, 0.0))
+    sx, sy, sz = grid.interior_slices
+    field = np.random.default_rng(0).standard_normal(grid.shape)
+
+    model = types.SimpleNamespace(grid=grid)
+    clock = types.SimpleNamespace(time=0.0, iteration=0)
+    state = types.SimpleNamespace(clock=clock,
+                                  fields=lambda: {"c": field})
+    sim = types.SimpleNamespace(model=model, state=state)
+
+    path = str(tmp_path / "tripolar.nc")
+    w = NetCDFWriter({"c": "c"}, path, schedule=IterationInterval(1))
+    w.write(sim)
+    with h5py.File(path, "r") as f:
+        lam = f["longitude"]
+        phi = f["latitude"]
+        assert lam.shape == (12, 8) and phi.shape == (12, 8)
+        assert lam.attrs["standard_name"] == "longitude"
+        c = f["c"]
+        assert c.attrs["coordinates"] == b"longitude latitude" \
+            or c.attrs["coordinates"] == "longitude latitude"
+        np.testing.assert_allclose(
+            c[0], np.asarray(field)[sx, sy, sz].astype(np.float32),
+            rtol=1e-6)
+        # geographic sanity: tripolar latitudes reach north of 60N
+        assert phi[:].max() > 60.0
+
+
+def test_netcdf_cubed_sphere_coordinates(tmp_path):
+    """Cubed-sphere output: panel/i/j dims + per-panel 2-D geographic
+    coordinates; xarray-style georeferencing survives the round trip."""
+    import h5py
+
+    from oceananigans_tpu import IterationInterval, Simulation
+    from oceananigans_tpu.grids.cubed_sphere_grid import (
+        ConformalCubedSphereGrid,
+    )
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+    from oceananigans_tpu.output import NetCDFWriter
+
+    grid = ConformalCubedSphereGrid((8, 3), z=(-1000.0, 0.0))
+    model = CubedSphereHydrostaticModel(grid)
+    state = model.initial_state(b=lambda lam, phi, z: 1e-5 * z)
+    sim = Simulation(model, state=state, dt=300.0, stop_iteration=2)
+    path = str(tmp_path / "cs.nc")
+    sim.output_writers["nc"] = NetCDFWriter({"b": "b", "eta": "eta"}, path,
+                                            schedule=IterationInterval(1))
+    sim.run()
+    with h5py.File(path, "r") as f:
+        assert f["longitude"].shape == (6, 8, 8)
+        assert f["latitude"].shape == (6, 8, 8)
+        b = f["b"]
+        assert b.shape[1:] == (6, 8, 8, 3)
+        assert b.dims[1][0].name.endswith("panel")
+        assert b.dims[4][0].name.endswith("z")
+        assert (b.attrs["coordinates"] == b"longitude latitude"
+                or b.attrs["coordinates"] == "longitude latitude")
+        # every panel's latitudes are inside [-90, 90] and the set spans
+        # both hemispheres (georeferenced output)
+        lat = f["latitude"][:]
+        assert lat.min() < -45 and lat.max() > 45
+
+
+def test_plotting_helpers(tmp_path):
+    """Matplotlib field-plot helpers (the Makie-ext analog): line for
+    1-D, labeled pcolormesh for 2-D, NaN-masked immersed regions."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from oceananigans_tpu import (
+        Bounded, Flat, GridFittedBottom, ImmersedBoundaryGrid, Periodic,
+        RectilinearGrid,
+    )
+    from oceananigans_tpu.fields import set_field
+    from oceananigans_tpu.utils.plotting import (
+        deduce_dimensionality, fieldplot, heatmap, lineplot,
+    )
+
+    g1 = RectilinearGrid(size=16, z=(-1.0, 0.0),
+                         topology=(Flat, Flat, Bounded))
+    T = set_field(g1, lambda x, y, z: np.exp(z))
+    assert deduce_dimensionality(g1, T)[2] == 1
+    line = fieldplot(g1, T)
+    ydata = line.get_xdata()
+    assert np.isfinite(ydata).all() and ydata.size == 16
+
+    g2 = RectilinearGrid(size=(16, 12), x=(0.0, 2.0), z=(-1.0, 0.0),
+                         topology=(Periodic, Flat, Bounded))
+    b = set_field(g2, lambda x, y, z: np.sin(np.pi * x) * z)
+    mesh = heatmap(g2, b, colorbar=False)
+    assert mesh.get_array().size == 16 * 12
+
+    # immersed masking -> NaN in solid cells
+    gi = ImmersedBoundaryGrid(
+        g2, GridFittedBottom(lambda x, y: -0.5 + 0.3 * np.sin(x)))
+    bi = set_field(gi, lambda x, y, z: 1.0 + 0 * x)
+    m2 = heatmap(gi, bi, colorbar=False)
+    vals = np.asarray(m2.get_array())
+    assert np.isnan(vals).any() and np.isfinite(vals).any()
+    assert "x (m)" in m2.axes.get_xlabel()
+    plt.close("all")
