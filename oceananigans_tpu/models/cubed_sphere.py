@@ -100,7 +100,7 @@ def cs_eta_gradients(g, eta):
 
 def cs_split_explicit_free_surface(g, U0, V0, eta0, GU, GV, dt,
                                    fs, exchange_eta, sync_fluxes,
-                                   mask_u, mask_v):
+                                   mask_u, mask_v, Hu=None, Hv=None):
     """Barotropic substepping on the cubed sphere: ONE ``lax.scan`` over
     the averaging weights, each substep = forward η step (edge-synced
     transport divergence) + η panel exchange + backward transport step
@@ -111,8 +111,13 @@ def cs_split_explicit_free_surface(g, U0, V0, eta0, GU, GV, dt,
     initial velocities and carried across steps — reference
     ``initialize_split_explicit_substepping.jl:15-25``: re-deriving them
     from the already-tendency-stepped baroclinic mode each step would
-    double-count the slow forcing ``GU``). Returns filtered (η̄, Ū, V̄)."""
-    H = cs_column_depth(g)
+    double-count the slow forcing ``GU``). Returns filtered (η̄, Ū, V̄).
+
+    ``Hu``/``Hv``: wet-column depths at the u/v faces (immersed
+    bathymetry; reference ``static_column_depthᶠᶜᵃ``); default is the
+    full flat-bottom column."""
+    if Hu is None:
+        Hu = Hv = cs_column_depth(g)
     dtau = fs.fractional_step * dt
     weights = np.asarray(fs.weights, np.float64)
     mu = jnp.asarray(mask_u, eta0.dtype)
@@ -123,8 +128,8 @@ def cs_split_explicit_free_surface(g, U0, V0, eta0, GU, GV, dt,
         eta = eta - dtau * cs_transport_divergence(g, U, V, sync_fluxes)
         eta = exchange_eta(eta)
         gx, gy = cs_eta_gradients(g, eta)
-        U = (U + dtau * (-fs.g * H * gx + GU)) * mu
-        V = (V + dtau * (-fs.g * H * gy + GV)) * mv
+        U = (U + dtau * (-fs.g * Hu * gx + GU)) * mu
+        V = (V + dtau * (-fs.g * Hv * gy + GV)) * mv
         return (eta, U, V, eta_f + wgt * eta, U_f + wgt * U,
                 V_f + wgt * V), None
 
@@ -135,19 +140,27 @@ def cs_split_explicit_free_surface(g, U0, V0, eta0, GU, GV, dt,
     return eta_f, U_f, V_f
 
 
-def cs_barotropic_correct(g, u, v, U_target, V_target, mask_u, mask_v):
+def cs_barotropic_correct(g, u, v, U_target, V_target, mask_u, mask_v,
+                          Hu=None, Hv=None):
     """Replace the barotropic mode of (u, v) with the filtered substepped
-    transports (reference ``barotropic_split_explicit_corrector.jl``)."""
+    transports (reference ``barotropic_split_explicit_corrector.jl``).
+    ``Hu``/``Hv``: wet face-column depths (immersed bathymetry); land
+    faces (depth 0) are left untouched."""
     U, V = cs_barotropic_mode(g, u, v)
-    H = cs_column_depth(g)
-    u = u + (U_target - U) / H * jnp.asarray(mask_u, u.dtype)
-    v = v + (V_target - V) / H * jnp.asarray(mask_v, v.dtype)
+    if Hu is None:
+        Hu = Hv = cs_column_depth(g)
+    Hu_safe = jnp.where(Hu > 0, Hu, 1.0)
+    Hv_safe = jnp.where(Hv > 0, Hv, 1.0)
+    u = u + jnp.where(Hu > 0, (U_target - U) / Hu_safe, 0.0) \
+        * jnp.asarray(mask_u, u.dtype)
+    v = v + jnp.where(Hv > 0, (V_target - V) / Hv_safe, 0.0) \
+        * jnp.asarray(mask_v, v.dtype)
     return u, v
 
 
 def cs_implicit_free_surface(g, u_star, v_star, eta0, dt, fs,
                              exchange_eta, sync_fluxes, mask_c,
-                             dot=None):
+                             dot=None, Hu=None, Hv=None):
     """Backward-Euler barotropic step across all panels: matrix-free CG
     on [∇·(gH∇) − 1/Δt²] η = (∇·U* − ηⁿ/Δt)/Δt with the panel exchange
     inside the operator (reference
@@ -160,7 +173,8 @@ def cs_implicit_free_surface(g, u_star, v_star, eta0, dt, fs,
     )
     mc = jnp.asarray(mask_c, eta0.dtype)
     Az = g.Az(Center, Center)[:, :, :1][None] * mc
-    H = cs_column_depth(g)
+    if Hu is None:
+        Hu = Hv = cs_column_depth(g)
 
     U, V = cs_barotropic_mode(g, u_star, v_star)
     div_U = cs_transport_divergence(g, U, V, sync_fluxes)
@@ -169,7 +183,7 @@ def cs_implicit_free_surface(g, u_star, v_star, eta0, dt, fs,
     def L(eta):
         eta = exchange_eta(eta)
         gx, gy = cs_eta_gradients(g, eta)
-        div = cs_transport_divergence(g, fs.g * H * gx, fs.g * H * gy,
+        div = cs_transport_divergence(g, fs.g * Hu * gx, fs.g * Hv * gy,
                                       sync_fluxes)
         return (div - eta / (dt * dt)) * mc
 
@@ -595,25 +609,69 @@ class CubedSphereHydrostaticModel:
     def __init__(self, grid: ConformalCubedSphereGrid,
                  gravitational_acceleration=g_Earth,
                  rotation_rate=OMEGA_EARTH,
+                 momentum_advection=None,
                  tracer_advection=None,
                  tracers=("b",),
+                 buoyancy="default",
                  closure=None,
                  forcing=None,
+                 boundary_conditions=None,
+                 bathymetry=None,
                  free_surface=None,
+                 prescribed_velocities=False,
                  corner_upwind_width=4):
         """``closure``: any closure (or tuple) from the main stack — it is
         applied per panel through the standard
         ``closures.compute_diffusivities`` / flux-divergence /
         ``implicit_vertical_diffusion_step`` machinery (vertically-implicit
         closures like CATKE get the same column Thomas solve the
-        rectilinear hydrostatic model uses). ``forcing``: dict
-        ``name -> f(lam_deg, phi_deg, z, t)`` for tracers, evaluated at
-        panel cell centers each RK stage (the reference's multi-region
-        `@apply_regionally` forcing dispatch)."""
+        rectilinear hydrostatic model uses).
+
+        ``momentum_advection``: ``None`` (default) keeps the hybrid
+        UB1/UB3 upwinded (ζ+f) flux; a ``VectorInvariant`` /
+        ``WENOVectorInvariant`` instance runs the full flat-model
+        vector-invariant option matrix per panel (reference regionalizes
+        the same types, ``multi_region_models.jl:70-79``), blended back
+        to the robust hybrid form inside the corner band. Requires the
+        grid halo to cover the scheme stencil.
+
+        ``buoyancy``: ``"default"`` selects ``BuoyancyTracer()`` when a
+        ``"b"`` tracer is present; any formulation from
+        :mod:`oceananigans_tpu.buoyancy` works (``SeawaterBuoyancy`` with
+        linear or TEOS-10 EOS adds its T/S tracers — reference
+        ``seawater_buoyancy.jl:11`` is grid-agnostic).
+
+        ``bathymetry``: a ``GridFittedBottom``, a callable
+        ``h(lam_deg, phi_deg) -> bottom z`` (negative depths, ≥ 0 for
+        land), or a stacked bottom-height array — immersed bottom
+        topography (reference regionalized ``GridFittedBottom``,
+        ``multi_region_models.jl:35-45`` + ``multi_region_grid.jl:190``).
+        Solid cells are masked; vertical no-flux is enforced by
+        mirroring the bottom-most wet value downward each exchange, and
+        barotropic depths become wet-column depths.
+
+        ``forcing``: dict ``name -> f(lam_deg, phi_deg, z, t)`` for
+        tracers AND ``"u"``/``"v"`` momentum (evaluated at the staggered
+        geographic points each RK stage — the reference's multi-region
+        ``@apply_regionally`` forcing dispatch).
+
+        ``boundary_conditions``: dict ``name ->
+        FieldBoundaryConditions(top=FluxBC(...), bottom=FluxBC(...))``
+        applying surface/bottom fluxes (wind stress, heat/salt flux,
+        bottom drag) into the tendencies at the top / bottom-most wet
+        cell (reference ``multi_region_boundary_conditions.jl:1-62`` +
+        ``apply_flux_bcs.jl``). Flux values may be scalars, stacked
+        arrays, or callables ``f(lam_deg, phi_deg, t, *field_deps)``
+        with ``field_dependencies`` receiving boundary-adjacent fields.
+
+        ``prescribed_velocities=True`` freezes (u, v, eta) and steps
+        only the tracers (reference ``PrescribedVelocityFields`` in the
+        regionalized-type list, ``multi_region_models.jl:35-45``)."""
         self.corner_upwind_width = int(corner_upwind_width)
         self.grid = grid
         self.g = float(gravitational_acceleration)
         self.rotation_rate = float(rotation_rate or 0.0)
+        self.prescribed_velocities = bool(prescribed_velocities)
         # free surface: explicit (default — the round-2 behavior),
         # split-explicit barotropic substepping, or implicit (CG across
         # panels). Reference: multi_region_split_explicit_free_surface.jl
@@ -643,24 +701,63 @@ class CubedSphereHydrostaticModel:
                                              ExplicitFreeSurface)
         self.tracer_advection = tracer_advection or Centered(2)
         from oceananigans_tpu import closures as closures_mod
+        from oceananigans_tpu.buoyancy import BuoyancyTracer
         tracers = tuple(tracers)
+        if buoyancy == "default":
+            buoyancy = BuoyancyTracer() if "b" in tracers else None
+        self.buoyancy = buoyancy
+        if buoyancy is not None:
+            for t in buoyancy.required_tracers:
+                if t not in tracers:
+                    tracers = tracers + (t,)
         for cl in closures_mod._as_tuple(closure):
             for t in getattr(cl, "required_tracers", ()):
                 if t not in tracers:
                     tracers = tracers + (t,)
         self.tracer_names = tuple(tracers)
         self.closure = closure
+        self.momentum_advection = momentum_advection
+        if momentum_advection is not None:
+            from oceananigans_tpu.models.hydrostatic import VectorInvariant
+            if not isinstance(momentum_advection, VectorInvariant):
+                raise ValueError(
+                    "cubed-sphere momentum_advection must be a "
+                    "VectorInvariant/WENOVectorInvariant instance or None "
+                    f"(the default hybrid upwinding), got "
+                    f"{momentum_advection!r}")
+            need = momentum_advection.required_halo
+            if grid.panel_grid.Hx < need:
+                raise ValueError(
+                    f"{momentum_advection!r} needs a panel halo of "
+                    f"{need} (grid has {grid.panel_grid.Hx}); rebuild "
+                    f"the grid with halo={need}")
         self.forcings = dict(forcing or {})
         for name in self.forcings:
-            if name not in self.tracer_names:
+            if name not in self.tracer_names and name not in ("u", "v"):
                 raise ValueError(
-                    f"cubed-sphere forcing supports tracers only, got "
-                    f"{name!r}")
-        # closures that need a buoyancy model see the 'b' tracer as
-        # buoyancy (this model's BuoyancyTracer semantics)
-        from oceananigans_tpu.buoyancy import BuoyancyTracer
-        self._closure_buoyancy = (BuoyancyTracer()
-                                  if "b" in self.tracer_names else None)
+                    f"cubed-sphere forcing supports tracers and u/v "
+                    f"momentum, got {name!r}")
+        self.bcs = dict(boundary_conditions or {})
+        for name, fbc in self.bcs.items():
+            if name not in self.tracer_names and name not in ("u", "v"):
+                raise ValueError(
+                    f"cubed-sphere boundary_conditions support tracers "
+                    f"and u/v momentum, got {name!r}")
+            from oceananigans_tpu.boundary_conditions import FLUX
+            for side in ("west", "east", "south", "north"):
+                if getattr(fbc, side, None) is not None:
+                    raise ValueError(
+                        "the cubed sphere has no lateral open boundaries; "
+                        "only top/bottom flux conditions apply")
+            for side in ("top", "bottom"):
+                bc = getattr(fbc, side, None)
+                if bc is not None and bc.classification != FLUX:
+                    raise ValueError(
+                        f"cubed-sphere {side} conditions must be FluxBC "
+                        f"(got {bc.classification} for {name!r})")
+        # closures that need a buoyancy model see this model's buoyancy
+        # formulation
+        self._closure_buoyancy = buoyancy
         g = grid.panel_grid
         N, H = grid.N_panel, g.Hx
         nx, ny, _ = g.shape
@@ -685,15 +782,106 @@ class CubedSphereHydrostaticModel:
             | (idx >= H + N - self.corner_upwind_width)
         self._corner_mask = (near[:, None]
                              & near[None, :]).astype(float)[..., None]
-        # full-shape geographic coordinates for forcing evaluation (halo
-        # columns carry zeros; forcing tendencies are interior-masked)
+        self._z_row = np.asarray(g.zC).reshape(1, 1, 1, -1)
+        self._dz_row = np.broadcast_to(
+            np.asarray(g.dz(Center)), g.shape)[None]
+
+        # geographic coordinates on the full extended panel plane at the
+        # three horizontal staggerings (the analytic panel-map extension
+        # is exact in the halos)
+        def geo(xs, ys):
+            XX, YY = np.meshgrid(xs, ys, indexing="ij")
+            lam = np.zeros((6,) + XX.shape)
+            phi = np.zeros((6,) + XX.shape)
+            for p in range(6):
+                P = _panel_xyz(p, XX.ravel(), YY.ravel()).reshape(
+                    *XX.shape, 3)
+                phi[p] = np.rad2deg(np.arcsin(np.clip(P[..., 2], -1, 1)))
+                lam[p] = np.rad2deg(np.arctan2(P[..., 1], P[..., 0]))
+            return lam[..., None], phi[..., None]
+
+        tC = -1.0 + d * (np.arange(nx) - H + 0.5)
+        tF = -1.0 + d * (np.arange(nx) - H)
+        self._lam_c, self._phi_c = geo(tC, tC)
+        self._lam_u, self._phi_u = geo(tF, tC)
+        self._lam_v, self._phi_v = geo(tC, tF)
+        # back-compat name used by the distributed adapter (halo columns
+        # zeroed; forcing tendencies are interior-masked anyway)
         if self.forcings:
-            lam = np.zeros((6, nx, ny, 1))
-            phi = np.zeros((6, nx, ny, 1))
-            lam[:, H:H + N, H:H + N, 0] = grid.lam_cc
-            phi[:, H:H + N, H:H + N, 0] = grid.phi_cc
-            self._lam_full, self._phi_full = lam, phi
-            self._z_row = np.asarray(g.zC).reshape(1, 1, 1, -1)
+            self._lam_full = self._lam_c * mc[None]
+            self._phi_full = self._phi_c * mc[None]
+
+        # --- immersed bathymetry: wet masks + wet-column depths --------
+        # (reference ImmersedMultiRegionGrid, multi_region_grid.jl:190-198;
+        # dense-mask design per SURVEY §7 — TPUs prefer masked whole-array
+        # compute over gather/scatter active-cell maps)
+        self.bathymetry = bathymetry
+        self._wet_c = self._wet_u = self._wet_v = self._wet_w = None
+        self._Hu = self._Hv = self._Hc = None
+        self._wet2_c = self._wet2_u = self._wet2_v = None
+        kk = np.arange(g.shape[2]).reshape(1, 1, 1, -1)
+        Hz, Nz = g.Hz, g.Nz
+        kin = ((kk >= Hz) & (kk < Hz + Nz)).astype(float)
+        if bathymetry is not None:
+            from oceananigans_tpu.immersed import GridFittedBottom
+            bot = bathymetry.bottom_height \
+                if isinstance(bathymetry, GridFittedBottom) else bathymetry
+            if callable(bot):
+                bot_full = np.asarray(
+                    bot(self._lam_c[..., 0], self._phi_c[..., 0])
+                )[..., None]
+            else:
+                botv = np.asarray(bot)
+                bot_full = np.zeros((6, nx, ny, 1))
+                if botv.shape == (6, N, N):
+                    bot_full[:, H:H + N, H:H + N, 0] = botv
+                elif botv.shape == (6, nx, ny):
+                    bot_full[..., 0] = botv
+                elif botv.shape == (6, nx, ny, 1):
+                    bot_full = botv.copy()
+                else:
+                    raise ValueError(
+                        f"bathymetry array must be (6, {N}, {N}) or "
+                        f"(6, {nx}, {ny}[, 1]), got {botv.shape}")
+                # make the mask halo-consistent across the panel seams
+                bot_full = np.asarray(cubed_sphere_halo_exchange(
+                    jnp.asarray(bot_full), grid))
+            zc = np.asarray(g.zC).reshape(1, 1, 1, -1)
+            wet = (zc >= bot_full).astype(float)
+            self._wet_c = wet
+            # a face is wet only when both adjacent cells are (face i
+            # sits between cells i-1 and i)
+            self._wet_u = wet * np.roll(wet, 1, axis=1)
+            self._wet_v = wet * np.roll(wet, 1, axis=2)
+            self._wet_w = wet * np.roll(wet, 1, axis=3)
+            dzf = np.broadcast_to(np.asarray(g.dz(Center)),
+                                  g.shape)[None]
+            dzi = dzf * kin
+            self._Hc = np.sum(self._wet_c * dzi, axis=3, keepdims=True)
+            self._Hu = np.sum(self._wet_u * dzi, axis=3, keepdims=True)
+            self._Hv = np.sum(self._wet_v * dzi, axis=3, keepdims=True)
+            self._wet2_c = (self._Hc > 0).astype(float)
+            self._wet2_u = (self._Hu > 0).astype(float)
+            self._wet2_v = (self._Hv > 0).astype(float)
+            # boundary-adjacent cell indicators for flux BCs: the surface
+            # cell of each wet column; the bottom-most wet cell
+            top = (kk == Hz + Nz - 1).astype(float)
+            self._top_c = top * self._wet2_c
+            self._top_u = top * self._wet2_u
+            self._top_v = top * self._wet2_v
+
+            def bot_ind(w3):
+                below = np.roll(w3, 1, axis=3)
+                return w3 * (1.0 - below) * kin
+
+            self._bot_c = bot_ind(self._wet_c)
+            self._bot_u = bot_ind(self._wet_u)
+            self._bot_v = bot_ind(self._wet_v)
+        else:
+            top = (kk == Hz + Nz - 1).astype(float)
+            bot = (kk == Hz).astype(float)
+            self._top_c = self._top_u = self._top_v = top
+            self._bot_c = self._bot_u = self._bot_v = bot
 
     # ------------------------------------------------------------------
     def initial_state(self, u=None, v=None, eta=0.0, time=0.0, **tracers):
@@ -726,20 +914,51 @@ class CubedSphereHydrostaticModel:
         # persistent barotropic transports from the initial velocities
         # (reference initialize_free_surface!,
         # initialize_split_explicit_substepping.jl:15-25)
-        U0, V0 = cs_barotropic_mode(g, state.u, state.v)
-        mu = jnp.asarray(self._mask_u, dtype)
-        mv = jnp.asarray(self._mask_v, dtype)
+        if self._wet_u is not None:
+            um = state.u * jnp.asarray(self._wet_u, dtype)
+            vm = state.v * jnp.asarray(self._wet_v, dtype)
+            mu = jnp.asarray(self._mask_u * self._wet2_u, dtype)
+            mv = jnp.asarray(self._mask_v * self._wet2_v, dtype)
+        else:
+            um, vm = state.u, state.v
+            mu = jnp.asarray(self._mask_u, dtype)
+            mv = jnp.asarray(self._mask_v, dtype)
+        U0, V0 = cs_barotropic_mode(g, um, vm)
         return dataclasses.replace(state, U=U0 * mu, V=V0 * mv)
 
     # ------------------------------------------------------------------
+    def _mirror_solid(self, a, wet, bot_ind):
+        """Fill the solid cells of each column with its bottom-most wet
+        value: zero gradient across the immersed bottom, so vertical
+        diffusive fluxes vanish there (the whole-array form of the
+        reference's no-flux immersed conditions /
+        ``conditional_differences.jl``) and velocities get a free-slip
+        extension."""
+        cbot = jnp.sum(a * jnp.asarray(bot_ind, a.dtype), axis=3,
+                       keepdims=True)
+        w = jnp.asarray(wet, a.dtype)
+        return a * w + (1 - w) * cbot
+
     def fill_state_halos(self, state):
         grid = self.grid
-        u, v = cubed_sphere_velocity_exchange(state.u, state.v, grid)
+        u, v = state.u, state.v
+        if self._wet_u is not None:
+            u = u * jnp.asarray(self._wet_u, u.dtype)
+            v = v * jnp.asarray(self._wet_v, v.dtype)
+        u, v = cubed_sphere_velocity_exchange(u, v, grid)
         u = self._fill_z(u)
         v = self._fill_z(v)
-        eta = cubed_sphere_halo_exchange(state.eta, grid)
+        eta = state.eta
+        if self._wet2_c is not None:
+            eta = eta * jnp.asarray(self._wet2_c, eta.dtype)
+        eta = cubed_sphere_halo_exchange(eta, grid)
         tracers = {n: self._fill_z(cubed_sphere_halo_exchange(c, grid))
                    for n, c in state.tracers.items()}
+        if self._wet_c is not None:
+            u = self._mirror_solid(u, self._wet_u, self._bot_u)
+            v = self._mirror_solid(v, self._wet_v, self._bot_v)
+            tracers = {n: self._mirror_solid(c, self._wet_c, self._bot_c)
+                       for n, c in tracers.items()}
         return dataclasses.replace(state, u=u, v=v, eta=eta,
                                    tracers=tracers)
 
@@ -779,17 +998,34 @@ class CubedSphereHydrostaticModel:
         below_incl = jnp.cumsum(contrib, axis=2)
         return -((total - below_incl) + 0.5 * contrib)
 
-    def _panel_tendencies(self, u, v, eta, f_ff, zeta, tracers):
-        g = self.grid.panel_grid
-        w = self._panel_w(u, v)
-        q = zeta + f_ff
-        K = 0.5 * (ix_c(u * u) + iy_c(v * v))
+    def _buoyancy_ccc(self, g, tracers):
+        """Buoyancy at panel cell centers from this model's formulation
+        (BuoyancyTracer / SeawaterBuoyancy / None)."""
+        buoyancy = getattr(self, "buoyancy", None)
+        if buoyancy is not None:
+            return buoyancy.buoyancy_ccc(g, tracers)
+        # distributed-view back-compat default: the 'b' tracer is
+        # buoyancy when present
         b = tracers.get("b")
+        return b
+
+    def _panel_tendencies(self, u, v, eta, f_ff, zeta, tracers,
+                          wet_u=None, wet_v=None):
+        g = self.grid.panel_grid
+        # transports/divergences use the wet-MASKED velocities (zero flux
+        # through the immersed bottom); gradients and shear use the
+        # mirrored fields the exchange produced (free-slip extension)
+        um = u if wet_u is None else u * wet_u
+        vm = v if wet_v is None else v * wet_v
+        w = self._panel_w(um, vm)
+        b = self._buoyancy_ccc(g, tracers)
         p = self._panel_pressure(b) if b is not None else 0.0
         # the distributed view namespaces default to the explicit form
-        phi = K + p + (self.g * eta
-                       if getattr(self, "_explicit_eta_grad", True)
-                       else 0.0)
+        eta_term = (self.g * eta
+                    if getattr(self, "_explicit_eta_grad", True) else 0.0)
+        q = zeta + f_ff
+        K = 0.5 * (ix_c(u * u) + iy_c(v * v))
+        phi = K + p + eta_term
         from oceananigans_tpu.advection import (
             UpwindBiased, _face_value,
         )
@@ -798,8 +1034,8 @@ class CubedSphereHydrostaticModel:
         # corner-adjacent region (scale-invariant conformal-corner
         # truncation needs the dissipation), 3rd-order elsewhere;
         # length-weighted transverse velocities
-        Vu = ix_f(iy_c(g.dx(Center, Face) * v)) / g.dx(Face, Center)
-        Uv = iy_f(ix_c(g.dy(Center, Face) * u)) / g.dy(Face, Center)
+        Vu = ix_f(iy_c(g.dx(Center, Face) * vm)) / g.dx(Face, Center)
+        Uv = iy_f(ix_c(g.dy(Center, Face) * um)) / g.dy(Face, Center)
         cm = jnp.asarray(self._corner_mask, q.dtype)
         ub3 = UpwindBiased(3)
         q1y = jnp.where(Vu >= 0, q, jnp.roll(q, -1, 1))
@@ -812,20 +1048,44 @@ class CubedSphereHydrostaticModel:
         dvdz = dz_f(v) / g.dz(Face)
         Gv = -q_upx * Uv - dy_f(phi) / g.dy(Face, Center) \
             - iz_c(iy_f(w) * dvdz)
+        adv = getattr(self, "momentum_advection", None)
+        if adv is None:
+            return Gu, Gv, w
+        # full vector-invariant option matrix (WENOVectorInvariant etc.)
+        # away from the corner band, blended back to the robust hybrid
+        # form inside it (reference regionalized VectorInvariant,
+        # multi_region_models.jl:70-79 +
+        # vector_invariant_advection.jl); the scheme consumes the
+        # corner-circulation-fixed ζ, Coriolis keeps the
+        # enstrophy-conserving transverse-averaged form
+        Gu_adv = adv.u_tendency(g, u, v, w, zeta=zeta)
+        Gv_adv = adv.v_tendency(g, u, v, w, zeta=zeta)
+        phig = p + eta_term
+        Gu_vi = Gu_adv + iy_c(f_ff) * Vu \
+            - dx_f(phig) / g.dx(Face, Center)
+        Gv_vi = Gv_adv - ix_c(f_ff) * Uv \
+            - dy_f(phig) / g.dy(Face, Center)
+        Gu = cm * Gu + (1 - cm) * Gu_vi
+        Gv = cm * Gv + (1 - cm) * Gv_vi
         return Gu, Gv, w
 
-    def _panel_fluxes(self, u, v, w, tracers):
+    def _panel_fluxes(self, u, v, w, tracers, wet_u=None, wet_v=None,
+                      wet_w=None):
         """Barotropic + tracer fluxes (horizontal parts edge-synced by
-        the caller)."""
+        the caller). With immersed bathymetry, every advective flux
+        through a solid face is zeroed (the reference's conditional
+        immersed fluxes, ``immersed_advective_fluxes.jl``)."""
         from oceananigans_tpu.advection import _face_value, _scheme_for
         g = self.grid.panel_grid
+        um = u if wet_u is None else u * wet_u
+        vm = v if wet_v is None else v * wet_v
         dz = jnp.broadcast_to(g.dz(Center), g.shape)
         k = jnp.arange(g.shape[2]).reshape(1, 1, -1)
         interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
         dzi = jnp.where(interior, dz, 0.0)
         # vertically integrated transports (for eta)
-        U = jnp.sum(u * dzi, axis=2, keepdims=True)
-        V = jnp.sum(v * dzi, axis=2, keepdims=True)
+        U = jnp.sum(um * dzi, axis=2, keepdims=True)
+        V = jnp.sum(vm * dzi, axis=2, keepdims=True)
         Fx = g.dy(Center, Face) * U
         Fy = g.dx(Center, Face) * V
         Ft = {}
@@ -833,15 +1093,17 @@ class CubedSphereHydrostaticModel:
             sxs = _scheme_for(self.tracer_advection, 0)
             sys_ = _scheme_for(self.tracer_advection, 1)
             szs = _scheme_for(self.tracer_advection, 2)
-            fcx = g.Ax(Face, Center, Center) * u \
-                * _face_value(sxs, u, c, 0, 0)
-            fcy = g.Ay(Center, Face, Center) * v \
-                * _face_value(sys_, v, c, 1, 0)
+            fcx = g.Ax(Face, Center, Center) * um \
+                * _face_value(sxs, um, c, 0, 0)
+            fcy = g.Ay(Center, Face, Center) * vm \
+                * _face_value(sys_, vm, c, 1, 0)
             fcz = g.Az(Center, Center) * w \
                 * _face_value(szs, w, c, 2, 0)
             # no flux through top/bottom walls
             wall = (k <= g.Hz) | (k > g.Hz + g.Nz - 1)
             fcz = jnp.where(wall, 0.0, fcz)
+            if wet_w is not None:
+                fcz = fcz * wet_w
             Ft[name] = (fcx, fcy, fcz)
         return Fx, Fy, Ft
 
@@ -856,18 +1118,92 @@ class CubedSphereHydrostaticModel:
                 / g.V(Center, Center, Center)
         return Geta, Gt
 
+    # -- surface / bottom flux boundary conditions ---------------------
+    def _boundary_indicator(self, name, side):
+        tag = "u" if name == "u" else "v" if name == "v" else "c"
+        return getattr(self, f"_{'top' if side == 'top' else 'bot'}_{tag}")
+
+    def _boundary_value(self, state, name, side):
+        """Boundary-adjacent interior value of a field (the surface cell
+        or the bottom-most wet cell) as a (6, nx, ny, 1) array."""
+        a = state.fields()[name]
+        if a.shape[-1] == 1:
+            return a
+        ind = jnp.asarray(self._boundary_indicator(name, side), a.dtype)
+        return jnp.sum(a * ind, axis=3, keepdims=True)
+
+    def _eval_cs_flux(self, bc, name, side, state, t, dtype):
+        """Evaluate a top/bottom FluxBC condition to a broadcastable
+        (6, nx, ny, 1) array. Callables get
+        ``f(lam_deg, phi_deg, t, *field_deps)`` with each dependency's
+        boundary-adjacent value (reference
+        ``continuous_boundary_function.jl`` + ``field_dependencies``)."""
+        q = bc.condition
+        if callable(q):
+            tag = "u" if name == "u" else "v" if name == "v" else "c"
+            lam = jnp.asarray(getattr(self, f"_lam_{tag}"), dtype)
+            phi = jnp.asarray(getattr(self, f"_phi_{tag}"), dtype)
+            deps = [self._boundary_value(state, dep, side)
+                    for dep in bc.field_dependencies]
+            q = q(lam, phi, t, *deps)
+        q = jnp.asarray(q, dtype)
+        if q.ndim == 3:
+            q = q[..., None]
+        if q.ndim == 4 and q.shape[1] == self.grid.N_panel:
+            g = self.grid.panel_grid
+            H, N = g.Hx, self.grid.N_panel
+            full = jnp.zeros((6, g.shape[0], g.shape[1], 1), dtype)
+            q = full.at[:, H:H + N, H:H + N, :].set(q)
+        return q
+
+    def _apply_cs_flux_bcs(self, state, Gu, Gv, Gt):
+        """Add top/bottom boundary fluxes into the tendencies at the
+        surface / bottom-most wet cell (reference ``apply_flux_bcs.jl``
+        sign convention: a bottom [left] flux adds +q/Δz, a top [right]
+        flux adds −q/Δz)."""
+        dtype = Gu.dtype
+        dz = jnp.asarray(self._dz_row, dtype)
+        t = state.clock.time
+        for name, fbc in self.bcs.items():
+            for side, sign in (("top", -1.0), ("bottom", 1.0)):
+                bc = getattr(fbc, side, None)
+                if bc is None or bc.condition is None:
+                    continue
+                q = self._eval_cs_flux(bc, name, side, state, t, dtype)
+                ind = jnp.asarray(self._boundary_indicator(name, side),
+                                  dtype)
+                contrib = sign * q * ind / dz
+                if name == "u":
+                    Gu = Gu + contrib
+                elif name == "v":
+                    Gv = Gv + contrib
+                else:
+                    Gt[name] = Gt[name] + contrib
+        return Gu, Gv, Gt
+
     def compute_tendencies(self, state):
         g = self.grid.panel_grid
-        f = jnp.asarray(self.f_ff, state.u.dtype)
+        dtype = state.u.dtype
+        f = jnp.asarray(self.f_ff, dtype)
         zeta = jax.vmap(lambda up, vp: vorticity_z_ff(g, up, vp))(
             state.u, state.v)
         zeta = cubed_sphere_corner_vorticity(zeta, state.u, state.v,
                                              self.grid)
-        Gu, Gv, w = jax.vmap(self._panel_tendencies,
-                             in_axes=(0, 0, 0, 0, 0, 0))(
-            state.u, state.v, state.eta, f, zeta, state.tracers)
-        Fx, Fy, Ft = jax.vmap(self._panel_fluxes)(
-            state.u, state.v, w, state.tracers)
+        if self._wet_u is None:
+            Gu, Gv, w = jax.vmap(self._panel_tendencies,
+                                 in_axes=(0, 0, 0, 0, 0, 0))(
+                state.u, state.v, state.eta, f, zeta, state.tracers)
+            Fx, Fy, Ft = jax.vmap(self._panel_fluxes)(
+                state.u, state.v, w, state.tracers)
+        else:
+            wu = jnp.asarray(self._wet_u, dtype)
+            wv = jnp.asarray(self._wet_v, dtype)
+            ww = jnp.asarray(self._wet_w, dtype)
+            Gu, Gv, w = jax.vmap(self._panel_tendencies)(
+                state.u, state.v, state.eta, f, zeta, state.tracers,
+                wu, wv)
+            Fx, Fy, Ft = jax.vmap(self._panel_fluxes)(
+                state.u, state.v, w, state.tracers, wu, wv, ww)
         Fx, Fy = cubed_sphere_sync_edge_fluxes(Fx, Fy, self.grid)
         Ft = {n: (*cubed_sphere_sync_edge_fluxes(fx_, fy_, self.grid),
                   fz_) for n, (fx_, fy_, fz_) in Ft.items()}
@@ -878,8 +1214,12 @@ class CubedSphereHydrostaticModel:
             from oceananigans_tpu import closures as closures_mod
             g = self.grid.panel_grid
 
-            def panel_closure(u, v, tracers):
-                w = self._panel_w(u, v)
+            def panel_closure(u, v, tracers, wet_u=None, wet_v=None):
+                # w from the wet-masked transports; shear/diffusivities
+                # from the mirrored fields (zero-gradient at the bottom)
+                um = u if wet_u is None else u * wet_u
+                vm = v if wet_v is None else v * wet_v
+                w = self._panel_w(um, vm)
                 diff = closures_mod.compute_diffusivities(
                     self.closure, g, u, v, w, tracers,
                     self._closure_buoyancy)
@@ -897,8 +1237,14 @@ class CubedSphereHydrostaticModel:
                       for n, t in gt.items()}
                 return du, dv, gt, diff
 
-            du, dv, gtc, diffusivities = jax.vmap(panel_closure)(
-                state.u, state.v, state.tracers)
+            if self._wet_u is None:
+                du, dv, gtc, diffusivities = jax.vmap(panel_closure)(
+                    state.u, state.v, state.tracers)
+            else:
+                du, dv, gtc, diffusivities = jax.vmap(panel_closure)(
+                    state.u, state.v, state.tracers,
+                    jnp.asarray(self._wet_u, dtype),
+                    jnp.asarray(self._wet_v, dtype))
             Gu = Gu + du
             Gv = Gv + dv
             Gt = {n: Gt[n] + gtc[n] for n in Gt}
@@ -906,12 +1252,32 @@ class CubedSphereHydrostaticModel:
         if self.forcings:
             t = state.clock.time
             for name, fn in self.forcings.items():
-                Gt[name] = Gt[name] + fn(self._lam_full, self._phi_full,
-                                         self._z_row, t)
+                if name == "u":
+                    Gu = Gu + fn(jnp.asarray(self._lam_u, dtype),
+                                 jnp.asarray(self._phi_u, dtype),
+                                 self._z_row, t)
+                elif name == "v":
+                    Gv = Gv + fn(jnp.asarray(self._lam_v, dtype),
+                                 jnp.asarray(self._phi_v, dtype),
+                                 self._z_row, t)
+                else:
+                    Gt[name] = Gt[name] + fn(self._lam_full,
+                                             self._phi_full,
+                                             self._z_row, t)
+
+        if self.bcs:
+            Gu, Gv, Gt = self._apply_cs_flux_bcs(state, Gu, Gv, Gt)
 
         mu = jnp.asarray(self._mask_u, state.u.dtype)
         mv = jnp.asarray(self._mask_v, state.u.dtype)
         mc = jnp.asarray(self._mask_c, state.u.dtype)
+        if self._wet_u is not None:
+            mu = mu * jnp.asarray(self._wet_u, dtype)
+            mv = mv * jnp.asarray(self._wet_v, dtype)
+            mc2 = mc * jnp.asarray(self._wet2_c, dtype)
+            mcw = mc * jnp.asarray(self._wet_c, dtype)
+        else:
+            mc2 = mcw = mc
         # z-interior indicator: tendencies must not accumulate in the z
         # halo levels (only one ghost level is re-mirrored per fill, so
         # un-masked halo tendencies would grow without bound)
@@ -919,8 +1285,12 @@ class CubedSphereHydrostaticModel:
         k = jnp.arange(gz.shape[2])
         kin = ((k >= gz.Hz) & (k < gz.Hz + gz.Nz)).astype(state.u.dtype)
         kin = kin.reshape(1, 1, 1, -1)
-        return (Gu * mu * kin, Gv * mv * kin, Geta * mc,
-                {n: G * mc * kin for n, G in Gt.items()}, diffusivities)
+        if self.prescribed_velocities:
+            Gu = jnp.zeros_like(Gu)
+            Gv = jnp.zeros_like(Gv)
+            Geta = jnp.zeros_like(Geta)
+        return (Gu * mu * kin, Gv * mv * kin, Geta * mc2,
+                {n: G * mcw * kin for n, G in Gt.items()}, diffusivities)
 
     # ------------------------------------------------------------------
     def _euler_free_surface(self, s, u_e, v_e, Gu, Gv, Geta, dt):
@@ -935,30 +1305,61 @@ class CubedSphereHydrostaticModel:
         exchange_eta = lambda e: cubed_sphere_halo_exchange(e, grid)
         sync_fluxes = lambda Fx, Fy: cubed_sphere_sync_edge_fluxes(
             Fx, Fy, grid)
-        mu = jnp.asarray(self._mask_u, u_e.dtype)
-        mv = jnp.asarray(self._mask_v, u_e.dtype)
+        if self.prescribed_velocities:
+            return u_e, v_e, s.eta, s.U, s.V
+        dtype = u_e.dtype
+        # 2-D masks narrowed to wet (any-depth-ocean) faces/columns, and
+        # wet face-column depths, under immersed bathymetry
+        if self._wet2_u is not None:
+            mask_u2 = self._mask_u * self._wet2_u
+            mask_v2 = self._mask_v * self._wet2_v
+            mask_c2 = self._mask_c * self._wet2_c
+            Hu = jnp.asarray(self._Hu, dtype)
+            Hv = jnp.asarray(self._Hv, dtype)
+        else:
+            mask_u2, mask_v2, mask_c2 = (self._mask_u, self._mask_v,
+                                         self._mask_c)
+            Hu = Hv = None
+        mu = jnp.asarray(mask_u2, dtype)
+        mv = jnp.asarray(mask_v2, dtype)
+        # transports integrate the wet-masked velocities
+        um = u_e if self._wet_u is None \
+            else u_e * jnp.asarray(self._wet_u, dtype)
+        vm = v_e if self._wet_v is None \
+            else v_e * jnp.asarray(self._wet_v, dtype)
         if isinstance(fs, ExplicitFreeSurface):
             eta = s.eta + dt * Geta
-            U, V = cs_barotropic_mode(g, u_e, v_e)
+            U, V = cs_barotropic_mode(g, um, vm)
             return u_e, v_e, eta, U * mu, V * mv
         if isinstance(fs, ImplicitFreeSurface):
             eta = cs_implicit_free_surface(
-                g, u_e, v_e, s.eta, dt, fs, exchange_eta, sync_fluxes,
-                self._mask_c)
+                g, um, vm, s.eta, dt, fs, exchange_eta, sync_fluxes,
+                mask_c2, Hu=Hu, Hv=Hv)
             gx, gy = cs_eta_gradients(g, eta)
             u_e = u_e - dt * fs.g * gx * mu
             v_e = v_e - dt * fs.g * gy * mv
-            U, V = cs_barotropic_mode(g, u_e, v_e)
+            um = u_e if self._wet_u is None \
+                else u_e * jnp.asarray(self._wet_u, dtype)
+            vm = v_e if self._wet_v is None \
+                else v_e * jnp.asarray(self._wet_v, dtype)
+            U, V = cs_barotropic_mode(g, um, vm)
             return u_e, v_e, eta, U * mu, V * mv
         # split-explicit barotropic substepping from the PERSISTENT
         # barotropic state (s.U, s.V), slow-forced by ∫ G dz
         GU, GV = cs_barotropic_mode(g, Gu, Gv)
         eta_f, U_f, V_f = cs_split_explicit_free_surface(
             g, s.U, s.V, s.eta, GU, GV, dt, fs, exchange_eta,
-            sync_fluxes, self._mask_u, self._mask_v)
-        u_e, v_e = cs_barotropic_correct(g, u_e, v_e, U_f, V_f,
-                                         self._mask_u, self._mask_v)
-        return u_e, v_e, eta_f, U_f, V_f
+            sync_fluxes, mask_u2, mask_v2, Hu=Hu, Hv=Hv)
+        # correct the wet-masked velocities; the solid mirror is
+        # restored by the next exchange
+        u_c, v_c = cs_barotropic_correct(g, um, vm, U_f, V_f,
+                                         mask_u2, mask_v2, Hu=Hu, Hv=Hv)
+        if self._wet_u is not None:
+            wu = jnp.asarray(self._wet_u, dtype)
+            wv = jnp.asarray(self._wet_v, dtype)
+            u_c = u_c * wu + u_e * (1 - wu)
+            v_c = v_c * wv + v_e * (1 - wv)
+        return u_c, v_c, eta_f, U_f, V_f
 
     def step(self, state, dt, assume_filled=False):
         """SSP (Shu-Osher) RK3 with per-stage exchange; each stage is a
@@ -1033,7 +1434,20 @@ class CubedSphereHydrostaticModel:
         sx, sy, sz = g.interior_slices
         dV = (g.Az(Center, Center)[sx, sy, :1]
               * jnp.broadcast_to(g.dz(Center), g.shape)[sx, sy, sz])
-        return jnp.sum(state.tracers[name][:, sx, sy, sz] * dV)
+        c = state.tracers[name][:, sx, sy, sz]
+        if self._wet_c is not None:
+            c = c * jnp.asarray(self._wet_c, c.dtype)[:, sx, sy, sz]
+        return jnp.sum(c * dV)
+
+    def ocean_volume(self):
+        """Total wet volume (the conservation-budget denominator)."""
+        g = self.grid.panel_grid
+        sx, sy, sz = g.interior_slices
+        dV = (g.Az(Center, Center)[sx, sy, :1]
+              * jnp.broadcast_to(g.dz(Center), g.shape)[sx, sy, sz])
+        if self._wet_c is None:
+            return 6.0 * jnp.sum(dV)
+        return jnp.sum(jnp.asarray(self._wet_c)[:, sx, sy, sz] * dV)
 
     def __repr__(self):
         return (f"CubedSphereHydrostaticModel(N={self.grid.N_panel}, "

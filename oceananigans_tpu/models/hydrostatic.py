@@ -334,15 +334,19 @@ class VectorInvariant:
         return (phi + dz_c(Wadv * vz)) / grid.V(Center, Face, Center)
 
     # -- tendencies -------------------------------------------------------
-    def u_tendency(self, grid, u, v, w):
-        """−[𝐯·∇u]ₓ at (f,c,c)."""
-        zeta = vorticity_z_ff(grid, u, v)   # (f,f,c)
+    def u_tendency(self, grid, u, v, w, zeta=None):
+        """−[𝐯·∇u]ₓ at (f,c,c). ``zeta`` overrides the locally computed
+        vorticity (the cubed sphere passes its corner-circulation-fixed
+        ζ, ``cubed_sphere_corner_vorticity``)."""
+        if zeta is None:
+            zeta = vorticity_z_ff(grid, u, v)   # (f,f,c)
         return (self._zeta_v(grid, zeta, u, v)
                 - self._bernoulli_u(grid, u, v)
                 - self._vertical_u(grid, u, v, w))
 
-    def v_tendency(self, grid, u, v, w):
-        zeta = vorticity_z_ff(grid, u, v)
+    def v_tendency(self, grid, u, v, w, zeta=None):
+        if zeta is None:
+            zeta = vorticity_z_ff(grid, u, v)
         return (-self._zeta_u(grid, zeta, u, v)
                 - self._bernoulli_v(grid, u, v)
                 - self._vertical_v(grid, u, v, w))

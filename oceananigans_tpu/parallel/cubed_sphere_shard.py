@@ -792,10 +792,15 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 grid=SimpleNamespace(panel_grid=lg), g=model.g,
                 tracer_advection=model.tracer_advection,
                 _corner_mask=cm,
+                buoyancy=getattr(model, "buoyancy", None),
+                momentum_advection=getattr(model, "momentum_advection",
+                                           None),
                 _explicit_eta_grad=getattr(model, "_explicit_eta_grad",
                                            True))
             view._panel_w = lambda uu, vv: HY._panel_w(view, uu, vv)
             view._panel_pressure = lambda bb: HY._panel_pressure(view, bb)
+            view._buoyancy_ccc = lambda gg, tr: HY._buoyancy_ccc(view, gg,
+                                                                 tr)
             mu = jnp.asarray(mu_l, state.u.dtype)
             mv = jnp.asarray(mv_l, state.u.dtype)
             mc = jnp.asarray(mc_l, state.u.dtype)
