@@ -783,8 +783,8 @@ class CubedSphereHydrostaticModel:
         self._corner_mask = (near[:, None]
                              & near[None, :]).astype(float)[..., None]
         self._z_row = np.asarray(g.zC).reshape(1, 1, 1, -1)
-        self._dz_row = np.broadcast_to(
-            np.asarray(g.dz(Center)), g.shape)[None]
+        # z-row shape (layout-independent: the distributed blocks share it)
+        self._dz_row = np.asarray(g.dz(Center)).reshape(1, 1, 1, -1)
 
         # geographic coordinates on the full extended panel plane at the
         # three horizontal staggerings (the analytic panel-map extension

@@ -750,6 +750,26 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 self._state_sharding)
         else:
             self.lam_blocked = self.phi_blocked = None
+        # blocked auxiliary fields for bathymetry / flux BCs / momentum
+        # forcing (each (6, R·nl2, R·nl2, ·), state-sharded)
+        aux = {}
+        if getattr(model, "_wet_u", None) is not None:
+            for nm in ("_wet_c", "_wet_u", "_wet_v", "_wet_w",
+                       "_Hu", "_Hv", "_wet2_c", "_wet2_u", "_wet2_v",
+                       "_top_c", "_top_u", "_top_v",
+                       "_bot_c", "_bot_u", "_bot_v"):
+                aux[nm] = jax.device_put(
+                    self._block_panel(jnp.asarray(getattr(model, nm))),
+                    self._state_sharding)
+        needs_geo = bool(getattr(model, "bcs", None)) \
+            or "u" in model.forcings or "v" in model.forcings
+        if needs_geo:
+            for nm in ("_lam_c", "_phi_c", "_lam_u", "_phi_u",
+                       "_lam_v", "_phi_v"):
+                aux[nm] = jax.device_put(
+                    self._block_panel(jnp.asarray(getattr(model, nm))),
+                    self._state_sharding)
+        self.hy_aux = aux
 
     def _build(self):
         from oceananigans_tpu.models.cubed_sphere import (
@@ -783,30 +803,71 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
             a = a.at[..., Hz - 1].set(a[..., Hz])
             return a.at[..., Hz + Nz].set(a[..., Hz + Nz - 1])
 
-        def sstep(state, dt, g2d, fff, cm, lam, phi):
+        has_bath = getattr(model, "_wet_u", None) is not None
+        has_bcs = bool(getattr(model, "bcs", None))
+        prescribed = bool(getattr(model, "prescribed_velocities", False))
+
+        def sstep(state, dt, g2d, fff, cm, lam, phi, aux):
             dev = (jax.lax.axis_index("panel") * R
                    + jax.lax.axis_index("x")) * R \
                 + jax.lax.axis_index("y")
             lg = self._local_grid(g2d)
             view = SimpleNamespace(
-                grid=SimpleNamespace(panel_grid=lg), g=model.g,
+                grid=SimpleNamespace(panel_grid=lg,
+                                     N_panel=model.grid.N_panel),
+                g=model.g,
                 tracer_advection=model.tracer_advection,
                 _corner_mask=cm,
                 buoyancy=getattr(model, "buoyancy", None),
                 momentum_advection=getattr(model, "momentum_advection",
                                            None),
+                bcs=getattr(model, "bcs", {}),
+                _dz_row=getattr(model, "_dz_row", None),
                 _explicit_eta_grad=getattr(model, "_explicit_eta_grad",
                                            True))
             view._panel_w = lambda uu, vv: HY._panel_w(view, uu, vv)
             view._panel_pressure = lambda bb: HY._panel_pressure(view, bb)
             view._buoyancy_ccc = lambda gg, tr: HY._buoyancy_ccc(view, gg,
                                                                  tr)
+            # blocked boundary-cell indicators (bathymetry) or the
+            # flat-bottom z-row constants
+            for nm in ("_top_c", "_top_u", "_top_v",
+                       "_bot_c", "_bot_u", "_bot_v"):
+                setattr(view, nm,
+                        aux[nm] if nm in aux else getattr(model, nm, None))
+            for nm in ("_lam_c", "_phi_c", "_lam_u", "_phi_u",
+                       "_lam_v", "_phi_v"):
+                if nm in aux:
+                    setattr(view, nm, aux[nm])
+            view._boundary_indicator = \
+                lambda n, s: HY._boundary_indicator(view, n, s)
+            view._boundary_value = \
+                lambda st, n, s: HY._boundary_value(view, st, n, s)
+            view._eval_cs_flux = lambda bc, n, s, st, t, dt_: \
+                HY._eval_cs_flux(view, bc, n, s, st, t, dt_)
             mu = jnp.asarray(mu_l, state.u.dtype)
             mv = jnp.asarray(mv_l, state.u.dtype)
             mc = jnp.asarray(mc_l, state.u.dtype)
             kin = jnp.asarray(kin_np, state.u.dtype)
+            dtype = state.u.dtype
+            if has_bath:
+                wu3 = jnp.asarray(aux["_wet_u"], dtype)
+                wv3 = jnp.asarray(aux["_wet_v"], dtype)
+                ww3 = jnp.asarray(aux["_wet_w"], dtype)
+                wc3 = jnp.asarray(aux["_wet_c"], dtype)
+                w2c = jnp.asarray(aux["_wet2_c"], dtype)
+                mu_t = mu * wu3
+                mv_t = mv * wv3
+                mc_eta = mc * w2c
+                mc_tr = mc * wc3
+            else:
+                mu_t, mv_t, mc_eta, mc_tr = mu, mv, mc, mc
 
             def fill(u, v, tr, eta):
+                if has_bath:
+                    u = u * wu3
+                    v = v * wv3
+                    eta = eta * w2c
                 res = _apply_exchange(
                     self.ex_uvtr, [u, v] + [tr[n] for n in names], dev)
                 u = fill_z(res[0])
@@ -815,17 +876,30 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                       for i, n in enumerate(names)}
                 eta = self._corner_avg(
                     _apply_exchange(self.ex_eta, [eta], dev)[0], dev)
+                if has_bath:
+                    u = HY._mirror_solid(view, u, wu3, aux["_bot_u"])
+                    v = HY._mirror_solid(view, v, wv3, aux["_bot_v"])
+                    tr = {n: HY._mirror_solid(view, c, wc3, aux["_bot_c"])
+                          for n, c in tr.items()}
                 return u, v, tr, eta
 
             def tendencies(u, v, eta, tr, t):
                 zeta = jax.vmap(
                     lambda up, vp: vorticity_z_ff(lg, up, vp))(u, v)
                 zeta = self._corner_fix(zeta, u, v, dev)
-                Gu, Gv, w = jax.vmap(
-                    partial(HY._panel_tendencies, view))(
-                    u, v, eta, fff, zeta, tr)
-                Fx, Fy, Ft = jax.vmap(partial(HY._panel_fluxes, view))(
-                    u, v, w, tr)
+                if has_bath:
+                    Gu, Gv, w = jax.vmap(
+                        partial(HY._panel_tendencies, view))(
+                        u, v, eta, fff, zeta, tr, wu3, wv3)
+                    Fx, Fy, Ft = jax.vmap(
+                        partial(HY._panel_fluxes, view))(
+                        u, v, w, tr, wu3, wv3, ww3)
+                else:
+                    Gu, Gv, w = jax.vmap(
+                        partial(HY._panel_tendencies, view))(
+                        u, v, eta, fff, zeta, tr)
+                    Fx, Fy, Ft = jax.vmap(partial(HY._panel_fluxes, view))(
+                        u, v, w, tr)
                 Fx, Fy = _apply_exchange(self.ex_flux2d, [Fx, Fy], dev,
                                          mean=True)
                 if names:
@@ -863,9 +937,26 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                     Gt = {n: Gt[n] + gtc[n] for n in Gt}
                 if has_forcing:
                     for n, fn in model.forcings.items():
-                        Gt[n] = Gt[n] + fn(lam, phi, model._z_row, t)
-                return (Gu * mu * kin, Gv * mv * kin, Geta * mc,
-                        {n: G * mc * kin for n, G in Gt.items()}, diff)
+                        if n == "u":
+                            Gu = Gu + fn(aux["_lam_u"], aux["_phi_u"],
+                                         model._z_row, t)
+                        elif n == "v":
+                            Gv = Gv + fn(aux["_lam_v"], aux["_phi_v"],
+                                         model._z_row, t)
+                        else:
+                            Gt[n] = Gt[n] + fn(lam, phi, model._z_row, t)
+                if has_bcs:
+                    sloc = SimpleNamespace(
+                        clock=SimpleNamespace(time=t),
+                        fields=lambda: {"u": u, "v": v, "eta": eta, **tr})
+                    Gu, Gv, Gt = HY._apply_cs_flux_bcs(view, sloc, Gu,
+                                                       Gv, Gt)
+                if prescribed:
+                    Gu = jnp.zeros_like(Gu)
+                    Gv = jnp.zeros_like(Gv)
+                    Geta = jnp.zeros_like(Geta)
+                return (Gu * mu_t * kin, Gv * mv_t * kin, Geta * mc_eta,
+                        {n: G * mc_tr * kin for n, G in Gt.items()}, diff)
 
             # free-surface machinery on the blocked layout: the same
             # cs_* functions as the serial model, with the block
@@ -891,32 +982,55 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 return r[0], r[1]
 
             def psum_dot(x, y):
+                mloc = jnp.asarray(mc_l, x.dtype)
+                if has_bath:
+                    mloc = mloc * jnp.asarray(aux["_wet2_c"], x.dtype)
                 loc = jnp.sum(
                     lg.Az(_Center, _Center)[:, :, :1][None]
-                    * jnp.asarray(mc_l, x.dtype) * x * y)
+                    * mloc * x * y)
                 return jax.lax.psum(loc, ("panel", "x", "y"))
 
+            if has_bath:
+                Hu_b = jnp.asarray(aux["_Hu"], dtype)
+                Hv_b = jnp.asarray(aux["_Hv"], dtype)
+                mu2 = mu * jnp.asarray(aux["_wet2_u"], dtype)
+                mv2 = mv * jnp.asarray(aux["_wet2_v"], dtype)
+                mc2 = mc * w2c
+            else:
+                Hu_b = Hv_b = None
+                mu2, mv2, mc2 = mu, mv, mc
+
             def euler_fs(s_eta, s_U, s_V, u_e, v_e, Gu, Gv, Geta, dt_):
+                if prescribed:
+                    return u_e, v_e, s_eta, s_U, s_V
+                um = u_e * wu3 if has_bath else u_e
+                vm = v_e * wv3 if has_bath else v_e
                 if isinstance(fs, ExplicitFreeSurface):
                     eta_e = s_eta + dt_ * Geta
-                    U_e, V_e = cs_barotropic_mode(lg, u_e, v_e)
-                    return u_e, v_e, eta_e, U_e * mu, V_e * mv
+                    U_e, V_e = cs_barotropic_mode(lg, um, vm)
+                    return u_e, v_e, eta_e, U_e * mu2, V_e * mv2
                 if isinstance(fs, ImplicitFreeSurface):
                     eta_e = cs_implicit_free_surface(
-                        lg, u_e, v_e, s_eta, dt_, fs, exch_eta, sync2d,
-                        mc_l, dot=psum_dot)
+                        lg, um, vm, s_eta, dt_, fs, exch_eta, sync2d,
+                        mc2, dot=psum_dot, Hu=Hu_b, Hv=Hv_b)
                     gx, gy = cs_eta_gradients(lg, eta_e)
-                    u_e = u_e - dt_ * fs.g * gx * mu
-                    v_e = v_e - dt_ * fs.g * gy * mv
-                    U_e, V_e = cs_barotropic_mode(lg, u_e, v_e)
-                    return u_e, v_e, eta_e, U_e * mu, V_e * mv
+                    u_e = u_e - dt_ * fs.g * gx * mu2
+                    v_e = v_e - dt_ * fs.g * gy * mv2
+                    um = u_e * wu3 if has_bath else u_e
+                    vm = v_e * wv3 if has_bath else v_e
+                    U_e, V_e = cs_barotropic_mode(lg, um, vm)
+                    return u_e, v_e, eta_e, U_e * mu2, V_e * mv2
                 GU, GV = cs_barotropic_mode(lg, Gu, Gv)
                 eta_f, U_f, V_f = cs_split_explicit_free_surface(
                     lg, s_U, s_V, s_eta, GU, GV, dt_, fs, exch_eta,
-                    sync2d, mu_l, mv_l)
-                u_e, v_e = cs_barotropic_correct(lg, u_e, v_e, U_f, V_f,
-                                                 mu_l, mv_l)
-                return u_e, v_e, eta_f, U_f, V_f
+                    sync2d, mu2, mv2, Hu=Hu_b, Hv=Hv_b)
+                u_c, v_c = cs_barotropic_correct(lg, um, vm, U_f, V_f,
+                                                 mu2, mv2,
+                                                 Hu=Hu_b, Hv=Hv_b)
+                if has_bath:
+                    u_c = u_c * wu3 + u_e * (1 - wu3)
+                    v_c = v_c * wv3 + v_e * (1 - wv3)
+                return u_c, v_c, eta_f, U_f, V_f
 
             dt_ = jnp.asarray(dt, state.u.dtype)
             psi = (state.u, state.v, state.eta,
@@ -956,6 +1070,8 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
 
         def step(state, dt):
             specs = state_specs(state)
+            aux_specs = {k: P("panel", "x", "y", None)
+                         for k in self.hy_aux}
             fn = shard_map(
                 sstep, mesh=mesh,
                 in_specs=(specs, P(), g2d_specs,
@@ -964,12 +1080,14 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                           P("panel", "x", "y", None) if has_forcing
                           else P(),
                           P("panel", "x", "y", None) if has_forcing
-                          else P()),
+                          else P(),
+                          aux_specs),
                 out_specs=specs, check_vma=False)
             z = jnp.zeros(())
             return fn(state, dt, fields2d, self.f_blocked,
                       self.cm_blocked,
                       self.lam_blocked if has_forcing else z,
-                      self.phi_blocked if has_forcing else z)
+                      self.phi_blocked if has_forcing else z,
+                      self.hy_aux)
 
         return jax.jit(step)

@@ -351,3 +351,90 @@ def test_hydrostatic_dist_split_explicit_bounded_collectives():
     # R=2 rides more mirrors than R=1, but boundedly (< 3x)
     assert counts[(2, 2)]["collective-permute"] \
         <= 3 * counts[(2, 1)]["collective-permute"], counts
+
+
+def test_hydrostatic_dist_global_ocean_matches_serial():
+    """The realistic-ocean configuration — immersed bathymetry, seawater
+    T/S buoyancy, wind-stress + heat-flux boundary conditions, momentum
+    forcing, split-explicit free surface — on the mirror-rank path at
+    R=1 and R=2 matches the serial stacked-panel model (reference
+    multi_region_models.jl regionalizes exactly these types)."""
+    from oceananigans_tpu.boundary_conditions import (
+        FieldBoundaryConditions, FluxBC,
+    )
+    from oceananigans_tpu.buoyancy import SeawaterBuoyancy
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+    from oceananigans_tpu.models.hydrostatic import (
+        SplitExplicitFreeSurface,
+    )
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedHydrostatic,
+    )
+    a = 6.37122e6
+    grid = ConformalCubedSphereGrid((16, 4), z=(-1000.0, 0.0), radius=a)
+
+    def bathy(lam, phi):
+        land = np.abs(phi) > 62.0
+        return np.where(land, 50.0,
+                        -1000.0 + 400.0 * np.exp(-((lam - 30.0) ** 2
+                                                   + phi ** 2) / 600.0))
+
+    model = CubedSphereHydrostaticModel(
+        grid,
+        bathymetry=bathy,
+        buoyancy=SeawaterBuoyancy(),
+        free_surface=SplitExplicitFreeSurface(substeps=8),
+        boundary_conditions={
+            "u": FieldBoundaryConditions(top=FluxBC(
+                lambda lam, phi, t: -8e-5
+                * jnp.sin(jnp.deg2rad(2 * phi)))),
+            "T": FieldBoundaryConditions(top=FluxBC(
+                lambda lam, phi, t: 1e-5
+                * jnp.cos(jnp.deg2rad(phi))))},
+        forcing={"v": lambda lam, phi, z, t:
+                 1e-9 * jnp.cos(jnp.deg2rad(phi)) + 0 * z + 0 * t},
+        tracers=())
+    state = model.initial_state(
+        T=lambda lam, phi, z: 15.0 + 10.0 * np.cos(np.deg2rad(phi))
+        * np.exp(z / 500.0), S=35.0)
+    for R, panels in ((1, 6), (2, 2)):
+        dhy = CubedSphereDistributedHydrostatic(model, R=R,
+                                                panels=panels)
+        _hydro_compare(model, dhy, state, n_steps=3, dt=300.0)
+
+
+def test_hydrostatic_dist_prescribed_velocities():
+    """PrescribedVelocityFields mode on the mirror-rank path: frozen
+    momentum, advected tracer, serial match."""
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel, panel_vector_components,
+    )
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedHydrostatic,
+    )
+    a = 6.37122e6
+    grid = ConformalCubedSphereGrid((16, 2), z=(-1000.0, 0.0), radius=a)
+    model = CubedSphereHydrostaticModel(
+        grid, tracers=("c",), buoyancy=None, prescribed_velocities=True)
+    u, v = panel_vector_components(
+        grid, lambda P: np.cross(np.array([0.0, 0.0, 10.0 / a]), P * a))
+    nz = grid.panel_grid.shape[2]
+    u3 = jnp.broadcast_to(u, (6, *u.shape[1:3], nz))
+    v3 = jnp.broadcast_to(v, (6, *v.shape[1:3], nz))
+    state = model.initial_state(
+        u=u3, v=v3,
+        c=lambda lam, phi, z: np.exp(-((lam - 90) ** 2 + phi ** 2) / 300))
+    dhy = CubedSphereDistributedHydrostatic(model, R=2, panels=2)
+    _hydro_compare(model, dhy, state, n_steps=4, dt=600.0)
+    # momentum really is frozen
+    b = dhy.to_local_state(state)
+    for _ in range(4):
+        b = dhy.step(b, 600.0)
+    final = dhy.from_local_state(b)
+    g = grid.panel_grid
+    sx, sy, sz = g.interior_slices
+    np.testing.assert_allclose(
+        np.asarray(final.u)[:, sx, sy, sz],
+        np.asarray(state.u)[:, sx, sy, sz], atol=1e-13)
