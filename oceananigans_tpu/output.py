@@ -50,6 +50,29 @@ def _fetch(model, state, output, with_halos=False):
     raise KeyError(f"unknown output {output!r}")
 
 
+def _output_location(model, output):
+    """Staggered location of a named output ("fcc" style letters, one per
+    axis — the reference's ``loc2letter``/``minimal_location_string``,
+    ``ext/OceananigansNCDatasetsExt.jl:97-108``). Callable outputs and
+    unknown names default to cell centers."""
+    from oceananigans_tpu.grids.base import Center, Face
+    if not isinstance(output, str):
+        return "ccc"
+    locs = getattr(model, "locations", None)
+    loc = None
+    if locs and output in locs:
+        loc = locs[output]
+    elif output in ("u", "uh"):
+        loc = (Face, Center, Center)
+    elif output in ("v", "vh"):
+        loc = (Center, Face, Center)
+    elif output == "w":
+        loc = (Center, Center, Face)
+    if loc is None:
+        return "ccc"
+    return "".join("f" if l == Face else "c" for l in loc)
+
+
 class HDF5Writer:
     """Writes named outputs on a schedule into one HDF5 file, with the
     time axis unlimited — the JLD2Writer equivalent
@@ -102,6 +125,7 @@ class HDF5Writer:
             self._initialized = False
 
     def _init_file(self, sim, shapes):
+        from oceananigans_tpu.grids.base import Face
         with h5py.File(self.filename, "a") as f:
             f.create_dataset("times", shape=(0,), maxshape=(None,),
                              dtype=np.float64)
@@ -112,13 +136,26 @@ class HDF5Writer:
             grp.create_dataset("x", data=np.asarray(g.xnodes()).ravel())
             grp.create_dataset("y", data=np.asarray(g.ynodes()).ravel())
             grp.create_dataset("z", data=np.asarray(g.znodes()).ravel())
+            # face coordinates for staggered fields (reference
+            # loc2letter per-location dims, OceananigansNCDatasetsExt)
+            try:
+                grp.create_dataset(
+                    "xF", data=np.asarray(g.xnodes(Face)).ravel())
+                grp.create_dataset(
+                    "yF", data=np.asarray(g.ynodes(Face)).ravel())
+                grp.create_dataset(
+                    "zF", data=np.asarray(g.znodes(Face)).ravel())
+            except TypeError:
+                pass    # curvilinear stacks expose centers only
             grp.attrs["Nx"], grp.attrs["Ny"], grp.attrs["Nz"] = g.N
             fg = f.create_group("fields")
             for name, shape in shapes.items():
-                fg.create_dataset(name, shape=(0, *shape),
-                                  maxshape=(None, *shape),
-                                  dtype=self.array_type,
-                                  chunks=(1, *shape))
+                ds = fg.create_dataset(name, shape=(0, *shape),
+                                       maxshape=(None, *shape),
+                                       dtype=self.array_type,
+                                       chunks=(1, *shape))
+                ds.attrs["location"] = _output_location(
+                    sim.model, self.outputs[name])
         self._initialized = True
 
     def write(self, sim):
@@ -167,23 +204,27 @@ class NetCDFWriter:
 
     @staticmethod
     def _coordinate_schema(g):
-        """CF coordinate schema per grid family (reference
-        ``ext/OceananigansNCDatasetsExt.jl`` dimension/attribute schema):
+        """CF coordinate schema per grid family, with BOTH staggerings of
+        every spatial axis (reference ``ext/OceananigansNCDatasetsExt.jl``
+        ``loc2letter``/``minimal_location_string`` per-location dims):
 
-        - rectilinear: 1-D ``x``/``y``/``z`` metric coordinates;
-        - LatitudeLongitude: 1-D ``longitude``/``latitude`` (degrees) +
-          ``z``;
-        - orthogonal shells (tripolar/rotated): index dims ``i``/``j`` +
-          2-D ``longitude(i, j)``/``latitude(i, j)`` auxiliary
-          coordinates and a CF ``coordinates`` attribute on each field;
-        - cubed sphere: ``panel``/``i``/``j`` dims + per-panel 2-D
-          geographic coordinates.
+        - rectilinear: ``x``/``xF`` … metric coordinates;
+        - LatitudeLongitude: ``longitude``/``longitude_f`` etc.;
+        - orthogonal shells: index dims ``i``/``i_f``/``j``/``j_f`` +
+          2-D geographic auxiliary coordinates at (c,c)/(f,c)/(c,f);
+        - cubed sphere: leading ``panel`` dim + the same.
 
-        Returns (dim list [(name, 1-D values, attrs)], aux list
-        [(name, nd values, attrs)], coordinates-attr or None).
+        Returns ``(panel_dim_or_None, axes, aux, coords)`` where ``axes``
+        is a per-spatial-axis list of ``{"c": (name, vals, attrs),
+        "f": (name, vals, attrs)}`` (face arrays are trimmed to N — the
+        first face of each interior cell — matching the writers'
+        interior views), ``aux`` the 2-D coordinate variables, and
+        ``coords`` a dict mapping horizontal staggering ("cc"/"fc"/"cf")
+        to the CF ``coordinates`` attribute value (or None).
         """
+        from oceananigans_tpu.grids.base import Face
         from oceananigans_tpu.grids.cubed_sphere_grid import (
-            ConformalCubedSphereGrid,
+            ConformalCubedSphereGrid, _panel_xyz,
         )
         from oceananigans_tpu.grids.latlon import LatitudeLongitudeGrid
         from oceananigans_tpu.grids.orthogonal import (
@@ -194,40 +235,115 @@ class NetCDFWriter:
             g = g.underlying_grid
         deg_e = {"units": "degrees_east", "standard_name": "longitude"}
         deg_n = {"units": "degrees_north", "standard_name": "latitude"}
-        zvals = np.asarray(g.znodes()).ravel()
-        zdim = ("z", zvals, {"units": "m", "positive": "up",
-                             "standard_name": "depth"})
+        zattrs = {"units": "m", "positive": "up",
+                  "standard_name": "depth"}
+
+        def zaxis():
+            zc = np.asarray(g.znodes()).ravel()
+            zf = np.asarray(g.znodes(Face)).ravel()[:len(zc)]
+            return {"c": ("z", zc, zattrs), "f": ("zF", zf, zattrs)}
+
         if isinstance(g, ConformalCubedSphereGrid):
             N = g.N_panel
-            dims = [("panel", np.arange(6), {"long_name": "cube panel"}),
-                    ("i", np.arange(N), {"long_name": "panel x index"}),
-                    ("j", np.arange(N), {"long_name": "panel y index"}),
-                    zdim]
+            panel = ("panel", np.arange(6), {"long_name": "cube panel"})
+            axes = [
+                {"c": ("i", np.arange(N),
+                       {"long_name": "panel x index"}),
+                 "f": ("i_f", np.arange(N),
+                       {"long_name": "panel x face index"})},
+                {"c": ("j", np.arange(N),
+                       {"long_name": "panel y index"}),
+                 "f": ("j_f", np.arange(N),
+                       {"long_name": "panel y face index"})},
+                zaxis(),
+            ]
+
+            # per-panel geographic coordinates at the three horizontal
+            # staggerings (faces trimmed to the first N)
+            def geo(xs, ys):
+                XX, YY = np.meshgrid(xs, ys, indexing="ij")
+                lam = np.zeros((6,) + XX.shape)
+                phi = np.zeros((6,) + XX.shape)
+                for p in range(6):
+                    P = _panel_xyz(p, XX.ravel(), YY.ravel()).reshape(
+                        *XX.shape, 3)
+                    phi[p] = np.rad2deg(np.arcsin(
+                        np.clip(P[..., 2], -1, 1)))
+                    lam[p] = np.rad2deg(np.arctan2(P[..., 1], P[..., 0]))
+                return lam, phi
+
+            d = 2.0 / N
+            tC = -1.0 + d * (np.arange(N) + 0.5)
+            tF = -1.0 + d * np.arange(N)
+            lam_fc, phi_fc = geo(tF, tC)
+            lam_cf, phi_cf = geo(tC, tF)
             aux = [("longitude", np.asarray(g.lam_cc), deg_e),
-                   ("latitude", np.asarray(g.phi_cc), deg_n)]
-            return dims, aux, "longitude latitude"
+                   ("latitude", np.asarray(g.phi_cc), deg_n),
+                   ("longitude_fc", lam_fc, deg_e),
+                   ("latitude_fc", phi_fc, deg_n),
+                   ("longitude_cf", lam_cf, deg_e),
+                   ("latitude_cf", phi_cf, deg_n)]
+            coords = {"cc": "longitude latitude",
+                      "fc": "longitude_fc latitude_fc",
+                      "cf": "longitude_cf latitude_cf"}
+            return panel, axes, aux, coords
         if isinstance(g, OrthogonalSphericalShellGrid):
             sx, sy, _ = g.interior_slices
-            lam = np.asarray(g.lamCC)[sx, sy, 0]
-            phi = np.asarray(g.phiCC)[sx, sy, 0]
-            dims = [("i", np.arange(g.Nx), {"long_name": "grid x index"}),
-                    ("j", np.arange(g.Ny), {"long_name": "grid y index"}),
-                    zdim]
-            aux = [("longitude", lam, deg_e), ("latitude", phi, deg_n)]
-            return dims, aux, "longitude latitude"
+            axes = [
+                {"c": ("i", np.arange(g.Nx),
+                       {"long_name": "grid x index"}),
+                 "f": ("i_f", np.arange(g.Nx),
+                       {"long_name": "grid x face index"})},
+                {"c": ("j", np.arange(g.Ny),
+                       {"long_name": "grid y index"}),
+                 "f": ("j_f", np.arange(g.Ny),
+                       {"long_name": "grid y face index"})},
+                zaxis(),
+            ]
+            aux = [("longitude", np.asarray(g.lamCC)[sx, sy, 0], deg_e),
+                   ("latitude", np.asarray(g.phiCC)[sx, sy, 0], deg_n),
+                   ("longitude_fc", np.asarray(g.lamFC)[sx, sy, 0],
+                    deg_e),
+                   ("latitude_fc", np.asarray(g.phiFC)[sx, sy, 0],
+                    deg_n),
+                   ("longitude_cf", np.asarray(g.lamCF)[sx, sy, 0],
+                    deg_e),
+                   ("latitude_cf", np.asarray(g.phiCF)[sx, sy, 0],
+                    deg_n)]
+            coords = {"cc": "longitude latitude",
+                      "fc": "longitude_fc latitude_fc",
+                      "cf": "longitude_cf latitude_cf"}
+            return None, axes, aux, coords
         if isinstance(g, LatitudeLongitudeGrid):
-            dims = [("longitude", np.asarray(g.xnodes()).ravel(), deg_e),
-                    ("latitude", np.asarray(g.ynodes()).ravel(), deg_n),
-                    zdim]
-            return dims, [], None
-        dims = [("x", np.asarray(g.xnodes()).ravel(), {"units": "m"}),
-                ("y", np.asarray(g.ynodes()).ravel(), {"units": "m"}),
-                zdim]
-        return dims, [], None
+            axes = [
+                {"c": ("longitude", np.asarray(g.xnodes()).ravel(),
+                       deg_e),
+                 "f": ("longitude_f",
+                       np.asarray(g.xnodes(Face)).ravel()[:g.N[0]],
+                       deg_e)},
+                {"c": ("latitude", np.asarray(g.ynodes()).ravel(),
+                       deg_n),
+                 "f": ("latitude_f",
+                       np.asarray(g.ynodes(Face)).ravel()[:g.N[1]],
+                       deg_n)},
+                zaxis(),
+            ]
+            return None, axes, [], {}
+        m = {"units": "m"}
+        axes = [
+            {"c": ("x", np.asarray(g.xnodes()).ravel(), m),
+             "f": ("xF", np.asarray(g.xnodes(Face)).ravel()[:g.N[0]],
+                   m)},
+            {"c": ("y", np.asarray(g.ynodes()).ravel(), m),
+             "f": ("yF", np.asarray(g.ynodes(Face)).ravel()[:g.N[1]],
+                   m)},
+            zaxis(),
+        ]
+        return None, axes, [], {}
 
     def _init_file(self, sim, shapes):
         g = sim.model.grid
-        dims, aux, coord_attr = self._coordinate_schema(g)
+        panel, axes, aux, coords = self._coordinate_schema(g)
         with h5py.File(self.filename, "a") as f:
             for key, val in self.global_attributes.items():
                 f.attrs[key] = val
@@ -238,32 +354,63 @@ class NetCDFWriter:
             t.attrs["units"] = "seconds"
             t.attrs["long_name"] = "model time"
             t.make_scale("time")
-            scales = []
-            for name, vals, attrs in dims:
+
+            def make_scale_ds(name, vals, attrs):
                 d = f.create_dataset(name, data=vals)
                 for k, v in attrs.items():
                     d.attrs[k] = v
                 d.make_scale(name)
-                scales.append((name, d, len(vals)))
+                return d
+
+            if panel is not None:
+                panel_ds = make_scale_ds(*panel)
+            scale_ds = []      # per spatial axis: {"c": ds, "f": ds}
+            for ax in axes:
+                scale_ds.append({key: make_scale_ds(*ent)
+                                 for key, ent in ax.items()})
             for name, vals, attrs in aux:
                 d = f.create_dataset(name, data=vals)
                 for k, v in attrs.items():
                     d.attrs[k] = v
             for name, shape in shapes.items():
+                loc = _output_location(sim.model, self.outputs[name])
                 ds = f.create_dataset(name, shape=(0, *shape),
                                       maxshape=(None, *shape),
                                       dtype=self.array_type,
                                       chunks=(1, *shape))
+                ds.attrs["location"] = loc
                 ds.dims[0].attach_scale(f["time"])
-                si = 0
+                off = 1 if panel is not None else 0
                 for di, n in enumerate(shape, start=1):
-                    while si < len(scales) and scales[si][2] != n:
-                        si += 1
-                    if si < len(scales):
-                        ds.dims[di].attach_scale(scales[si][1])
-                        si += 1
-                if coord_attr is not None:
-                    ds.attrs["coordinates"] = coord_attr
+                    ax = di - 1
+                    if panel is not None and ax == 0:
+                        if n != 6:
+                            raise ValueError(
+                                f"output {name!r}: leading axis has "
+                                f"length {n}, expected 6 panels")
+                        ds.dims[di].attach_scale(panel_ds)
+                        continue
+                    sp = ax - off
+                    if sp >= 3:
+                        raise ValueError(
+                            f"output {name!r} has more than 3 spatial "
+                            f"axes (shape {shape})")
+                    sds = scale_ds[sp][loc[sp]]
+                    ln = sds.shape[0]
+                    if n == 1 and ln != 1:
+                        continue        # reduced axis (e.g. eta's z)
+                    if ln != n:
+                        raise ValueError(
+                            f"output {name!r} axis {sp} has length {n} "
+                            f"but its {loc[sp]!r}-located coordinate "
+                            f"{sds.name!r} has {ln}; writer outputs "
+                            f"must be interior-shaped")
+                    ds.dims[di].attach_scale(sds)
+                hloc = loc[:2]
+                if coords.get(hloc):
+                    ds.attrs["coordinates"] = coords[hloc]
+                elif coords.get("cc"):
+                    ds.attrs["coordinates"] = coords["cc"]
         self._initialized = True
 
     def write(self, sim):
