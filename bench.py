@@ -1,13 +1,27 @@
-"""Benchmark harness: nonhydrostatic 256³ step throughput on one chip.
+"""Benchmark harness.
 
-Mirrors the reference's headline benchmark
-(``benchmark/benchmarkable_nonhydrostatic_model.jl:20-30``: median wall time
-per ``time_step!`` of a default ``NonhydrostaticModel`` on a 256³ grid;
-V100 Float64 baseline 56.4 ms -> 0.2976e9 grid-points/s, see BASELINE.md).
+Default (what the driver runs): nonhydrostatic 256³ step throughput on
+one chip, mirroring the reference's headline benchmark
+(``benchmark/benchmarkable_nonhydrostatic_model.jl:20-30``: median wall
+time per ``time_step!`` of a default ``NonhydrostaticModel`` on a 256³
+grid; V100 Float64 baseline 56.4 ms -> 0.2976e9 grid-points/s, see
+BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Runs in the TPU-native configuration (float32; the baseline is the
-reference's published Float64 V100 number).
+``BENCH_CONFIG`` selects a configuration (VERDICT r3 ask 4: per-config
+on-chip perf capture), each printing ONE JSON line
+{"metric", "value", "unit", "vs_baseline"}:
+
+- ``default``  — 256³ Centered-2 AB2 (the published-benchmark model);
+- ``science``  — 256³ Centered-2 AB2 + f-plane + BuoyancyTracer +
+  1 passive tracer (the fused SCIENCE kernel path real runs take);
+- ``weno``     — 256³ WENO-5 momentum + 2 WENO-5 tracers, AB2;
+- ``hydro_vi`` — 360×160×60 hydrostatic WENOVectorInvariant + WENO-7
+  tracers + split-explicit free surface (the realistic global config);
+- ``sw8192``   — shallow-water 8192² (vs the reference's 166.8 ms V100
+  Float64 row, ``docs/src/appendix/benchmarks.md:57``).
+
+Runs in the TPU-native configuration (float32; the baselines are the
+reference's published Float64 V100 numbers).
 """
 
 import json
@@ -26,100 +40,201 @@ from oceananigans_tpu import RectilinearGrid, Periodic, Bounded
 from oceananigans_tpu.models import NonhydrostaticModel
 
 BASELINE_PTS_PER_S = 256 ** 3 / 56.4e-3   # V100 Float64, benchmarks.md:107
+SW_BASELINE_8192 = 166.8e-3               # V100 Float64, benchmarks.md:57
 
 
-def main():
-    N = int(os.environ.get("BENCH_N", "256"))
-    # the axon tunnel charges ~50 ms of fixed dispatch+fetch latency per
-    # jitted call regardless of work; 150 steps per dispatch window
-    # amortizes that to ~0.3 ms/step (a real deployment pays it once per
-    # output interval, not per step)
-    inner = int(os.environ.get("BENCH_INNER", "150"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+def _bench_window(make_multi_step, state, inner, repeats):
+    """Best per-step time over ``repeats`` windows of ``inner`` steps.
 
-    # TPU-native axis layout: the bounded (vertical) axis leads, the two
-    # periodic axes are halo-free and land in the (sublane, lane) dims —
-    # in-register roll wraps ARE the periodic boundary, and the fused
-    # Pallas tendency kernel's slab windows align to the (8, 128) tiling
-    # with zero padding. Physically identical to the reference's
-    # (Periodic, Periodic, Bounded) benchmark box.
-    grid = RectilinearGrid(size=(N, N, N), extent=(1.0, 1.0, 1.0),
-                           topology=(Bounded, Periodic, Periodic),
-                           halo=(1, 0, 0), dtype="float32")
-
-    # reference-default benchmark config: AB2 stepping (one pressure solve
-    # per step, like the published numbers), second-order centered
-    # advection; fused_kernels="auto" engages the Pallas momentum-tendency
-    # kernel on TPU (bitwise-validated against the XLA path)
-    def build(fused):
-        return NonhydrostaticModel(grid=grid,
-                                   timestepper="QuasiAdamsBashforth2",
-                                   fused_kernels=fused)
-
-    model = build("auto")
-    # analytic initial condition evaluated on device (uploading host RNG
-    # fields through the axon tunnel costs minutes at 256³)
-    state = model.initial_state(
-        u=lambda x, y, z: 0.01 * jnp.sin(8 * np.pi * x)
-        * jnp.cos(6 * np.pi * y) * jnp.cos(2 * np.pi * z),
-        v=lambda x, y, z: 0.01 * jnp.cos(4 * np.pi * x)
-        * jnp.sin(6 * np.pi * y))
-    dt = jnp.float32(1e-4)
-
-    # the same window pattern Simulation.run dispatches: one defensive
-    # halo fill at window entry, then assume_filled steps (each step ends
-    # with a fill, so the leading fills of steps 2..n are redundant)
-    @partial(jax.jit, donate_argnums=0)
-    def multi_step(s):
-        s = model.fill_state_halos(s)
-        return jax.lax.fori_loop(
-            0, inner, lambda i, s_: model.step(s_, dt, assume_filled=True),
-            s)
-
-    # warm-up/compile; if the fused kernel fails to compile in this
-    # environment, fall back to the plain XLA path (bench must not die)
-    try:
-        state = jax.block_until_ready(multi_step(state))
-    except Exception:
-        model = build(False)
-        if hasattr(model.pressure_solver, "fused"):
-            model.pressure_solver.fused = False
-        state = model.initial_state(
-            u=lambda x, y, z: 0.01 * jnp.sin(8 * np.pi * x)
-            * jnp.cos(6 * np.pi * y) * jnp.cos(2 * np.pi * z),
-            v=lambda x, y, z: 0.01 * jnp.cos(4 * np.pi * x)
-            * jnp.sin(6 * np.pi * y))
-
-        @partial(jax.jit, donate_argnums=0)
-        def multi_step(s):
-            s = model.fill_state_halos(s)
-            return jax.lax.fori_loop(
-                0, inner,
-                lambda i, s_: model.step(s_, dt, assume_filled=True), s)
-
-        state = jax.block_until_ready(multi_step(state))
-
+    The axon tunnel charges ~50 ms fixed dispatch+fetch latency per
+    jitted call regardless of work; ``inner`` steps per dispatch window
+    amortize that (a real deployment pays it once per output interval,
+    not per step). A scalar fetch forces completion (the tunnel's
+    block_until_ready can return early for pure-array outputs)."""
+    multi_step = make_multi_step()
+    state = jax.block_until_ready(multi_step(state))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         state = jax.block_until_ready(multi_step(state))
-        # fetch a scalar: the tunnel's block_until_ready can return
-        # before device work completes for pure-array outputs
-        float(jnp.sum(state.u[:1]))
-        el = (time.perf_counter() - t0) / inner
-        best = min(best, el)
+        leaf = jax.tree_util.tree_leaves(state)[0]
+        float(jnp.sum(leaf.ravel()[:1]))
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return best, state
+
+
+def _nonhydro(config, N, inner, repeats):
+    """Nonhydrostatic configurations on the TPU-native axis layout: the
+    bounded (vertical) axis leads, the two periodic axes are halo-free
+    and land in the (sublane, lane) dims — in-register roll wraps ARE
+    the periodic boundary and the fused Pallas kernels' slab windows
+    align to the (8, 128) tiling with zero padding. Physically identical
+    to the reference's (Periodic, Periodic, Bounded) benchmark box."""
+    # halo-free periodic y/z: the in-register roll wraps ARE the
+    # periodic boundary, and the fused kernels' slab windows align to
+    # the (8, 128) tiling with zero padding
+    halo = (3, 0, 0) if config == "weno" else (1, 0, 0)
+    grid = RectilinearGrid(size=(N, N, N), extent=(1.0, 1.0, 1.0),
+                           topology=(Bounded, Periodic, Periodic),
+                           halo=halo, dtype="float32")
+
+    def build(fused):
+        kw = {}
+        if config == "science":
+            from oceananigans_tpu import BuoyancyTracer, FPlane
+            kw = dict(coriolis=FPlane(f=1e-4), buoyancy=BuoyancyTracer(),
+                      tracers=("b", "c"))
+        elif config == "weno":
+            from oceananigans_tpu.advection import WENO
+            kw = dict(advection=WENO(5), tracers=("T", "S"))
+        m = NonhydrostaticModel(grid=grid,
+                                timestepper="QuasiAdamsBashforth2",
+                                fused_kernels=fused, **kw)
+        if not fused and hasattr(m.pressure_solver, "fused"):
+            m.pressure_solver.fused = False
+        return m
+
+    def init(m):
+        kw = {}
+        for t in m.tracer_names:
+            kw[t] = (lambda x, y, z: 0.01 * z + 0.001
+                     * jnp.cos(2 * np.pi * y))
+        return m.initial_state(
+            u=lambda x, y, z: 0.01 * jnp.sin(8 * np.pi * x)
+            * jnp.cos(6 * np.pi * y) * jnp.cos(2 * np.pi * z),
+            v=lambda x, y, z: 0.01 * jnp.cos(4 * np.pi * x)
+            * jnp.sin(6 * np.pi * y), **kw)
+
+    dt = jnp.float32(1e-4)
+
+    def run(fused):
+        m = build(fused)
+        s = init(m)
+
+        def make():
+            @partial(jax.jit, donate_argnums=0)
+            def multi_step(st):
+                st = m.fill_state_halos(st)
+                return jax.lax.fori_loop(
+                    0, inner,
+                    lambda i, s_: m.step(s_, dt, assume_filled=True), st)
+            return multi_step
+
+        return _bench_window(make, s, inner, repeats)
+
+    try:
+        best, _ = run("auto")
+    except Exception:
+        best, _ = run(False)
 
     pts_per_s = N ** 3 / best
+    tag = "" if config == "default" else f"_{config}"
     print(json.dumps({
-        "metric": f"nonhydrostatic_{N}cubed_points_per_s",
+        "metric": f"nonhydrostatic_{N}cubed{tag}_points_per_s",
         "value": pts_per_s,
         "unit": "grid-points/s/chip (float32)",
         "vs_baseline": pts_per_s / BASELINE_PTS_PER_S,
         # apples-to-apples: the reference's published float32 V100 time
         # (38.8 ms, docs/src/appendix/benchmarks.md:124)
         "vs_baseline_f32": pts_per_s / (N ** 3 / 38.8e-3)
-        if N == 256 else None,
+        if N == 256 and config == "default" else None,
+        "ms_per_step": best * 1e3,
     }))
+
+
+def _hydro_vi(inner, repeats):
+    from oceananigans_tpu.advection import WENO
+    from oceananigans_tpu.models import (
+        HydrostaticFreeSurfaceModel, SplitExplicitFreeSurface,
+        WENOVectorInvariant,
+    )
+    Nx, Ny, Nz = (int(os.environ.get("BENCH_NX", "360")),
+                  int(os.environ.get("BENCH_NY", "160")),
+                  int(os.environ.get("BENCH_NZ", "60")))
+    grid = RectilinearGrid(size=(Nx, Ny, Nz), extent=(4e7, 2e7, 4e3),
+                           topology=(Periodic, Bounded, Bounded),
+                           dtype="float32")
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, momentum_advection=WENOVectorInvariant(),
+        tracer_advection=WENO(7), tracers=("T", "S"),
+        free_surface=SplitExplicitFreeSurface(substeps=30))
+    state = model.initial_state(
+        u=lambda x, y, z: 0.1 * jnp.sin(2 * np.pi * x / 4e7)
+        * jnp.cos(np.pi * y / 2e7),
+        T=lambda x, y, z: 20.0 + 8e-4 * z + 1e-7 * y,
+        S=lambda x, y, z: 35.0 + 1e-8 * y)
+    dt = jnp.float32(60.0)
+
+    def make():
+        @partial(jax.jit, donate_argnums=0)
+        def multi_step(st):
+            return jax.lax.fori_loop(
+                0, inner, lambda i, s_: model.step(s_, dt), st)
+        return multi_step
+
+    best, _ = _bench_window(make, state, inner, repeats)
+    npts = Nx * Ny * Nz
+    print(json.dumps({
+        "metric": f"hydrostatic_vi_{Nx}x{Ny}x{Nz}_points_per_s",
+        "value": npts / best,
+        "unit": "grid-points/s/chip (float32)",
+        # per-point cost vs the reference's nonhydrostatic headline (no
+        # published hydrostatic V100 row exists)
+        "vs_baseline": (npts / best) / BASELINE_PTS_PER_S,
+        "ms_per_step": best * 1e3,
+    }))
+
+
+def _shallow_water(inner, repeats):
+    from oceananigans_tpu import Flat
+    from oceananigans_tpu.models import ShallowWaterModel
+    N = int(os.environ.get("BENCH_N", "8192"))
+    # x halo 8 (sublane-aligned slab windows for the fused Pallas RK3
+    # stage kernel), halo-free periodic y (in-register roll wraps ARE
+    # the boundary)
+    grid = RectilinearGrid(size=(N, N), x=(0.0, 1e6), y=(0.0, 1e6),
+                           topology=(Periodic, Periodic, Flat),
+                           halo=(8, 0, 0), dtype="float32")
+    model = ShallowWaterModel(grid=grid,
+                              gravitational_acceleration=9.81)
+    state = model.initial_state(
+        h=lambda x, y, z: 1000.0 + jnp.sin(2 * np.pi * x / 1e6)
+        * jnp.cos(2 * np.pi * y / 1e6),
+        uh=lambda x, y, z: 100.0 * jnp.cos(2 * np.pi * y / 1e6))
+    dt = jnp.float32(1.0)
+
+    def make():
+        @partial(jax.jit, donate_argnums=0)
+        def multi_step(st):
+            return jax.lax.fori_loop(
+                0, inner, lambda i, s_: model.step(s_, dt), st)
+        return multi_step
+
+    best, _ = _bench_window(make, state, inner, repeats)
+    baseline = SW_BASELINE_8192 * (N / 8192) ** 2
+    print(json.dumps({
+        "metric": f"shallow_water_{N}sq_ms_per_step",
+        "value": best * 1e3,
+        "unit": "ms/step (float32)",
+        "vs_baseline": baseline / best,   # speedup over V100 f64 row
+    }))
+
+
+def main():
+    config = os.environ.get("BENCH_CONFIG", "default")
+    inner = int(os.environ.get("BENCH_INNER", "150"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    if config in ("default", "science", "weno"):
+        N = int(os.environ.get("BENCH_N", "256"))
+        if config == "weno":
+            inner = int(os.environ.get("BENCH_INNER", "60"))
+        _nonhydro(config, N, inner, repeats)
+    elif config == "hydro_vi":
+        _hydro_vi(int(os.environ.get("BENCH_INNER", "30")), repeats)
+    elif config == "sw8192":
+        _shallow_water(int(os.environ.get("BENCH_INNER", "60")), repeats)
+    else:
+        raise SystemExit(f"unknown BENCH_CONFIG {config!r}")
 
 
 if __name__ == "__main__":

@@ -577,7 +577,10 @@ class CubedSphereHydrostaticState:
     """Stacked-panel hydrostatic state: (6, nx, ny, nz) u, v, tracers;
     (6, nx, ny, 1) eta and persistent barotropic transports U, V (the
     split-explicit free surface's own prognostic state; barotropic mode
-    of the velocities otherwise)."""
+    of the velocities otherwise). ``Gu``/``Gv``/``Geta``/``Gtracers``
+    carry the previous tendencies under the quasi-AB2 stepper (None for
+    RK3) — checkpointed, so AB2 restarts are exact (reference
+    ``checkpointer.jl:20-26``)."""
     u: jnp.ndarray
     v: jnp.ndarray
     eta: jnp.ndarray
@@ -585,6 +588,10 @@ class CubedSphereHydrostaticState:
     clock: Clock
     U: jnp.ndarray = None
     V: jnp.ndarray = None
+    Gu: jnp.ndarray = None
+    Gv: jnp.ndarray = None
+    Geta: jnp.ndarray = None
+    Gtracers: Dict[str, jnp.ndarray] = None
 
     def fields(self):
         return {"u": self.u, "v": self.v, "eta": self.eta,
@@ -619,6 +626,8 @@ class CubedSphereHydrostaticModel:
                  bathymetry=None,
                  free_surface=None,
                  prescribed_velocities=False,
+                 timestepper="RungeKutta3",
+                 vertical_coordinate=None,
                  corner_upwind_width=4):
         """``closure``: any closure (or tuple) from the main stack — it is
         applied per panel through the standard
@@ -666,7 +675,37 @@ class CubedSphereHydrostaticModel:
 
         ``prescribed_velocities=True`` freezes (u, v, eta) and steps
         only the tracers (reference ``PrescribedVelocityFields`` in the
-        regionalized-type list, ``multi_region_models.jl:35-45``)."""
+        regionalized-type list, ``multi_region_models.jl:35-45``).
+
+        ``timestepper``: "RungeKutta3" (SSP-RK3, default) or
+        "QuasiAdamsBashforth2" (χ-weighted AB2 with a branch-free Euler
+        first step; the tendency history lives in the state and is
+        checkpointed — reference ``quasi_adams_bashforth_2.jl:74-175``
+        in the regionalized-type list).
+
+        ``vertical_coordinate``: ``ZCoordinate()`` (fixed z, default) or
+        ``ZStar()`` — free-surface-following vertical spacings, AB2
+        stepper only (σ-weighted tendencies + post-update σⁿ/σⁿ⁺¹
+        rescale conserve ∫σ q dV exactly; reference
+        ``z_star_vertical_spacing.jl`` in the regionalized-type list)."""
+        if timestepper in ("AB2", "ab2"):
+            timestepper = "QuasiAdamsBashforth2"
+        if timestepper not in ("RungeKutta3", "QuasiAdamsBashforth2"):
+            raise ValueError(f"unknown timestepper {timestepper!r}")
+        self.timestepper = timestepper
+        from oceananigans_tpu.models.hydrostatic import ZCoordinate, ZStar
+        if vertical_coordinate is None:
+            vertical_coordinate = ZCoordinate()
+        self.vertical_coordinate = vertical_coordinate
+        self._zstar = isinstance(vertical_coordinate, ZStar)
+        if self._zstar and timestepper != "QuasiAdamsBashforth2":
+            raise ValueError("cubed-sphere ZStar needs "
+                             "timestepper='QuasiAdamsBashforth2'")
+        if self._zstar and bathymetry is not None:
+            raise NotImplementedError(
+                "cubed-sphere ZStar over immersed bathymetry is not "
+                "wired yet (the dia-surface grid-motion correction "
+                "assumes full columns)")
         self.corner_upwind_width = int(corner_upwind_width)
         self.grid = grid
         self.g = float(gravitational_acceleration)
@@ -906,10 +945,16 @@ class CubedSphereHydrostaticModel:
                     * jnp.asarray(self._mask_c, dtype)
             else:
                 tr[name] = jnp.asarray(val, dtype)
+        ab2 = self.timestepper == "QuasiAdamsBashforth2"
         state = CubedSphereHydrostaticState(
             u=u, v=v, eta=jnp.asarray(eta, dtype), tracers=tr,
             clock=Clock.start(time=float(time), dtype=dtype),
-            U=jnp.zeros_like(zero2), V=jnp.zeros_like(zero2))
+            U=jnp.zeros_like(zero2), V=jnp.zeros_like(zero2),
+            Gu=jnp.zeros_like(zero3) if ab2 else None,
+            Gv=jnp.zeros_like(zero3) if ab2 else None,
+            Geta=jnp.zeros_like(zero2) if ab2 else None,
+            Gtracers={n: jnp.zeros_like(zero3)
+                      for n in self.tracer_names} if ab2 else None)
         state = self.fill_state_halos(state)
         # persistent barotropic transports from the initial velocities
         # (reference initialize_free_surface!,
@@ -973,26 +1018,60 @@ class CubedSphereHydrostaticModel:
         return a
 
     # ------------------------------------------------------------------
-    def _panel_w(self, u, v):
-        """w at z-faces from continuity (per panel)."""
-        g = self.grid.panel_grid
+    def _sigma_field(self, eta):
+        """z-star column stretching σ = (H + η)/H per column (σ = 1 on
+        land columns); stacked (6, nx, ny, 1)."""
+        if self._Hc is not None:
+            H = jnp.asarray(self._Hc, eta.dtype)
+        else:
+            H = jnp.asarray(cs_column_depth(self.grid.panel_grid),
+                            eta.dtype)
+        Hs = jnp.where(H > 0, H, 1.0)
+        return jnp.where(H > 0, 1.0 + eta / Hs, 1.0)
+
+    def _panel_w(self, u, v, g=None):
+        """w at z-faces from continuity (per panel); ``g`` overrides the
+        panel grid (the σ-scaled view under ZStar, in which case this is
+        the DIA-SURFACE velocity ω: the grid motion h(z)/H·H∂tσ is
+        subtracted so ω vanishes at the moving surface — reference
+        ``compute_w_from_continuity.jl`` z-star branch)."""
+        # the grid-motion correction applies only under ACTUAL ZStar —
+        # the bathymetry path passes a neutral σ=1 scaled view whose w
+        # must stay the plain continuity integral
+        scaled = (g is not None and hasattr(g, "sigma")
+                  and getattr(self, "_zstar", False))
+        if g is None:
+            g = self.grid.panel_grid
+        base = getattr(g, "base", g)
         hdiv = (dx_c(g.dy(Center, Face) * u)
                 + dy_c(g.dx(Center, Face) * v)) / g.Az(Center, Center)
-        dz = jnp.broadcast_to(g.dz(Center), g.shape)
-        k = jnp.arange(g.shape[2]).reshape(1, 1, -1)
-        interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
+        dz = jnp.broadcast_to(g.dz(Center), base.shape)
+        k = jnp.arange(base.shape[2]).reshape(1, 1, -1)
+        interior = (k >= base.Hz) & (k < base.Hz + base.Nz)
         contrib = jnp.where(interior, hdiv * dz, 0.0)
         csum = jnp.cumsum(contrib, axis=2)
         w = -jnp.where(k == 0, 0.0,
                        jnp.roll(csum, 1, 2))
+        if scaled:
+            total = jnp.sum(contrib, axis=2, keepdims=True)
+            dz0 = jnp.broadcast_to(base.dz(Center), base.shape)
+            hb = jnp.roll(jnp.cumsum(jnp.where(interior, dz0, 0.0), 2),
+                          1, 2)
+            hb = jnp.where(k == 0, 0.0, hb)
+            H = jnp.sum(jnp.where(interior, dz0, 0.0), axis=2,
+                        keepdims=True)
+            w = w + jnp.where(H > 0, hb / jnp.where(H > 0, H, 1.0),
+                              0.0) * total
         return w
 
-    def _panel_pressure(self, b):
+    def _panel_pressure(self, b, g=None):
         """p′ = −∫_z^0 b dz′ at centers (per panel)."""
-        g = self.grid.panel_grid
-        dz = jnp.broadcast_to(g.dz(Center), g.shape)
-        k = jnp.arange(g.shape[2]).reshape(1, 1, -1)
-        interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
+        if g is None:
+            g = self.grid.panel_grid
+        base = getattr(g, "base", g)
+        dz = jnp.broadcast_to(g.dz(Center), base.shape)
+        k = jnp.arange(base.shape[2]).reshape(1, 1, -1)
+        interior = (k >= base.Hz) & (k < base.Hz + base.Nz)
         contrib = jnp.where(interior, b * dz, 0.0)
         total = jnp.sum(contrib, axis=2, keepdims=True)
         below_incl = jnp.cumsum(contrib, axis=2)
@@ -1010,16 +1089,19 @@ class CubedSphereHydrostaticModel:
         return b
 
     def _panel_tendencies(self, u, v, eta, f_ff, zeta, tracers,
-                          wet_u=None, wet_v=None):
+                          wet_u=None, wet_v=None, sigma=None):
         g = self.grid.panel_grid
+        if sigma is not None:
+            from oceananigans_tpu.models.hydrostatic import _ScaledZGrid
+            g = _ScaledZGrid(g, sigma)
         # transports/divergences use the wet-MASKED velocities (zero flux
         # through the immersed bottom); gradients and shear use the
         # mirrored fields the exchange produced (free-slip extension)
         um = u if wet_u is None else u * wet_u
         vm = v if wet_v is None else v * wet_v
-        w = self._panel_w(um, vm)
+        w = self._panel_w(um, vm, g)
         b = self._buoyancy_ccc(g, tracers)
-        p = self._panel_pressure(b) if b is not None else 0.0
+        p = self._panel_pressure(b, g) if b is not None else 0.0
         # the distributed view namespaces default to the explicit form
         eta_term = (self.g * eta
                     if getattr(self, "_explicit_eta_grad", True) else 0.0)
@@ -1070,18 +1152,22 @@ class CubedSphereHydrostaticModel:
         return Gu, Gv, w
 
     def _panel_fluxes(self, u, v, w, tracers, wet_u=None, wet_v=None,
-                      wet_w=None):
+                      wet_w=None, sigma=None):
         """Barotropic + tracer fluxes (horizontal parts edge-synced by
         the caller). With immersed bathymetry, every advective flux
         through a solid face is zeroed (the reference's conditional
         immersed fluxes, ``immersed_advective_fluxes.jl``)."""
         from oceananigans_tpu.advection import _face_value, _scheme_for
         g = self.grid.panel_grid
+        if sigma is not None:
+            from oceananigans_tpu.models.hydrostatic import _ScaledZGrid
+            g = _ScaledZGrid(g, sigma)
+        base = getattr(g, "base", g)
         um = u if wet_u is None else u * wet_u
         vm = v if wet_v is None else v * wet_v
-        dz = jnp.broadcast_to(g.dz(Center), g.shape)
-        k = jnp.arange(g.shape[2]).reshape(1, 1, -1)
-        interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
+        dz = jnp.broadcast_to(g.dz(Center), base.shape)
+        k = jnp.arange(base.shape[2]).reshape(1, 1, -1)
+        interior = (k >= base.Hz) & (k < base.Hz + base.Nz)
         dzi = jnp.where(interior, dz, 0.0)
         # vertically integrated transports (for eta)
         U = jnp.sum(um * dzi, axis=2, keepdims=True)
@@ -1107,9 +1193,12 @@ class CubedSphereHydrostaticModel:
             Ft[name] = (fcx, fcy, fcz)
         return Fx, Fy, Ft
 
-    def _panel_divergences(self, Fx, Fy, Ft):
+    def _panel_divergences(self, Fx, Fy, Ft, sigma=None):
         from oceananigans_tpu.ops.operators import dz_c
         g = self.grid.panel_grid
+        if sigma is not None:
+            from oceananigans_tpu.models.hydrostatic import _ScaledZGrid
+            g = _ScaledZGrid(g, sigma)
         Geta = -(dx_c(Fx) + dy_c(Fy)) \
             / g.Az(Center, Center)[:, :, :1]
         Gt = {}
@@ -1189,25 +1278,37 @@ class CubedSphereHydrostaticModel:
             state.u, state.v)
         zeta = cubed_sphere_corner_vorticity(zeta, state.u, state.v,
                                              self.grid)
-        if self._wet_u is None:
+        zstar = getattr(self, "_zstar", False)
+        sig = self._sigma_field(state.eta) if zstar else None
+        if self._wet_u is None and not zstar:
             Gu, Gv, w = jax.vmap(self._panel_tendencies,
                                  in_axes=(0, 0, 0, 0, 0, 0))(
                 state.u, state.v, state.eta, f, zeta, state.tracers)
             Fx, Fy, Ft = jax.vmap(self._panel_fluxes)(
                 state.u, state.v, w, state.tracers)
         else:
-            wu = jnp.asarray(self._wet_u, dtype)
-            wv = jnp.asarray(self._wet_v, dtype)
-            ww = jnp.asarray(self._wet_w, dtype)
+            # neutral (all-ones) masks keep the vmapped signatures
+            # uniform; ×1.0 is bitwise exact
+            ones2 = jnp.ones((6, 1, 1, 1), dtype)
+            if self._wet_u is not None:
+                wu = jnp.asarray(self._wet_u, dtype)
+                wv = jnp.asarray(self._wet_v, dtype)
+                ww = jnp.asarray(self._wet_w, dtype)
+            else:
+                wu = wv = ww = ones2
+            sg = sig if sig is not None else ones2
             Gu, Gv, w = jax.vmap(self._panel_tendencies)(
                 state.u, state.v, state.eta, f, zeta, state.tracers,
-                wu, wv)
+                wu, wv, sg)
             Fx, Fy, Ft = jax.vmap(self._panel_fluxes)(
-                state.u, state.v, w, state.tracers, wu, wv, ww)
+                state.u, state.v, w, state.tracers, wu, wv, ww, sg)
         Fx, Fy = cubed_sphere_sync_edge_fluxes(Fx, Fy, self.grid)
         Ft = {n: (*cubed_sphere_sync_edge_fluxes(fx_, fy_, self.grid),
                   fz_) for n, (fx_, fy_, fz_) in Ft.items()}
-        Geta, Gt = jax.vmap(self._panel_divergences)(Fx, Fy, Ft)
+        if sig is None:
+            Geta, Gt = jax.vmap(self._panel_divergences)(Fx, Fy, Ft)
+        else:
+            Geta, Gt = jax.vmap(self._panel_divergences)(Fx, Fy, Ft, sig)
 
         diffusivities = None
         if self.closure is not None:
@@ -1362,6 +1463,75 @@ class CubedSphereHydrostaticModel:
         return u_c, v_c, eta_f, U_f, V_f
 
     def step(self, state, dt, assume_filled=False):
+        if self.timestepper == "QuasiAdamsBashforth2":
+            return self._ab2_step(state, dt, assume_filled=assume_filled)
+        return self._rk3_step(state, dt, assume_filled=assume_filled)
+
+    def _ab2_step(self, state, dt, chi=0.1, assume_filled=False):
+        """χ-weighted quasi-AB2 step with a branch-free Euler first step
+        (reference ``quasi_adams_bashforth_2.jl:74-175`` +
+        ``hydrostatic_free_surface_ab2_step.jl``): the AB2-effective
+        tendency drives the momentum/tracer update AND the barotropic
+        machinery (slow forcing of the split-explicit substeps /
+        explicit η step)."""
+        from oceananigans_tpu import closures as closures_mod
+        from oceananigans_tpu.timesteppers import ab2_coefficients
+        dt = jnp.asarray(dt, state.u.dtype)
+        s = state if assume_filled else self.fill_state_halos(state)
+        c_now, c_prev = ab2_coefficients(s.clock.iteration, chi)
+        Gu, Gv, Geta, Gt, diff = self.compute_tendencies(s)
+        zstar = getattr(self, "_zstar", False)
+        if zstar:
+            # store σ-WEIGHTED tendencies: only those telescope exactly
+            # across the moving grid (reference
+            # z_star_vertical_spacing.jl; flat-model _step_qab2)
+            sigma_n = self._sigma_field(s.eta)
+            six_u = jax.vmap(ix_f)(sigma_n)
+            six_v = jax.vmap(iy_f)(sigma_n)
+            Gu = Gu * six_u
+            Gv = Gv * six_v
+            Gt = {n: Gt[n] * sigma_n for n in self.tracer_names}
+        Gu_eff = c_now * Gu + c_prev * s.Gu
+        Gv_eff = c_now * Gv + c_prev * s.Gv
+        Geta_eff = c_now * Geta + c_prev * s.Geta
+        Gt_eff = {n: c_now * Gt[n] + c_prev * s.Gtracers[n]
+                  for n in self.tracer_names}
+        if zstar:
+            u_e = s.u + dt * Gu_eff / six_u
+            v_e = s.v + dt * Gv_eff / six_v
+        else:
+            u_e = s.u + dt * Gu_eff
+            v_e = s.v + dt * Gv_eff
+        u, v, eta, U, V = self._euler_free_surface(
+            s, u_e, v_e, Gu_eff, Gv_eff, Geta_eff, dt)
+        if zstar:
+            tracers = {n: s.tracers[n] + dt * Gt_eff[n] / sigma_n
+                       for n in self.tracer_names}
+            # grid update σⁿ -> σⁿ⁺¹: rescale so ∫ σ q dV is conserved
+            sigma_np1 = self._sigma_field(eta)
+            ratio = sigma_n / sigma_np1
+            u = u * jax.vmap(ix_f)(ratio)
+            v = v * jax.vmap(iy_f)(ratio)
+            tracers = {n: c * ratio for n, c in tracers.items()}
+        else:
+            tracers = {n: s.tracers[n] + dt * Gt_eff[n]
+                       for n in self.tracer_names}
+        if self.closure is not None and \
+                closures_mod.closure_is_vertically_implicit(self.closure):
+            g = self.grid.panel_grid
+
+            def panel_implicit(uu, vv, tts, dd):
+                return closures_mod.implicit_vertical_diffusion_step(
+                    g, self.closure, dd, dt, u=uu, v=vv, tracers=tts)
+
+            u, v, tracers = jax.vmap(panel_implicit)(u, v, tracers, diff)
+        s = dataclasses.replace(
+            s, u=u, v=v, eta=eta, U=U, V=V, tracers=tracers,
+            Gu=Gu, Gv=Gv, Geta=Geta, Gtracers=Gt,
+            clock=tick(s.clock, dt))
+        return self.fill_state_halos(s)
+
+    def _rk3_step(self, state, dt, assume_filled=False):
         """SSP (Shu-Osher) RK3 with per-stage exchange; each stage is a
         full-Δt Euler substage (with its own free-surface treatment —
         explicit, split-explicit substepping, or implicit CG solve)
@@ -1435,6 +1605,10 @@ class CubedSphereHydrostaticModel:
         dV = (g.Az(Center, Center)[sx, sy, :1]
               * jnp.broadcast_to(g.dz(Center), g.shape)[sx, sy, sz])
         c = state.tracers[name][:, sx, sy, sz]
+        if getattr(self, "_zstar", False):
+            # the conserved content is ∫ σ c dV (the actual stretched
+            # water column)
+            c = c * self._sigma_field(state.eta)[:, sx, sy, :]
         if self._wet_c is not None:
             c = c * jnp.asarray(self._wet_c, c.dtype)[:, sx, sy, sz]
         return jnp.sum(c * dV)

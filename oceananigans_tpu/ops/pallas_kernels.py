@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["centered2_momentum_tendency", "pallas_available",
            "pressure_correction", "correction_available",
-           "centered2_ab2_update", "ab2_fused_available"]
+           "centered2_ab2_update", "ab2_fused_available",
+           "centered2_science_ab2_update"]
 
 
 def pallas_available(grid, advection) -> bool:
@@ -405,6 +406,191 @@ def ab2_fused_available(grid, advection) -> bool:
     ny = grid.N[1] + 2 * grid.H[1]
     nz = grid.N[2] + 2 * grid.H[2]
     return ny % 8 == 0 and nz % 128 == 0
+
+
+def _science_kernel(T, buoy_idx, refs, *, TX, inv_dx, inv_dy, inv_dz):
+    """Fused Centered-2 science step: momentum tendency + f-plane
+    Coriolis + buoyancy-tracer forcing + T tracer advections + quasi-AB2
+    updates of every prognostic field, one HBM pass.
+
+    ``refs`` layout: [coef(SMEM: a, b, f)] + HBM inputs
+    [u, v, w, c×T, Gu⁻, Gv⁻, Gw⁻, Gc⁻×T] + HBM outputs
+    [u', v', w', c'×T, Gu, Gv, Gw, Gc×T] + scratch
+    [win(u, v, w, c×T), slab(G⁻ ×(3+T)), slab(out ×(6+2T)), isems,
+    osems].
+    """
+    nin = 3 + T
+    coef_ref = refs[0]
+    hbm_in = refs[1:1 + 2 * nin]
+    hbm_out = refs[1 + 2 * nin:1 + 4 * nin]
+    rest = refs[1 + 4 * nin:]
+    wins = rest[:nin]
+    gprev_s = rest[nin:2 * nin]
+    outs_s = rest[2 * nin:4 * nin]
+    isems, osems = rest[4 * nin], rest[4 * nin + 1]
+
+    i = pl.program_id(0)
+    x0 = i * TX
+
+    cps = []
+    for s, (src, dst) in enumerate(zip(hbm_in[:nin], wins)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(x0, TX + 2)], dst,
+                                   isems.at[s])
+        cp.start()
+        cps.append(cp)
+    for s, (src, dst) in enumerate(zip(hbm_in[nin:], gprev_s)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(x0 + 1, TX)], dst,
+                                   isems.at[nin + s])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    u = wins[0][:]
+    v = wins[1][:]
+    w = wins[2][:]
+    gu, gv, gw = _centered2_body(u, v, w, TX=TX, inv_dx=inv_dx,
+                                 inv_dy=inv_dy, inv_dz=inv_dz)
+
+    def ym(a):
+        return pltpu.roll(a, 1, 1)
+
+    def yp(a):
+        return pltpu.roll(a, a.shape[1] - 1, 1)
+
+    def zm(a):
+        return pltpu.roll(a, 1, 2)
+
+    def zp(a):
+        return pltpu.roll(a, a.shape[2] - 1, 2)
+
+    P = slice(1, TX + 1)
+    a_c = coef_ref[0]
+    b_c = coef_ref[1]
+    f = coef_ref[2]
+
+    # f-plane Coriolis: Gu += f ℑxᶠ(ℑyᶜ v), Gv −= f ℑyᶠ(ℑxᶜ u)
+    # (face j sits between centers j−1 and j: ℑ_c = (q + q[+1])/2,
+    # ℑ_f = (q[−1] + q)/2 — reference f_plane.jl:8)
+    iyc_v = 0.5 * (v + yp(v))
+    gu = gu + f * 0.5 * (iyc_v[0:TX] + iyc_v[1:TX + 1])
+    ixc_u = 0.5 * (u[1:TX + 1] + u[2:TX + 2])
+    gv = gv - f * 0.5 * (ym(ixc_u) + ixc_u)
+
+    # buoyancy tracer: Gw += ℑzᶠ(b) (BuoyancyTracer, gravity −ẑ)
+    if buoy_idx is not None:
+        b_c3 = wins[3 + buoy_idx][:][P]
+        gw = gw + 0.5 * (zm(b_c3) + b_c3)
+
+    gcs = []
+    for t in range(T):
+        c = wins[3 + t][:]
+        c_c = c[P]
+        # x-faces p = 1..TX+1: u[p]·ℑxᶠ(c)[p]
+        fx = u[1:TX + 2] * 0.5 * (c[0:TX + 1] + c[1:TX + 2])
+        gc = -(fx[1:] - fx[:-1]) * inv_dx
+        fy = v[P] * 0.5 * (ym(c_c) + c_c)
+        gc = gc - (yp(fy) - fy) * inv_dy
+        fz = w[P] * 0.5 * (zm(c_c) + c_c)
+        gc = gc - (zp(fz) - fz) * inv_dz
+        gcs.append(gc)
+
+    news = [u[P] + a_c * gu + b_c * gprev_s[0][:],
+            v[P] + a_c * gv + b_c * gprev_s[1][:],
+            w[P] + a_c * gw + b_c * gprev_s[2][:]]
+    for t in range(T):
+        news.append(wins[3 + t][:][P] + a_c * gcs[t]
+                    + b_c * gprev_s[3 + t][:])
+    gs = [gu, gv, gw] + gcs
+    for s_ref, val in zip(outs_s, news + gs):
+        s_ref[:] = val
+
+    ocps = []
+    for s, (src, dst) in enumerate(zip(outs_s, hbm_out)):
+        cp = pltpu.make_async_copy(src, dst.at[pl.ds(x0 + 1, TX)],
+                                   osems.at[s])
+        cp.start()
+        ocps.append(cp)
+    for cp in ocps:
+        cp.wait()
+
+
+def centered2_science_ab2_update(grid, u, v, w, tracers, Gu_prev,
+                                 Gv_prev, Gw_prev, Gc_prev, a, b,
+                                 f=0.0, buoyancy_tracer=None,
+                                 tile_x=None, interpret=False):
+    """Fused Centered-2 SCIENCE step: momentum tendency + f-plane
+    Coriolis + BuoyancyTracer forcing + tracer advection + quasi-AB2
+    update of every prognostic field in ONE HBM pass — the round-3
+    ``centered2_ab2_update`` extended from the bare benchmark
+    configuration to the buoyancy+Coriolis+tracer configuration real
+    runs use (reference tendency assembly
+    ``nonhydrostatic_tendency_kernel_functions.jl:47-78`` + AB2
+    ``quasi_adams_bashforth_2.jl:128-154``).
+
+    ``tracers``/``Gc_prev``: name-keyed dicts (insertion order fixes the
+    kernel operand order); ``buoyancy_tracer``: tracer name entering Gw,
+    or None. Returns ``(u', v', w', {c'}, Gu, Gv, Gw, {Gc})``. Same
+    layout contract as ``centered2_ab2_update`` (halos pre-filled,
+    output halo rows unwritten/stale, pad-free (8, 128) y/z).
+    """
+    names = list(tracers)
+    T = len(names)
+    buoy_idx = names.index(buoyancy_tracer) \
+        if buoyancy_tracer is not None else None
+    nx, ny, nz = u.shape
+    if ny % 8 or nz % 128:
+        raise ValueError("fused AB2 kernel needs (8,128)-aligned y/z")
+    if tile_x is None:
+        budget = 64 * 1024 * 1024
+        tile_x = 8
+        nin = 3 + T
+        while tile_x > 1 and (nin * (tile_x + 2) + 3 * nin * tile_x) \
+                * ny * nz * u.dtype.itemsize > budget:
+            tile_x //= 2
+    TX = tile_x
+    while TX > 1 and (nx - 2) % TX:
+        TX //= 2
+    gx = (nx - 2) // TX
+    inv_dx = float(grid.Nx / grid.Lx) if grid.N[0] > 1 else 0.0
+    inv_dy = float(grid.Ny / grid.Ly) if grid.N[1] > 1 else 0.0
+    inv_dz = float(grid.Nz / grid.Lz) if grid.N[2] > 1 else 0.0
+
+    nin = 3 + T
+    coef = jnp.stack([jnp.asarray(a, u.dtype), jnp.asarray(b, u.dtype),
+                      jnp.asarray(f, u.dtype)])
+
+    def kern(*refs):
+        _science_kernel(T, buoy_idx, refs, TX=TX, inv_dx=inv_dx,
+                        inv_dy=inv_dy, inv_dz=inv_dz)
+
+    out_shape = [jax.ShapeDtypeStruct((nx, ny, nz), u.dtype)] * (2 * nin)
+    win = pltpu.VMEM((TX + 2, ny, nz), u.dtype)
+    slab = pltpu.VMEM((TX, ny, nz), u.dtype)
+    # the G⁻ inputs recycle as the G outputs (disjoint rows per program)
+    aliases = {1 + nin + k: nin + k for k in range(nin)}
+    ins = [u, v, w] + [tracers[n] for n in names] \
+        + [Gu_prev, Gv_prev, Gw_prev] + [Gc_prev[n] for n in names]
+    outs = pl.pallas_call(
+        kern,
+        grid=(gx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * nin),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * nin),
+        out_shape=out_shape,
+        scratch_shapes=[win] * nin + [slab] * nin + [slab] * (2 * nin)
+        + [pltpu.SemaphoreType.DMA((2 * nin,)),
+           pltpu.SemaphoreType.DMA((2 * nin,))],
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret or _config.pallas_interpret,
+    )(coef, *ins)
+    un, vn, wn = outs[0], outs[1], outs[2]
+    cn = {n: outs[3 + t] for t, n in enumerate(names)}
+    gu, gv, gw = outs[nin], outs[nin + 1], outs[nin + 2]
+    gc = {n: outs[nin + 3 + t] for t, n in enumerate(names)}
+    return un, vn, wn, cn, gu, gv, gw, gc
 
 
 def centered2_ab2_update(grid, u, v, w, Gu_prev, Gv_prev, Gw_prev,

@@ -728,6 +728,10 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
         if not isinstance(model, CubedSphereHydrostaticModel):
             raise ValueError("CubedSphereDistributedHydrostatic wraps a "
                              "CubedSphereHydrostaticModel")
+        if getattr(model, "_zstar", False):
+            raise NotImplementedError(
+                "ZStar on the distributed cubed sphere is not wired yet "
+                "(serial model only)")
         super().__init__(model, R=R, panels=panels, devices=devices)
         names = model.tracer_names
         T = len(names)
@@ -825,8 +829,10 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 _dz_row=getattr(model, "_dz_row", None),
                 _explicit_eta_grad=getattr(model, "_explicit_eta_grad",
                                            True))
-            view._panel_w = lambda uu, vv: HY._panel_w(view, uu, vv)
-            view._panel_pressure = lambda bb: HY._panel_pressure(view, bb)
+            view._panel_w = lambda uu, vv, gg=None: HY._panel_w(
+                view, uu, vv, gg)
+            view._panel_pressure = lambda bb, gg=None: HY._panel_pressure(
+                view, bb, gg)
             view._buoyancy_ccc = lambda gg, tr: HY._buoyancy_ccc(view, gg,
                                                                  tr)
             # blocked boundary-cell indicators (bathymetry) or the
@@ -1033,6 +1039,39 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 return u_c, v_c, eta_f, U_f, V_f
 
             dt_ = jnp.asarray(dt, state.u.dtype)
+            if getattr(model, "timestepper",
+                       "RungeKutta3") == "QuasiAdamsBashforth2":
+                from oceananigans_tpu.timesteppers import (
+                    ab2_coefficients,
+                )
+                u, v, tr, eta = fill(state.u, state.v,
+                                     dict(state.tracers), state.eta)
+                c_now, c_prev = ab2_coefficients(state.clock.iteration)
+                Gu, Gv, Geta, Gt, diff = tendencies(
+                    u, v, eta, tr, state.clock.time)
+                Gu_eff = c_now * Gu + c_prev * state.Gu
+                Gv_eff = c_now * Gv + c_prev * state.Gv
+                Geta_eff = c_now * Geta + c_prev * state.Geta
+                Gt_eff = {n: c_now * Gt[n] + c_prev * state.Gtracers[n]
+                          for n in names}
+                u_e = u + dt_ * Gu_eff
+                v_e = v + dt_ * Gv_eff
+                u, v, eta, U_, V_ = euler_fs(
+                    eta, state.U, state.V, u_e, v_e, Gu_eff, Gv_eff,
+                    Geta_eff, dt_)
+                tr = {n: tr[n] + dt_ * Gt_eff[n] for n in names}
+                if implicit:
+                    def panel_implicit(uu, vv, tts, dd):
+                        return (closures_mod
+                                .implicit_vertical_diffusion_step(
+                                    lg, model.closure, dd, dt_,
+                                    u=uu, v=vv, tracers=tts))
+                    u, v, tr = jax.vmap(panel_implicit)(u, v, tr, diff)
+                u, v, tr, eta = fill(u, v, tr, eta)
+                return dataclasses.replace(
+                    state, u=u, v=v, eta=eta, tracers=tr, U=U_, V=V_,
+                    Gu=Gu, Gv=Gv, Geta=Geta, Gtracers=Gt,
+                    clock=tick(state.clock, dt_))
             psi = (state.u, state.v, state.eta,
                    {n: state.tracers[n] for n in names},
                    state.U, state.V)

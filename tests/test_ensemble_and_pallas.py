@@ -266,3 +266,172 @@ def test_fused_ab2_gate_disables_with_extra_terms():
     m = NonhydrostaticModel(grid=grid, fused_kernels=True,
                             timestepper="RungeKutta3")
     assert not m.fused_ab2
+
+
+def test_fused_science_ab2_step_matches_plain():
+    """The SCIENCE fused kernel (centered2_science_ab2_update: momentum
+    + f-plane Coriolis + BuoyancyTracer + tracer advection + AB2 in one
+    pass) reproduces the plain path over several steps (VERDICT r3 ask
+    4: the fused path must cover the buoyancy+Coriolis+tracer
+    configuration, not just the empty benchmark)."""
+    from oceananigans_tpu import BuoyancyTracer, FPlane
+    from oceananigans_tpu.config import config
+
+    grid = RectilinearGrid(size=(16, 16, 128), extent=(1.0, 1.0, 1.0),
+                           topology=(Bounded, Periodic, Periodic),
+                           halo=(1, 0, 0), dtype="float32")
+
+    def build(fused):
+        return NonhydrostaticModel(
+            grid=grid, fused_kernels=fused,
+            timestepper="QuasiAdamsBashforth2",
+            coriolis=FPlane(f=1e-2), buoyancy=BuoyancyTracer(),
+            tracers=("b", "c"))
+
+    m_fused = build(True)
+    m_plain = build(False)
+    assert m_fused.fused_ab2_science
+    assert not m_fused.fused_ab2
+    assert not m_plain.fused_ab2_science
+
+    def init(m):
+        return m.initial_state(
+            u=lambda x, y, z: 0.1 * jnp.sin(4 * np.pi * x)
+            * jnp.cos(2 * np.pi * y),
+            v=lambda x, y, z: 0.1 * jnp.cos(2 * np.pi * x)
+            * jnp.sin(6 * np.pi * z),
+            b=lambda x, y, z: 0.01 * jnp.sin(2 * np.pi * z)
+            + 0.001 * jnp.cos(2 * np.pi * x),
+            c=lambda x, y, z: jnp.cos(2 * np.pi * y)
+            * jnp.sin(2 * np.pi * x))
+
+    dt = jnp.float32(1e-3)
+    old = config.pallas_interpret
+    config.pallas_interpret = True
+    try:
+        sf, sp = init(m_fused), init(m_plain)
+        step_f = jax.jit(lambda s: m_fused.step(s, dt))
+        step_p = jax.jit(lambda s: m_plain.step(s, dt))
+        for _ in range(4):
+            sf = step_f(sf)
+            sp = step_p(sp)
+    finally:
+        config.pallas_interpret = old
+    ii = grid.interior_slices
+    floor = float(np.abs(np.asarray(sp.u)).max())
+    # 1e-5 relative: the Coriolis/buoyancy adds reassociate the f32 sums
+    for name in ("u", "v", "w", "Gu", "Gv", "Gw"):
+        a = np.asarray(getattr(sf, name))[ii]
+        b = np.asarray(getattr(sp, name))[ii]
+        scale = max(float(np.abs(b).max()), floor)
+        assert np.abs(a - b).max() / scale < 1e-5, name
+    for name in ("b", "c"):
+        a = np.asarray(sf.tracers[name])[ii]
+        bb = np.asarray(sp.tracers[name])[ii]
+        ga = np.asarray(sf.Gtracers[name])[ii]
+        gb = np.asarray(sp.Gtracers[name])[ii]
+        assert np.abs(a - bb).max() / np.abs(bb).max() < 1e-5, name
+        # the tendency is a cancelling flux difference: scale by the
+        # individual flux-divergence term magnitude, not the residual
+        term = 2 * 16 * floor * float(np.abs(bb).max())
+        assert np.abs(ga - gb).max() < 1e-5 * term, "G" + name
+
+
+def test_fused_science_gate_excludes_unsupported_terms():
+    from oceananigans_tpu import BuoyancyTracer, FPlane
+    from oceananigans_tpu.closures import ScalarDiffusivity
+    from oceananigans_tpu.coriolis import BetaPlane
+
+    grid = RectilinearGrid(size=(16, 16, 128), extent=(1.0, 1.0, 1.0),
+                           topology=(Bounded, Periodic, Periodic),
+                           halo=(1, 0, 0), dtype="float32")
+    m = NonhydrostaticModel(grid=grid, fused_kernels=True,
+                            timestepper="QuasiAdamsBashforth2",
+                            coriolis=FPlane(f=1e-4), tracers=("b",),
+                            buoyancy=BuoyancyTracer())
+    assert m.fused_ab2_science
+    # a closure or non-f-plane rotation falls back to the XLA path
+    m = NonhydrostaticModel(grid=grid, fused_kernels=True,
+                            timestepper="QuasiAdamsBashforth2",
+                            coriolis=BetaPlane(f0=1e-4, beta=1e-11),
+                            tracers=("b",), buoyancy=BuoyancyTracer())
+    assert not m.fused_ab2_science
+    m = NonhydrostaticModel(grid=grid, fused_kernels=True,
+                            timestepper="QuasiAdamsBashforth2",
+                            closure=ScalarDiffusivity(nu=1e-4),
+                            tracers=("b",), buoyancy=BuoyancyTracer())
+    assert not m.fused_ab2_science
+
+
+def test_fused_sw_rk3_stage_matches_plain():
+    """The fused shallow-water RK3 stage kernel (ops/pallas_sw.py: one
+    HBM pass for tendencies + stage update) reproduces the plain XLA
+    path over several full steps."""
+    from oceananigans_tpu import Flat
+    from oceananigans_tpu.config import config
+    from oceananigans_tpu.models import ShallowWaterModel
+    from oceananigans_tpu.ops.pallas_sw import sw_fused_available
+
+    # f64: the stage kernel is exact vs the XLA path (verified to
+    # ~3e-15 single-stage); in f32 the ~100×-the-momentum-scale g·h·∂h
+    # term amplifies reassociation noise to ~1e-3 over multiple steps,
+    # which is roundoff, not error, but unusable as an assertion
+    grid = RectilinearGrid(size=(48, 128), x=(0.0, 1e5), y=(0.0, 1e5),
+                           topology=(Periodic, Periodic, Flat),
+                           halo=(8, 0, 0), dtype="float64")
+    model = ShallowWaterModel(grid=grid, gravitational_acceleration=9.81)
+    assert sw_fused_available(grid, model)
+
+    def init(m):
+        return m.initial_state(
+            h=lambda x, y, z: 1000.0 + jnp.sin(2 * np.pi * x / 1e5)
+            * jnp.cos(2 * np.pi * y / 1e5),
+            uh=lambda x, y, z: 100.0 * jnp.cos(2 * np.pi * y / 1e5),
+            vh=lambda x, y, z: 50.0 * jnp.sin(2 * np.pi * x / 1e5))
+
+    dt = 1.0
+    sp = init(model)
+    step_p = jax.jit(lambda s: model.step(s, dt))
+    for _ in range(4):
+        sp = step_p(sp)
+
+    old = config.pallas_interpret
+    config.pallas_interpret = True
+    model.fused_rk3 = True
+    try:
+        sf = init(model)
+        step_f = jax.jit(lambda s: model.step(s, dt))
+        for _ in range(4):
+            sf = step_f(sf)
+    finally:
+        model.fused_rk3 = False
+        config.pallas_interpret = old
+    ii = grid.interior_slices
+    # absolute 1e-9 against field magnitudes up to h ~ 1e3: ~1e-12
+    # relative to the dominant terms (Gh itself is a cancelling
+    # difference ~1e-4, so a bare per-field relative bound would
+    # amplify pure f64 roundoff)
+    for name in ("uh", "vh", "h", "Guh", "Gvh", "Gh"):
+        a = np.asarray(getattr(sf, name))[ii]
+        b = np.asarray(getattr(sp, name))[ii]
+        assert np.abs(a - b).max() < 1e-9, name
+
+
+def test_fused_sw_gate_excludes_unsupported():
+    from oceananigans_tpu import Flat, FPlane
+    from oceananigans_tpu.models import ShallowWaterModel
+    from oceananigans_tpu.ops.pallas_sw import sw_fused_available
+
+    grid = RectilinearGrid(size=(48, 128), x=(0.0, 1e5), y=(0.0, 1e5),
+                           topology=(Periodic, Periodic, Flat),
+                           halo=(8, 0, 0), dtype="float32")
+    m = ShallowWaterModel(grid=grid, coriolis=FPlane(f=1e-4))
+    assert not sw_fused_available(grid, m)
+    m = ShallowWaterModel(grid=grid, tracers=("c",))
+    assert not sw_fused_available(grid, m)
+    # small-halo grid: no aligned slab windows
+    grid2 = RectilinearGrid(size=(48, 128), x=(0.0, 1e5), y=(0.0, 1e5),
+                            topology=(Periodic, Periodic, Flat),
+                            halo=(3, 0, 0), dtype="float32")
+    m = ShallowWaterModel(grid=grid2)
+    assert not sw_fused_available(grid2, m)
