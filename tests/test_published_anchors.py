@@ -173,3 +173,96 @@ def test_williamson2_l2_error_converges_second_order():
     assert e32 < 1.2e-3, e32            # published-scale band at C32
     ratio = e16 / e32
     assert ratio > 3.0, (e16, e32)      # ≥ ~1.6th-order on (16, 32)
+
+def test_weno5_advection_convergence_order():
+    """1-D advection of a smooth profile one period with WENO-5: the
+    l2 error converges at the design order ~5 (reference
+    validation/convergence_tests one_dimensional_advection; WENO-Z
+    attains design order on smooth solutions with SIMPLE critical
+    points, Borges et al. 2008 — exp(sin) qualifies; profiles with
+    high-order-flat extrema like sin⁴ degrade any WENO).
+    Measured (f64): e32 = 8.81e-4, e64 = 2.93e-5, order 4.91."""
+    from oceananigans_tpu import WENO
+
+    def l2_error(N):
+        grid = RectilinearGrid(size=(N,), x=(0.0, 1.0),
+                               topology=(Periodic, Flat, Flat), halo=3)
+        model = NonhydrostaticModel(grid=grid, advection=WENO(5),
+                                    tracers=("c",),
+                                    timestepper="RungeKutta3")
+        state = model.initial_state(
+            u=1.0, c=lambda x, y, z: jnp.exp(jnp.sin(2 * np.pi * x)))
+        # small fixed Courant number; halve dt with dx so the spatial
+        # error dominates
+        dt = 0.05 / N
+        nsteps = int(round(1.0 / dt))
+        step = jax.jit(lambda s: model.step(s, jnp.asarray(dt)))
+        for _ in range(nsteps):
+            state = step(state)
+        sx, _, _ = grid.interior_slices
+        x = np.asarray(grid.xC).ravel()[sx]
+        exact = np.exp(np.sin(2 * np.pi * x))
+        got = np.asarray(state.tracers["c"])[sx, 0, 0]
+        return float(np.sqrt(np.mean((got - exact) ** 2)))
+
+    e1 = l2_error(32)
+    e2 = l2_error(64)
+    order = np.log2(e1 / e2)
+    assert order > 4.3, (e1, e2, order)
+    assert e2 < 1e-4, e2
+
+
+def test_inertial_oscillation_frequency():
+    """An unforced uniform flow on an f-plane rotates through inertial
+    circles at exactly ω = f (the textbook analytic solution): measured
+    from zero crossings of u over 2.5 periods."""
+    f = 1.0
+    grid = RectilinearGrid(size=(4, 4), x=(0.0, 1.0), y=(0.0, 1.0),
+                           topology=(Periodic, Periodic, Flat), halo=1)
+    model = NonhydrostaticModel(grid=grid, coriolis=FPlane(f=f),
+                                advection=None,
+                                timestepper="RungeKutta3")
+    state = model.initial_state(u=0.1)
+    dt = 0.005
+    step = jax.jit(lambda s: model.step(s, jnp.asarray(dt)))
+    probe = []
+    nsteps = int(2.5 * (2 * np.pi / f) / dt)
+    for _ in range(nsteps):
+        state = step(state)
+        probe.append(float(state.u[grid.Hx + 1, grid.Hy + 1, 0]))
+    probe = np.asarray(probe)
+    crossings = np.where(np.diff(np.sign(probe)) != 0)[0]
+    assert len(crossings) >= 4
+    period = 2.0 * np.mean(np.diff(crossings)) * dt
+    measured = 2 * np.pi / period
+    assert abs(measured - f) < 0.01 * f, measured
+
+
+def test_shallow_water_gravity_wave_dispersion():
+    """A standing shallow-water wave oscillates at ω = √(gH)·k
+    (e.g. Gill 1982 §5): measured from the surface-height probe."""
+    from oceananigans_tpu.models import ShallowWaterModel
+
+    g_grav, H = 9.81, 100.0
+    L = 1e5
+    k = 2 * np.pi / L
+    omega = np.sqrt(g_grav * H) * k
+    grid = RectilinearGrid(size=(64, 4), x=(0.0, L), y=(0.0, L),
+                           topology=(Periodic, Periodic, Flat), halo=3)
+    model = ShallowWaterModel(grid=grid,
+                              gravitational_acceleration=g_grav)
+    state = model.initial_state(
+        h=lambda x, y, z: H + 0.01 * jnp.cos(2 * np.pi * x / L))
+    dt = 10.0
+    step = jax.jit(lambda s: model.step(s, jnp.asarray(dt)))
+    probe = []
+    nsteps = int(2.5 * (2 * np.pi / omega) / dt)
+    for _ in range(nsteps):
+        state = step(state)
+        probe.append(float(state.h[grid.Hx, grid.Hy, 0]) - H)
+    probe = np.asarray(probe)
+    crossings = np.where(np.diff(np.sign(probe)) != 0)[0]
+    assert len(crossings) >= 4
+    period = 2.0 * np.mean(np.diff(crossings)) * dt
+    measured = 2 * np.pi / period
+    assert abs(measured - omega) < 0.02 * omega, (measured, omega)
