@@ -721,8 +721,16 @@ class HydrostaticFreeSurfaceModel:
         import jax as _jax
         _ok = (isinstance(momentum_advection, VectorInvariant)
                and _via(grid, momentum_advection))
+        # "auto" also refuses heavy z (lane) padding: a 68-lane extent
+        # padded to 128 does ~2x wasted VPU work in the VMEM slabs —
+        # measured ON-CHIP as a 27 -> 50 ms/step pessimization at
+        # 360x160x60. Explicit fused_kernels=True still forces the
+        # kernel on.
+        nztot = grid.N[2] + 2 * grid.H[2]
+        _lane_ok = (-(-nztot // 128) * 128) * 4 <= nztot * 5
         if fused_kernels == "auto":
-            self.fused_kernels = _ok and _jax.default_backend() != "cpu"
+            self.fused_kernels = (_ok and _lane_ok
+                                  and _jax.default_backend() != "cpu")
         else:
             self.fused_kernels = _ok and bool(fused_kernels)
         # fused generic-order WENO tracer advection (ops/pallas_tracer)
@@ -731,7 +739,8 @@ class HydrostaticFreeSurfaceModel:
         )
         _tok = _tfa(grid, tracer_advection)
         if fused_kernels == "auto":
-            self.fused_tracer = _tok and _jax.default_backend() != "cpu"
+            self.fused_tracer = (_tok and _lane_ok
+                                 and _jax.default_backend() != "cpu")
         else:
             self.fused_tracer = _tok and bool(fused_kernels)
         b = getattr(tracer_advection, "bind_grid", None)

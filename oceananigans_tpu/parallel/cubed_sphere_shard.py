@@ -728,10 +728,6 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
         if not isinstance(model, CubedSphereHydrostaticModel):
             raise ValueError("CubedSphereDistributedHydrostatic wraps a "
                              "CubedSphereHydrostaticModel")
-        if getattr(model, "_zstar", False):
-            raise NotImplementedError(
-                "ZStar on the distributed cubed sphere is not wired yet "
-                "(serial model only)")
         super().__init__(model, R=R, panels=panels, devices=devices)
         names = model.tracer_names
         T = len(names)
@@ -810,6 +806,7 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
         has_bath = getattr(model, "_wet_u", None) is not None
         has_bcs = bool(getattr(model, "bcs", None))
         prescribed = bool(getattr(model, "prescribed_velocities", False))
+        zstar = getattr(model, "_zstar", False)
 
         def sstep(state, dt, g2d, fff, cm, lam, phi, aux):
             dev = (jax.lax.axis_index("panel") * R
@@ -851,6 +848,9 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 lambda st, n, s: HY._boundary_value(view, st, n, s)
             view._eval_cs_flux = lambda bc, n, s, st, t, dt_: \
                 HY._eval_cs_flux(view, bc, n, s, st, t, dt_)
+            view._zstar = zstar
+            view._Hc = None
+            view._sigma_field = lambda e: HY._sigma_field(view, e)
             mu = jnp.asarray(mu_l, state.u.dtype)
             mv = jnp.asarray(mv_l, state.u.dtype)
             mc = jnp.asarray(mc_l, state.u.dtype)
@@ -893,6 +893,7 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 zeta = jax.vmap(
                     lambda up, vp: vorticity_z_ff(lg, up, vp))(u, v)
                 zeta = self._corner_fix(zeta, u, v, dev)
+                sig = view._sigma_field(eta) if zstar else None
                 if has_bath:
                     Gu, Gv, w = jax.vmap(
                         partial(HY._panel_tendencies, view))(
@@ -900,6 +901,16 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                     Fx, Fy, Ft = jax.vmap(
                         partial(HY._panel_fluxes, view))(
                         u, v, w, tr, wu3, wv3, ww3)
+                elif zstar:
+                    # zstar excludes bathymetry (serial model raises):
+                    # neutral all-ones wet masks, σ-scaled panel views
+                    ones2 = jnp.ones((u.shape[0], 1, 1, 1), u.dtype)
+                    Gu, Gv, w = jax.vmap(
+                        partial(HY._panel_tendencies, view))(
+                        u, v, eta, fff, zeta, tr, ones2, ones2, sig)
+                    Fx, Fy, Ft = jax.vmap(
+                        partial(HY._panel_fluxes, view))(
+                        u, v, w, tr, ones2, ones2, ones2, sig)
                 else:
                     Gu, Gv, w = jax.vmap(
                         partial(HY._panel_tendencies, view))(
@@ -916,8 +927,13 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                                           mean=True)
                     Ft = {n: (res[2 * i], res[2 * i + 1], Ft[n][2])
                           for i, n in enumerate(names)}
-                Geta, Gt = jax.vmap(
-                    partial(HY._panel_divergences, view))(Fx, Fy, Ft)
+                if sig is None:
+                    Geta, Gt = jax.vmap(
+                        partial(HY._panel_divergences, view))(Fx, Fy, Ft)
+                else:
+                    Geta, Gt = jax.vmap(
+                        partial(HY._panel_divergences, view))(Fx, Fy, Ft,
+                                                              sig)
                 diff = None
                 if model.closure is not None:
                     def panel_closure(uu, vv, tts):
@@ -1044,22 +1060,45 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 from oceananigans_tpu.timesteppers import (
                     ab2_coefficients,
                 )
+                from oceananigans_tpu.ops.operators import (
+                    ix_f as _ixf, iy_f as _iyf,
+                )
                 u, v, tr, eta = fill(state.u, state.v,
                                      dict(state.tracers), state.eta)
                 c_now, c_prev = ab2_coefficients(state.clock.iteration)
                 Gu, Gv, Geta, Gt, diff = tendencies(
                     u, v, eta, tr, state.clock.time)
+                if zstar:
+                    sigma_n = view._sigma_field(eta)
+                    six_u = jax.vmap(_ixf)(sigma_n)
+                    six_v = jax.vmap(_iyf)(sigma_n)
+                    Gu = Gu * six_u
+                    Gv = Gv * six_v
+                    Gt = {n: Gt[n] * sigma_n for n in names}
                 Gu_eff = c_now * Gu + c_prev * state.Gu
                 Gv_eff = c_now * Gv + c_prev * state.Gv
                 Geta_eff = c_now * Geta + c_prev * state.Geta
                 Gt_eff = {n: c_now * Gt[n] + c_prev * state.Gtracers[n]
                           for n in names}
-                u_e = u + dt_ * Gu_eff
-                v_e = v + dt_ * Gv_eff
+                if zstar:
+                    u_e = u + dt_ * Gu_eff / six_u
+                    v_e = v + dt_ * Gv_eff / six_v
+                else:
+                    u_e = u + dt_ * Gu_eff
+                    v_e = v + dt_ * Gv_eff
                 u, v, eta, U_, V_ = euler_fs(
                     eta, state.U, state.V, u_e, v_e, Gu_eff, Gv_eff,
                     Geta_eff, dt_)
-                tr = {n: tr[n] + dt_ * Gt_eff[n] for n in names}
+                if zstar:
+                    tr = {n: tr[n] + dt_ * Gt_eff[n] / sigma_n
+                          for n in names}
+                    sigma_np1 = view._sigma_field(eta)
+                    ratio = sigma_n / sigma_np1
+                    u = u * jax.vmap(_ixf)(ratio)
+                    v = v * jax.vmap(_iyf)(ratio)
+                    tr = {n: c * ratio for n, c in tr.items()}
+                else:
+                    tr = {n: tr[n] + dt_ * Gt_eff[n] for n in names}
                 if implicit:
                     def panel_implicit(uu, vv, tts, dd):
                         return (closures_mod

@@ -621,3 +621,42 @@ def test_cs_zstar_requires_ab2():
     grid = _grid(N=8, Nz=2)
     with pytest.raises(ValueError, match="ZStar"):
         CubedSphereHydrostaticModel(grid, vertical_coordinate=ZStar())
+
+
+def test_cs_zstar_dist_matches_serial():
+    """ZStar + AB2 + split-explicit on the mirror-rank distributed path
+    matches the serial stacked-panel model at R=2."""
+    from oceananigans_tpu.models.hydrostatic import ZStar
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedHydrostatic,
+    )
+    grid = _grid(N=16, Nz=3, depth=1000.0)
+    model = CubedSphereHydrostaticModel(
+        grid, timestepper="QuasiAdamsBashforth2",
+        vertical_coordinate=ZStar(),
+        free_surface=SplitExplicitFreeSurface(substeps=8),
+        tracers=("c",), buoyancy=None)
+    g = grid.panel_grid
+    eta0 = grid.set_tracer(
+        lambda lam, phi, z: 40.0 * np.exp(-((lam - 30) ** 2 + phi ** 2)
+                                          / 400.0) + 0 * z
+    )[..., g.Hz:g.Hz + 1]
+    state = model.initial_state(
+        eta=eta0, c=lambda lam, phi, z: 1.0 + 0.5 * np.cos(
+            np.deg2rad(phi)))
+    dhy = CubedSphereDistributedHydrostatic(model, R=2, panels=2)
+    bstate = dhy.to_local_state(state)
+    sstate = state
+    sstep = jax.jit(lambda s: model.step(s, 300.0))
+    for _ in range(3):
+        sstate = sstep(sstate)
+        bstate = dhy.step(bstate, 300.0)
+    dstate = dhy.from_local_state(bstate)
+    sx, sy, sz = g.interior_slices
+    np.testing.assert_allclose(
+        np.asarray(dstate.eta)[:, sx, sy],
+        np.asarray(sstate.eta)[:, sx, sy], rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(dstate.tracers["c"])[:, sx, sy, sz],
+        np.asarray(sstate.tracers["c"])[:, sx, sy, sz],
+        rtol=1e-12, atol=1e-13)
