@@ -259,9 +259,7 @@ class NonhydrostaticModel:
         _momentum_flux_bcs = partial(_any_flux_bcs, ("u", "v", "w"))
 
         _fused_common = (
-            self.fused_kernels == "centered2"
-            and timestepper == "QuasiAdamsBashforth2"
-            and ab2_fused_available(grid, self.advection)
+            timestepper == "QuasiAdamsBashforth2"
             and self.closure is None
             and self.stokes_drift is None
             and not self.background_fields
@@ -273,6 +271,18 @@ class NonhydrostaticModel:
                                   + tuple(self.tracer_names)))
         self.fused_ab2 = (
             _fused_common
+            and self.fused_kernels == "centered2"
+            and ab2_fused_available(grid, self.advection)
+            and self.coriolis is None
+            and self.buoyancy is None
+            and not self.tracer_names)
+        # WENO-5 pure-advection fast path: tendency + AB2 fused into one
+        # HBM pass (ops/pallas_weno.weno5_ab2_update)
+        from oceananigans_tpu.ops.pallas_weno import weno5_ab2_available
+        self.fused_ab2_weno = (
+            _fused_common
+            and self.fused_kernels == "weno5"
+            and weno5_ab2_available(grid, self.advection)
             and self.coriolis is None
             and self.buoyancy is None
             and not self.tracer_names)
@@ -289,6 +299,8 @@ class NonhydrostaticModel:
             and self.buoyancy.gravity_unit_vector == (0.0, 0.0, -1.0))
         self.fused_ab2_science = (
             _fused_common
+            and self.fused_kernels == "centered2"
+            and ab2_fused_available(grid, self.advection)
             and not self.fused_ab2
             and (self.coriolis is None or type(self.coriolis) is _FP)
             and _buoy_ok)
@@ -806,6 +818,17 @@ class NonhydrostaticModel:
                 self.grid, state.u, state.v, state.w,
                 state.Gu, state.Gv, state.Gw,
                 dt * c_now, dt * c_prev)
+            state = _replace(state, u=u, v=v, w=w, Gu=Gu, Gv=Gv, Gw=Gw)
+            diffusivities = None
+        elif (getattr(self, "fused_ab2_weno", False)
+              and not self.tendency_callbacks
+              and getattr(self, "dist_halo", None) is None):
+            from oceananigans_tpu.ops.pallas_weno import weno5_ab2_update
+            u, v, w, Gu, Gv, Gw = weno5_ab2_update(
+                self.grid, state.u, state.v, state.w,
+                state.Gu, state.Gv, state.Gw,
+                dt * c_now, dt * c_prev,
+                epsilon=self.advection.epsilon)
             state = _replace(state, u=u, v=v, w=w, Gu=Gu, Gv=Gv, Gw=Gw)
             diffusivities = None
         elif (getattr(self, "fused_ab2_science", False)

@@ -133,23 +133,10 @@ def _weno_face(s, U, eps):
     return jnp.where(U > 0, left, right)
 
 
-def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, gw_ref,
-            u_s, v_s, w_s, sems, *, TX, inv_dx, inv_dy, inv_dz, eps):
-    i = pl.program_id(0)
-    x0 = i * TX
-
-    cps = []
-    for src, dst, s in ((u_hbm, u_s, 0), (v_hbm, v_s, 1), (w_hbm, w_s, 2)):
-        cp = pltpu.make_async_copy(src.at[pl.ds(x0, TX + 2 * H)], dst,
-                                   sems.at[s])
-        cp.start()
-        cps.append(cp)
-    for cp in cps:
-        cp.wait()
-
-    u = u_s[:]
-    v = v_s[:]
-    w = w_s[:]
+def _weno5_body(u, v, w, *, TX, inv_dx, inv_dy, inv_dz, eps):
+    """WENO-5 momentum tendencies (gu, gv, gw) for the TX interior
+    x-rows of a (TX + 2H)-row VMEM window; shared by the tendency-only
+    and the fused tendency+AB2 kernels."""
 
     def yn(a, n):   # a[j+n] in y (sublane) — roll wrap = periodic/halo junk
         return pltpu.roll(a, (a.shape[1] - n) % a.shape[1], 1)
@@ -180,7 +167,6 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, gw_ref,
     fxz = Wadv * _weno_face({n: zn(u_c, n) for n in range(-3, 3)},
                             Wadv, eps)
     gu = gu - (zn(fxz, 1) - fxz) * inv_dz
-    gu_ref[:] = gu
 
     # ------------------------------------------------------------------
     # Gv at (c,f,c)
@@ -202,7 +188,6 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, gw_ref,
     fyz = Wadv * _weno_face({n: zn(v_c, n) for n in range(-3, 3)},
                             Wadv, eps)
     gv = gv - (zn(fyz, 1) - fyz) * inv_dz
-    gv_ref[:] = gv
 
     # ------------------------------------------------------------------
     # Gw at (c,c,f)
@@ -222,7 +207,136 @@ def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, gw_ref,
     fzz = Wadv * _weno_face({n: zn(w_c, n + 1) for n in range(-3, 3)},
                             Wadv, eps)
     gw = gw - (fzz - zn(fzz, -1)) * inv_dz
+    return gu, gv, gw
+
+
+def _kernel(u_hbm, v_hbm, w_hbm, gu_ref, gv_ref, gw_ref,
+            u_s, v_s, w_s, sems, *, TX, inv_dx, inv_dy, inv_dz, eps):
+    i = pl.program_id(0)
+    x0 = i * TX
+
+    cps = []
+    for src, dst, s in ((u_hbm, u_s, 0), (v_hbm, v_s, 1), (w_hbm, w_s, 2)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(x0, TX + 2 * H)], dst,
+                                   sems.at[s])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    gu, gv, gw = _weno5_body(u_s[:], v_s[:], w_s[:], TX=TX,
+                             inv_dx=inv_dx, inv_dy=inv_dy,
+                             inv_dz=inv_dz, eps=eps)
+    gu_ref[:] = gu
+    gv_ref[:] = gv
     gw_ref[:] = gw
+
+
+def _weno_ab2_kernel(coef_ref, u_hbm, v_hbm, w_hbm,
+                     gum_hbm, gvm_hbm, gwm_hbm,
+                     un_hbm, vn_hbm, wn_hbm, gu_hbm, gv_hbm, gw_hbm,
+                     u_s, v_s, w_s, gum_s, gvm_s, gwm_s,
+                     un_s, vn_s, wn_s, gu_s, gv_s, gw_s, isems, osems,
+                     *, TX, inv_dx, inv_dy, inv_dz, eps):
+    """Fused WENO-5 tendency + quasi-AB2 velocity update with direct
+    HBM slab stores (the WENO analog of ``_ab2_kernel`` in
+    ops/pallas_kernels.py): one read of (u, v, w, G⁻), one write of
+    (u', G) — the separate AB2 axpy pass and the interior-embed copies
+    of the tendency-only kernel disappear."""
+    i = pl.program_id(0)
+    x0 = i * TX
+
+    cps = []
+    for src, dst, s, lo, n in (
+            (u_hbm, u_s, 0, x0, TX + 2 * H),
+            (v_hbm, v_s, 1, x0, TX + 2 * H),
+            (w_hbm, w_s, 2, x0, TX + 2 * H),
+            (gum_hbm, gum_s, 3, x0 + H, TX),
+            (gvm_hbm, gvm_s, 4, x0 + H, TX),
+            (gwm_hbm, gwm_s, 5, x0 + H, TX)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(lo, n)], dst, isems.at[s])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    gu, gv, gw = _weno5_body(u_s[:], v_s[:], w_s[:], TX=TX,
+                             inv_dx=inv_dx, inv_dy=inv_dy,
+                             inv_dz=inv_dz, eps=eps)
+    a = coef_ref[0]
+    b = coef_ref[1]
+    C = slice(H, TX + H)
+    un_s[:] = u_s[C] + a * gu + b * gum_s[:]
+    vn_s[:] = v_s[C] + a * gv + b * gvm_s[:]
+    wn_s[:] = w_s[C] + a * gw + b * gwm_s[:]
+    gu_s[:] = gu
+    gv_s[:] = gv
+    gw_s[:] = gw
+
+    ocps = []
+    for src, dst, s in ((un_s, un_hbm, 0), (vn_s, vn_hbm, 1),
+                        (wn_s, wn_hbm, 2), (gu_s, gu_hbm, 3),
+                        (gv_s, gv_hbm, 4), (gw_s, gw_hbm, 5)):
+        cp = pltpu.make_async_copy(src, dst.at[pl.ds(x0 + H, TX)],
+                                   osems.at[s])
+        cp.start()
+        ocps.append(cp)
+    for cp in ocps:
+        cp.wait()
+
+
+def weno5_ab2_available(grid, advection) -> bool:
+    """Everything ``weno5_available`` needs PLUS pad-free (8, 128)
+    alignment of the full y/z extents (direct full-shape HBM stores)."""
+    if not weno5_available(grid, advection):
+        return False
+    ny = grid.N[1] + 2 * grid.H[1]
+    nz = grid.N[2] + 2 * grid.H[2]
+    return ny % 8 == 0 and nz % 128 == 0
+
+
+def weno5_ab2_update(grid, u, v, w, Gu_prev, Gv_prev, Gw_prev, a, b,
+                     epsilon=1e-8, tile_x=8, interpret=False):
+    """Fused WENO-5 momentum tendency + quasi-AB2 update.
+
+    Returns ``(u', v', w', Gu, Gv, Gw)`` with
+    ``u' = u + a·Gu + b·Gu_prev`` — same contract as
+    ``centered2_ab2_update`` (halos pre-filled; the velocity outputs'
+    x-halo rows are unwritten; the G outputs alias G_prev's buffers)."""
+    nx, ny, nz = u.shape
+    if ny % 8 or nz % 128:
+        raise ValueError("fused WENO AB2 kernel needs (8,128)-aligned "
+                         "y/z")
+    TX = tile_x
+    while TX > 1 and (nx - 2 * H) % TX:
+        TX //= 2
+    gx = (nx - 2 * H) // TX
+    inv_dx = float(grid.Nx / grid.Lx) if grid.N[0] > 1 else 0.0
+    inv_dy = float(grid.Ny / grid.Ly) if grid.N[1] > 1 else 0.0
+    inv_dz = float(grid.Nz / grid.Lz) if grid.N[2] > 1 else 0.0
+
+    coef = jnp.stack([jnp.asarray(a, u.dtype), jnp.asarray(b, u.dtype)])
+    kern = partial(_weno_ab2_kernel, TX=TX, inv_dx=inv_dx,
+                   inv_dy=inv_dy, inv_dz=inv_dz, eps=float(epsilon))
+    out_shape = [jax.ShapeDtypeStruct((nx, ny, nz), u.dtype)] * 6
+    win = pltpu.VMEM((TX + 2 * H, ny, nz), u.dtype)
+    slab = pltpu.VMEM((TX, ny, nz), u.dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(gx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
+        out_shape=out_shape,
+        scratch_shapes=[win, win, win, slab, slab, slab,
+                        slab, slab, slab, slab, slab, slab,
+                        pltpu.SemaphoreType.DMA((6,)),
+                        pltpu.SemaphoreType.DMA((6,))],
+        input_output_aliases={4: 3, 5: 4, 6: 5},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret or _config.pallas_interpret,
+    )(coef, u, v, w, Gu_prev, Gv_prev, Gw_prev)
 
 
 def weno5_momentum_tendency(grid, u, v, w, epsilon=1e-8, tile_x=None,

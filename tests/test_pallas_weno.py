@@ -138,3 +138,60 @@ def test_model_dispatches_weno5_kernel_tag():
     assert m3.fused_kernels in (False, "weno5")
     if jax.default_backend() == "cpu":
         assert m3.fused_kernels is False
+
+
+def test_weno5_ab2_fused_step_matches_plain():
+    """The fused WENO-5 tendency+AB2 kernel (weno5_ab2_update, direct
+    HBM slab stores, G buffers aliased) reproduces the tendency-kernel +
+    AB2-axpy path over several full steps."""
+    import jax
+
+    from oceananigans_tpu import (
+        Bounded, Periodic, RectilinearGrid, WENO,
+    )
+    from oceananigans_tpu.config import config
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.ops.pallas_weno import weno5_ab2_available
+
+    grid = RectilinearGrid(size=(16, 16, 128), extent=(1.0, 1.0, 1.0),
+                           topology=(Bounded, Periodic, Periodic),
+                           halo=(3, 0, 0), dtype="float32")
+    assert weno5_ab2_available(grid, WENO(5))
+    m_fused = NonhydrostaticModel(grid=grid, advection=WENO(5),
+                                  fused_kernels=True,
+                                  timestepper="QuasiAdamsBashforth2")
+    m_plain = NonhydrostaticModel(grid=grid, advection=WENO(5),
+                                  fused_kernels=False,
+                                  timestepper="QuasiAdamsBashforth2")
+    assert m_fused.fused_ab2_weno
+    assert not m_plain.fused_ab2_weno
+
+    def init(m):
+        return m.initial_state(
+            u=lambda x, y, z: 0.1 * jnp.sin(4 * np.pi * x)
+            * jnp.cos(2 * np.pi * y),
+            v=lambda x, y, z: 0.1 * jnp.cos(2 * np.pi * x)
+            * jnp.sin(6 * np.pi * z))
+
+    dt = jnp.float32(1e-3)
+    old = config.pallas_interpret
+    config.pallas_interpret = True
+    try:
+        sf, sp = init(m_fused), init(m_plain)
+        step_f = jax.jit(lambda s: m_fused.step(s, dt))
+        step_p = jax.jit(lambda s: m_plain.step(s, dt))
+        for _ in range(4):
+            sf = step_f(sf)
+            sp = step_p(sp)
+    finally:
+        config.pallas_interpret = old
+    ii = grid.interior_slices
+    floor = float(np.abs(np.asarray(sp.u)).max())
+    # 2e-4 relative: the WENO-Z nonlinear weights amplify the kernel's
+    # ~1e-7-relative evaluation differences (reassociation + the
+    # on-chip fast-reciprocal contract) across 4 steps of feedback
+    for name in ("u", "v", "w", "Gu", "Gv", "Gw"):
+        a = np.asarray(getattr(sf, name))[ii]
+        b = np.asarray(getattr(sp, name))[ii]
+        scale = max(float(np.abs(b).max()), floor)
+        assert np.abs(a - b).max() / scale < 2e-4, name
