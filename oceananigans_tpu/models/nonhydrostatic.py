@@ -304,6 +304,15 @@ class NonhydrostaticModel:
             and not self.fused_ab2
             and (self.coriolis is None or type(self.coriolis) is _FP)
             and _buoy_ok)
+        # the WENO science configuration (f-plane + BuoyancyTracer +
+        # WENO-advected tracers) gets the same one-pass treatment
+        self.fused_ab2_weno_science = (
+            _fused_common
+            and self.fused_kernels == "weno5"
+            and weno5_ab2_available(grid, self.advection)
+            and not self.fused_ab2_weno
+            and (self.coriolis is None or type(self.coriolis) is _FP)
+            and _buoy_ok)
         # generic-order fused tracer advection (ops/pallas_tracer) for
         # WENO orders the hand-written WENO-5 kernel does not cover
         from oceananigans_tpu.advection import WENO as _WENO
@@ -830,6 +839,22 @@ class NonhydrostaticModel:
                 dt * c_now, dt * c_prev,
                 epsilon=self.advection.epsilon)
             state = _replace(state, u=u, v=v, w=w, Gu=Gu, Gv=Gv, Gw=Gw)
+            diffusivities = None
+        elif (getattr(self, "fused_ab2_weno_science", False)
+              and not self.tendency_callbacks
+              and getattr(self, "dist_halo", None) is None):
+            from oceananigans_tpu.ops.pallas_weno import (
+                weno5_science_ab2_update,
+            )
+            buoy_name = "b" if self.buoyancy is not None else None
+            f = self.coriolis.f if self.coriolis is not None else 0.0
+            u, v, w, tracers, Gu, Gv, Gw, Gt = weno5_science_ab2_update(
+                self.grid, state.u, state.v, state.w, state.tracers,
+                state.Gu, state.Gv, state.Gw, state.Gtracers,
+                dt * c_now, dt * c_prev, f=f, buoyancy_tracer=buoy_name,
+                epsilon=self.advection.epsilon)
+            state = _replace(state, u=u, v=v, w=w, tracers=tracers,
+                             Gu=Gu, Gv=Gv, Gw=Gw, Gtracers=Gt)
             diffusivities = None
         elif (getattr(self, "fused_ab2_science", False)
               and not self.tendency_callbacks

@@ -285,6 +285,173 @@ def _weno_ab2_kernel(coef_ref, u_hbm, v_hbm, w_hbm,
         cp.wait()
 
 
+def _weno_science_kernel(T, buoy_idx, f, refs, *, TX, inv_dx, inv_dy,
+                         inv_dz, eps):
+    """Fused WENO-5 SCIENCE step: momentum tendency + f-plane Coriolis +
+    BuoyancyTracer forcing + T WENO-5 tracer advections + quasi-AB2
+    update of every prognostic field, one HBM pass (the WENO analog of
+    ``_science_kernel`` in ops/pallas_kernels.py). ``f`` and
+    ``buoy_idx`` are compile-time (static model config).
+
+    ``refs``: [coef(SMEM: a, b)] + HBM in [u, v, w, c×T, G⁻×(3+T)] +
+    HBM out [u', v', w', c'×T, G×(3+T)] + scratch [win×(3+T),
+    slab×(3+T) G⁻, slab×2(3+T) out, isems, osems].
+    """
+    nin = 3 + T
+    coef_ref = refs[0]
+    hbm_in = refs[1:1 + 2 * nin]
+    hbm_out = refs[1 + 2 * nin:1 + 4 * nin]
+    rest = refs[1 + 4 * nin:]
+    wins = rest[:nin]
+    gprev_s = rest[nin:2 * nin]
+    outs_s = rest[2 * nin:4 * nin]
+    isems, osems = rest[4 * nin], rest[4 * nin + 1]
+
+    i = pl.program_id(0)
+    x0 = i * TX
+
+    cps = []
+    for s, (src, dst) in enumerate(zip(hbm_in[:nin], wins)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(x0, TX + 2 * H)], dst,
+                                   isems.at[s])
+        cp.start()
+        cps.append(cp)
+    for s, (src, dst) in enumerate(zip(hbm_in[nin:], gprev_s)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(x0 + H, TX)], dst,
+                                   isems.at[nin + s])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    u = wins[0][:]
+    v = wins[1][:]
+    w = wins[2][:]
+    gu, gv, gw = _weno5_body(u, v, w, TX=TX, inv_dx=inv_dx,
+                             inv_dy=inv_dy, inv_dz=inv_dz, eps=eps)
+
+    def yn(a, n):
+        return pltpu.roll(a, (a.shape[1] - n) % a.shape[1], 1)
+
+    def zn(a, n):
+        return pltpu.roll(a, (a.shape[2] - n) % a.shape[2], 2)
+
+    C = slice(H, TX + H)
+    if f != 0.0:
+        # f-plane: Gu += f ℑxᶠ(ℑyᶜ v), Gv −= f ℑyᶠ(ℑxᶜ u)
+        vv = 0.5 * (v + yn(v, 1))
+        gu = gu + f * 0.5 * (vv[H - 1:H - 1 + TX] + vv[H:H + TX])
+        uu = 0.5 * (u[H:H + TX] + u[H + 1:H + TX + 1])
+        gv = gv - f * 0.5 * (yn(uu, -1) + uu)
+    if buoy_idx is not None:
+        b_c = wins[3 + buoy_idx][:][C]
+        gw = gw + 0.5 * (zn(b_c, -1) + b_c)
+
+    n_f = TX + 1
+    u_f = u[H:H + n_f]
+    v_c, w_c = v[C], w[C]
+    gcs = []
+    for t in range(T):
+        c = wins[3 + t][:]
+        taps = {n: c[H + n: H + n + n_f] for n in range(-3, 3)}
+        fx = u_f * _weno_face(taps, u_f, eps)
+        gc = -(fx[1:] - fx[:-1]) * inv_dx
+        c_c = c[C]
+        fy = v_c * _weno_face({n: yn(c_c, n) for n in range(-3, 3)},
+                              v_c, eps)
+        gc = gc - (yn(fy, 1) - fy) * inv_dy
+        fz = w_c * _weno_face({n: zn(c_c, n) for n in range(-3, 3)},
+                              w_c, eps)
+        gc = gc - (zn(fz, 1) - fz) * inv_dz
+        gcs.append(gc)
+
+    a = coef_ref[0]
+    b = coef_ref[1]
+    news = [u[C] + a * gu + b * gprev_s[0][:],
+            v[C] + a * gv + b * gprev_s[1][:],
+            w[C] + a * gw + b * gprev_s[2][:]]
+    for t in range(T):
+        news.append(wins[3 + t][:][C] + a * gcs[t]
+                    + b * gprev_s[3 + t][:])
+    for s_ref, val in zip(outs_s, news + [gu, gv, gw] + gcs):
+        s_ref[:] = val
+
+    ocps = []
+    for s, (src, dst) in enumerate(zip(outs_s, hbm_out)):
+        cp = pltpu.make_async_copy(src, dst.at[pl.ds(x0 + H, TX)],
+                                   osems.at[s])
+        cp.start()
+        ocps.append(cp)
+    for cp in ocps:
+        cp.wait()
+
+
+def weno5_science_ab2_update(grid, u, v, w, tracers, Gu_prev, Gv_prev,
+                             Gw_prev, Gc_prev, a, b, f=0.0,
+                             buoyancy_tracer=None, epsilon=1e-8,
+                             tile_x=None, interpret=False):
+    """Fused WENO-5 SCIENCE step: momentum + f-plane Coriolis +
+    BuoyancyTracer + WENO-5 tracer advections + quasi-AB2 update of
+    every prognostic field in ONE HBM pass. Same contract as
+    ``centered2_science_ab2_update`` (ops/pallas_kernels.py)."""
+    names = list(tracers)
+    T = len(names)
+    buoy_idx = names.index(buoyancy_tracer) \
+        if buoyancy_tracer is not None else None
+    nx, ny, nz = u.shape
+    if ny % 8 or nz % 128:
+        raise ValueError("fused WENO AB2 kernel needs (8,128)-aligned "
+                         "y/z")
+    nin = 3 + T
+    if tile_x is None:
+        budget = 64 * 1024 * 1024
+        tile_x = 8
+        while tile_x > 1 and (nin * (tile_x + 2 * H) + 3 * nin * tile_x) \
+                * ny * nz * u.dtype.itemsize > budget:
+            tile_x //= 2
+    TX = tile_x
+    while TX > 1 and (nx - 2 * H) % TX:
+        TX //= 2
+    gx = (nx - 2 * H) // TX
+    inv_dx = float(grid.Nx / grid.Lx) if grid.N[0] > 1 else 0.0
+    inv_dy = float(grid.Ny / grid.Ly) if grid.N[1] > 1 else 0.0
+    inv_dz = float(grid.Nz / grid.Lz) if grid.N[2] > 1 else 0.0
+
+    coef = jnp.stack([jnp.asarray(a, u.dtype), jnp.asarray(b, u.dtype)])
+
+    def kern(*refs):
+        _weno_science_kernel(T, buoy_idx, float(f), refs, TX=TX,
+                             inv_dx=inv_dx, inv_dy=inv_dy,
+                             inv_dz=inv_dz, eps=float(epsilon))
+
+    out_shape = [jax.ShapeDtypeStruct((nx, ny, nz), u.dtype)] * (2 * nin)
+    win = pltpu.VMEM((TX + 2 * H, ny, nz), u.dtype)
+    slab = pltpu.VMEM((TX, ny, nz), u.dtype)
+    aliases = {1 + nin + k: nin + k for k in range(nin)}
+    ins = [u, v, w] + [tracers[n] for n in names] \
+        + [Gu_prev, Gv_prev, Gw_prev] + [Gc_prev[n] for n in names]
+    outs = pl.pallas_call(
+        kern,
+        grid=(gx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * nin),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * nin),
+        out_shape=out_shape,
+        scratch_shapes=[win] * nin + [slab] * nin + [slab] * (2 * nin)
+        + [pltpu.SemaphoreType.DMA((2 * nin,)),
+           pltpu.SemaphoreType.DMA((2 * nin,))],
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret or _config.pallas_interpret,
+    )(coef, *ins)
+    un, vn, wn = outs[0], outs[1], outs[2]
+    cn = {n: outs[3 + t] for t, n in enumerate(names)}
+    gu, gv, gw = outs[nin], outs[nin + 1], outs[nin + 2]
+    gc = {n: outs[nin + 3 + t] for t, n in enumerate(names)}
+    return un, vn, wn, cn, gu, gv, gw, gc
+
+
 def weno5_ab2_available(grid, advection) -> bool:
     """Everything ``weno5_available`` needs PLUS pad-free (8, 128)
     alignment of the full y/z extents (direct full-shape HBM stores)."""

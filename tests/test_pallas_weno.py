@@ -195,3 +195,68 @@ def test_weno5_ab2_fused_step_matches_plain():
         b = np.asarray(getattr(sp, name))[ii]
         scale = max(float(np.abs(b).max()), floor)
         assert np.abs(a - b).max() / scale < 2e-4, name
+
+
+def test_weno5_science_ab2_fused_step_matches_plain():
+    """The WENO SCIENCE fused kernel (weno5_science_ab2_update:
+    momentum + f-plane + BuoyancyTracer + WENO tracer advections + AB2
+    in one pass) reproduces the plain path over several steps."""
+    import jax
+
+    from oceananigans_tpu import (
+        Bounded, BuoyancyTracer, FPlane, Periodic, RectilinearGrid, WENO,
+    )
+    from oceananigans_tpu.config import config
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    grid = RectilinearGrid(size=(16, 16, 128), extent=(1.0, 1.0, 1.0),
+                           topology=(Bounded, Periodic, Periodic),
+                           halo=(3, 0, 0), dtype="float32")
+
+    def build(fused):
+        return NonhydrostaticModel(
+            grid=grid, advection=WENO(5), fused_kernels=fused,
+            timestepper="QuasiAdamsBashforth2",
+            coriolis=FPlane(f=1e-2), buoyancy=BuoyancyTracer(),
+            tracers=("b", "c"))
+
+    m_fused = build(True)
+    m_plain = build(False)
+    assert m_fused.fused_ab2_weno_science
+    assert not m_fused.fused_ab2_weno
+    assert not m_plain.fused_ab2_weno_science
+
+    def init(m):
+        return m.initial_state(
+            u=lambda x, y, z: 0.1 * jnp.sin(4 * np.pi * x)
+            * jnp.cos(2 * np.pi * y),
+            v=lambda x, y, z: 0.1 * jnp.cos(2 * np.pi * x)
+            * jnp.sin(6 * np.pi * z),
+            b=lambda x, y, z: 0.01 * jnp.sin(2 * np.pi * z)
+            + 0.001 * jnp.cos(2 * np.pi * x),
+            c=lambda x, y, z: jnp.cos(2 * np.pi * y)
+            * jnp.sin(2 * np.pi * x))
+
+    dt = jnp.float32(1e-3)
+    old = config.pallas_interpret
+    config.pallas_interpret = True
+    try:
+        sf, sp = init(m_fused), init(m_plain)
+        step_f = jax.jit(lambda s: m_fused.step(s, dt))
+        step_p = jax.jit(lambda s: m_plain.step(s, dt))
+        for _ in range(4):
+            sf = step_f(sf)
+            sp = step_p(sp)
+    finally:
+        config.pallas_interpret = old
+    ii = grid.interior_slices
+    floor = float(np.abs(np.asarray(sp.u)).max())
+    for name in ("u", "v", "w", "Gu", "Gv", "Gw"):
+        a = np.asarray(getattr(sf, name))[ii]
+        b = np.asarray(getattr(sp, name))[ii]
+        scale = max(float(np.abs(b).max()), floor)
+        assert np.abs(a - b).max() / scale < 2e-4, name
+    for name in ("b", "c"):
+        a = np.asarray(sf.tracers[name])[ii]
+        bb = np.asarray(sp.tracers[name])[ii]
+        assert np.abs(a - bb).max() / np.abs(bb).max() < 2e-4, name
