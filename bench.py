@@ -215,7 +215,10 @@ def _shallow_water(inner, repeats):
         return multi_step
 
     best, _ = _bench_window(make, state, inner, repeats)
-    baseline = SW_BASELINE_8192 * (N / 8192) ** 2
+    # published rows: 8192² = 166.8 ms, 16384² = 681.2 ms (V100 f64,
+    # benchmarks.md:57-58); other sizes scale the 8192² row by area
+    baseline = {8192: 166.8e-3, 16384: 681.2e-3}.get(
+        N, SW_BASELINE_8192 * (N / 8192) ** 2)
     print(json.dumps({
         "metric": f"shallow_water_{N}sq_ms_per_step",
         "value": best * 1e3,
