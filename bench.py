@@ -63,6 +63,76 @@ def _bench_window(make_multi_step, state, inner, repeats):
     return best, state
 
 
+def _cs_global(inner, repeats):
+    """Cubed-sphere realistic global ocean (continents + wind stress +
+    heat flux + T/S + convective adjustment + split-explicit), the
+    examples/global_ocean.py configuration at C48x16."""
+    from oceananigans_tpu.boundary_conditions import (
+        FieldBoundaryConditions, FluxBC,
+    )
+    from oceananigans_tpu.buoyancy import SeawaterBuoyancy
+    from oceananigans_tpu.closures import (
+        ConvectiveAdjustmentVerticalDiffusivity,
+    )
+    from oceananigans_tpu.grids.cubed_sphere_grid import (
+        ConformalCubedSphereGrid,
+    )
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+    from oceananigans_tpu.models.hydrostatic import (
+        SplitExplicitFreeSurface,
+    )
+    N = int(os.environ.get("BENCH_N", "48"))
+    Nz = int(os.environ.get("BENCH_NZ", "16"))
+    depth = 3000.0
+
+    def continents(lam, phi):
+        land = (np.abs(lam + 60.0) < 25.0) & (phi > -55.0) & (phi < 70.0)
+        land |= (np.abs(lam - 45.0) < 50.0) & (phi > 0.0) & (phi < 70.0)
+        land |= np.abs(phi) > 78.0
+        return np.where(land, 50.0, -depth)
+
+    grid = ConformalCubedSphereGrid((N, Nz), z=(-depth, 0.0),
+                                    radius=6.37122e6, halo=3)
+    model = CubedSphereHydrostaticModel(
+        grid, bathymetry=continents, buoyancy=SeawaterBuoyancy(),
+        closure=ConvectiveAdjustmentVerticalDiffusivity(
+            convective_kappa_z=0.1, background_kappa_z=1e-5),
+        free_surface=SplitExplicitFreeSurface(substeps=20),
+        boundary_conditions={
+            "u": FieldBoundaryConditions(top=FluxBC(
+                lambda lam, phi, t: -8e-5
+                * jnp.sin(jnp.deg2rad(3 * phi)))),
+            "T": FieldBoundaryConditions(top=FluxBC(
+                lambda lam, phi, t: -2e-5
+                * jnp.cos(jnp.deg2rad(2 * phi))))},
+        tracers=())
+    state = model.initial_state(
+        T=lambda lam, phi, z: 5.0 + 20.0
+        * np.cos(np.deg2rad(phi)) ** 2 * np.exp(z / 800.0), S=35.0)
+    dt = jnp.float32(300.0)
+
+    def make():
+        @partial(jax.jit, donate_argnums=0)
+        def multi_step(st):
+            st = model.fill_state_halos(st)
+            return jax.lax.fori_loop(
+                0, inner,
+                lambda i, s_: model.step(s_, dt, assume_filled=True), st)
+        return multi_step
+
+    best, _ = _bench_window(make, state, inner, repeats)
+    npts = 6 * N * N * Nz
+    print(json.dumps({
+        "metric": f"cubed_sphere_global_ocean_C{N}x{Nz}_ms_per_step",
+        "value": best * 1e3,
+        "unit": "ms/step (float32)",
+        "vs_baseline": None,    # no published cubed-sphere row exists
+        "points_per_s": npts / best,
+    }))
+
+
 def _nonhydro(config, N, inner, repeats):
     """Nonhydrostatic configurations on the TPU-native axis layout: the
     bounded (vertical) axis leads, the two periodic axes are halo-free
@@ -73,7 +143,7 @@ def _nonhydro(config, N, inner, repeats):
     # halo-free periodic y/z: the in-register roll wraps ARE the
     # periodic boundary, and the fused kernels' slab windows align to
     # the (8, 128) tiling with zero padding
-    halo = (3, 0, 0) if config == "weno" else (1, 0, 0)
+    halo = (3, 0, 0) if config in ("weno", "weno_mom") else (1, 0, 0)
     grid = RectilinearGrid(size=(N, N, N), extent=(1.0, 1.0, 1.0),
                            topology=(Bounded, Periodic, Periodic),
                            halo=halo, dtype="float32")
@@ -87,6 +157,9 @@ def _nonhydro(config, N, inner, repeats):
         elif config == "weno":
             from oceananigans_tpu.advection import WENO
             kw = dict(advection=WENO(5), tracers=("T", "S"))
+        elif config == "weno_mom":
+            from oceananigans_tpu.advection import WENO
+            kw = dict(advection=WENO(5))
         m = NonhydrostaticModel(grid=grid,
                                 timestepper="QuasiAdamsBashforth2",
                                 fused_kernels=fused, **kw)
@@ -231,15 +304,17 @@ def main():
     config = os.environ.get("BENCH_CONFIG", "default")
     inner = int(os.environ.get("BENCH_INNER", "150"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    if config in ("default", "science", "weno"):
+    if config in ("default", "science", "weno", "weno_mom"):
         N = int(os.environ.get("BENCH_N", "256"))
-        if config == "weno":
+        if config in ("weno", "weno_mom"):
             inner = int(os.environ.get("BENCH_INNER", "60"))
         _nonhydro(config, N, inner, repeats)
     elif config == "hydro_vi":
         _hydro_vi(int(os.environ.get("BENCH_INNER", "30")), repeats)
     elif config == "sw8192":
         _shallow_water(int(os.environ.get("BENCH_INNER", "60")), repeats)
+    elif config == "cs_global":
+        _cs_global(int(os.environ.get("BENCH_INNER", "20")), repeats)
     else:
         raise SystemExit(f"unknown BENCH_CONFIG {config!r}")
 
