@@ -197,6 +197,83 @@ def cs_implicit_free_surface(g, u_star, v_star, eta0, dt, fs,
     return exchange_eta(eta * mc)
 
 
+def _corner_filter_setup(model, corner_filter):
+    """Precompute the corner-band filter weights. ``corner_filter`` is
+    a small dimensionless coefficient (0.005 is a good default when
+    enabled); the filter is a LOCAL Laplacian smoother confined to the
+    ``corner_upwind_width`` band at the 24 panel corners — plain for
+    velocities, conservative flux-form for cell-centered fields (the
+    face-masked fluxes telescope, so ∑ q is preserved exactly, and the
+    shared panel-edge fluxes agree across the exchange)."""
+    model.corner_filter = (None if not corner_filter
+                           else float(corner_filter))
+    if model.corner_filter is None:
+        return
+    g = model.grid.panel_grid
+    N, H = model.grid.N_panel, g.Hx
+    cm = model._corner_mask[..., 0]                  # (nx, ny)
+    fx = np.maximum(cm, np.roll(cm, 1, axis=0))     # x-face coverage
+    fy = np.maximum(cm, np.roll(cm, 1, axis=1))     # y-face coverage
+    # WITHIN-panel faces only: the filter never fluxes across the
+    # shared panel-edge faces, so the Az-weighted content telescopes
+    # exactly per panel (no cross-edge cancellation to rely on)
+    idx = np.arange(fx.shape[0])
+    inner_x = ((idx > H) & (idx < H + N)).astype(float)
+    inner_y = inner_x
+    fx = fx * inner_x[:, None]
+    fy = fy * inner_y[None, :]
+    eps = model.corner_filter
+    Az = np.asarray(g.Az(Center, Center))[:, :, 0]
+    Az_fx = 0.5 * (Az + np.roll(Az, 1, axis=0))
+    Az_fy = 0.5 * (Az + np.roll(Az, 1, axis=1))
+    model._cf_x = (eps * fx * Az_fx)[..., None]
+    model._cf_y = (eps * fy * Az_fy)[..., None]
+    model._cf_inv_az = (1.0 / Az)[..., None]
+    # keep the filter from reaching across the immersed bottom
+    wu = getattr(model, "_wet_u", None)
+    if wu is not None:
+        model._cf_x = model._cf_x[None] * np.asarray(model._wet_u)
+        model._cf_y = model._cf_y[None] * np.asarray(model._wet_v)
+
+
+def _corner_smooth_center(model, q):
+    """Az-content-conserving corner-band smoothing of a stacked cell
+    field: Δq = ∇·(w ∇q)/Az with face weights confined to the corner
+    band and to within-panel faces — ∑ Az q is exact by telescoping."""
+    cfx = jnp.asarray(model._cf_x, q.dtype)
+    cfy = jnp.asarray(model._cf_y, q.dtype)
+    inv_az = jnp.asarray(model._cf_inv_az, q.dtype)
+    if cfx.ndim == 3:
+        def panel(a):
+            return a + (dx_c(cfx * dx_f(a))
+                        + dy_c(cfy * dy_f(a))) * inv_az
+        return jax.vmap(panel)(q)
+    # bathymetry: stacked (wet-masked) face weights; reduced fields
+    # (eta's single level) take the any-wet column weight
+    if q.shape[-1] != cfx.shape[-1]:
+        cfx = jnp.max(cfx, axis=-1, keepdims=True)
+        cfy = jnp.max(cfy, axis=-1, keepdims=True)
+
+    def panel(a, wx, wy):
+        return a + (dx_c(wx * dx_f(a)) + dy_c(wy * dy_f(a))) * inv_az
+    return jax.vmap(panel)(q, cfx, cfy)
+
+
+def _corner_smooth_velocity(model, q, mask):
+    """Plain corner-band Laplacian smoothing of a velocity component
+    (no conservation requirement); ``mask`` confines the update to the
+    component's interior/wet faces."""
+    eps = model.corner_filter
+    cm = jnp.asarray(model._corner_mask, q.dtype)
+
+    def panel(a):
+        lap = (jnp.roll(a, 1, 0) + jnp.roll(a, -1, 0)
+               + jnp.roll(a, 1, 1) + jnp.roll(a, -1, 1) - 4.0 * a)
+        return a + eps * cm * lap
+
+    return q + (jax.vmap(panel)(q) - q) * jnp.asarray(mask, q.dtype)
+
+
 def _tangents(p, x, y, axis, h=1e-6):
     """(n, 3) unit tangents of panel p's grid direction at panel coords."""
     x = np.asarray(x, float).ravel()
@@ -278,6 +355,7 @@ class CubedSphereShallowWaterModel:
                  prescribed_velocities=False,
                  vorticity_scheme="hybrid_upwind",
                  corner_upwind_width=4,
+                 corner_filter=None,
                  bathymetry=None):
         self.grid = grid
         self.g = float(gravitational_acceleration)
@@ -348,6 +426,15 @@ class CubedSphereShallowWaterModel:
             | (idx >= H + N - self.corner_upwind_width)
         self._corner_mask = (near[:, None]
                              & near[None, :]).astype(float)[..., None]
+        #: corner-band filter coefficient (see _corner_filter_setup):
+        #: long inviscid integrations develop a nonlinear instability at
+        #: the 3-valent cube corners (the K ~ u² feedback through the
+        #: phantom corner halos); measured at C32 Williamson-2 the
+        #: unfiltered run goes NaN by day 4, while corner_filter=0.005
+        #: holds the 5-day l2(h) at 4.5e-3 (published band). Real
+        #: cubed-sphere cores apply equivalent corner/divergence filters
+        #: (e.g. FV3). Off by default (short runs don't need it).
+        _corner_filter_setup(self, corner_filter)
 
     # ------------------------------------------------------------------
     def initial_state(self, u=None, v=None, h=1.0, time=0.0, **tracers):
@@ -543,6 +630,16 @@ class CubedSphereShallowWaterModel:
         state = dataclasses.replace(
             state, Gu=G_prev[0], Gv=G_prev[1], Gh=G_prev[2],
             Gtracers=G_prev[3], clock=tick(state.clock, dt))
+        if self.corner_filter is not None \
+                and not self.prescribed_velocities:
+            # filter on FILLED halos (the Laplacian taps reach one ring
+            # into the exchanged region), then re-fill
+            state = self.fill_state_halos(state)
+            state = dataclasses.replace(
+                state,
+                u=_corner_smooth_velocity(self, state.u, self._mask_u),
+                v=_corner_smooth_velocity(self, state.v, self._mask_v),
+                h=_corner_smooth_center(self, state.h))
         return self.fill_state_halos(state)
 
     # ------------------------------------------------------------------
@@ -628,7 +725,8 @@ class CubedSphereHydrostaticModel:
                  prescribed_velocities=False,
                  timestepper="RungeKutta3",
                  vertical_coordinate=None,
-                 corner_upwind_width=4):
+                 corner_upwind_width=4,
+                 corner_filter=None):
         """``closure``: any closure (or tuple) from the main stack — it is
         applied per panel through the standard
         ``closures.compute_diffusivities`` / flux-divergence /
@@ -706,6 +804,11 @@ class CubedSphereHydrostaticModel:
                 "cubed-sphere ZStar over immersed bathymetry is not "
                 "wired yet (the dia-surface grid-motion correction "
                 "assumes full columns)")
+        if self._zstar and corner_filter:
+            raise NotImplementedError(
+                "corner_filter under ZStar would mix columns of "
+                "different σ (breaking exact σ-weighted conservation); "
+                "not wired yet")
         self.corner_upwind_width = int(corner_upwind_width)
         self.grid = grid
         self.g = float(gravitational_acceleration)
@@ -921,6 +1024,11 @@ class CubedSphereHydrostaticModel:
             bot = (kk == Hz).astype(float)
             self._top_c = self._top_u = self._top_v = top
             self._bot_c = self._bot_u = self._bot_v = bot
+        #: optional corner-band filter (see _corner_filter_setup and the
+        #: shallow-water model's note: long inviscid runs develop a
+        #: nonlinear corner instability; 0.005 stabilizes without
+        #: leaving the published error band). Off by default.
+        _corner_filter_setup(self, corner_filter)
 
     # ------------------------------------------------------------------
     def initial_state(self, u=None, v=None, eta=0.0, time=0.0, **tracers):
@@ -1529,6 +1637,7 @@ class CubedSphereHydrostaticModel:
             s, u=u, v=v, eta=eta, U=U, V=V, tracers=tracers,
             Gu=Gu, Gv=Gv, Geta=Geta, Gtracers=Gt,
             clock=tick(s.clock, dt))
+        s = self._apply_corner_filter(s)
         return self.fill_state_halos(s)
 
     def _rk3_step(self, state, dt, assume_filled=False):
@@ -1577,7 +1686,26 @@ class CubedSphereHydrostaticModel:
                 V=zeta_c * psi[5] + gamma * V_e,
                 tracers=tracers)
         s = dataclasses.replace(s, clock=tick(s.clock, dt))
+        s = self._apply_corner_filter(s)
         return self.fill_state_halos(s)
+
+    def _apply_corner_filter(self, s):
+        if self.corner_filter is None or self.prescribed_velocities:
+            return s
+        # filter on FILLED halos (one-ring Laplacian taps), re-filled by
+        # the caller's trailing exchange
+        s = self.fill_state_halos(s)
+        mu = self._mask_u if self._wet_u is None \
+            else self._mask_u * self._wet_u
+        mv = self._mask_v if self._wet_v is None \
+            else self._mask_v * self._wet_v
+        return dataclasses.replace(
+            s,
+            u=_corner_smooth_velocity(self, s.u, mu),
+            v=_corner_smooth_velocity(self, s.v, mv),
+            eta=_corner_smooth_center(self, s.eta),
+            tracers={n: _corner_smooth_center(self, c)
+                     for n, c in s.tracers.items()})
 
     # ------------------------------------------------------------------
     def cfl_timescale(self, state):

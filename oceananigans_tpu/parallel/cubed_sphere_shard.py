@@ -591,6 +591,10 @@ class CubedSphereDistributedSW(_CSDistBase):
         if not isinstance(model, CubedSphereShallowWaterModel):
             raise ValueError("CubedSphereDistributedSW wraps a "
                              "CubedSphereShallowWaterModel")
+        if getattr(model, "corner_filter", None):
+            raise NotImplementedError(
+                "corner_filter on the distributed cubed sphere is not "
+                "wired yet (serial model only)")
         super().__init__(model, R=R, panels=panels, devices=devices)
         names = model.tracer_names
         self.ex_state = _build_exchange(
@@ -728,6 +732,10 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
         if not isinstance(model, CubedSphereHydrostaticModel):
             raise ValueError("CubedSphereDistributedHydrostatic wraps a "
                              "CubedSphereHydrostaticModel")
+        if getattr(model, "corner_filter", None):
+            raise NotImplementedError(
+                "corner_filter on the distributed cubed sphere is not "
+                "wired yet (serial model only)")
         super().__init__(model, R=R, panels=panels, devices=devices)
         names = model.tracer_names
         T = len(names)

@@ -660,3 +660,30 @@ def test_cs_zstar_dist_matches_serial():
         np.asarray(dstate.tracers["c"])[:, sx, sy, sz],
         np.asarray(sstate.tracers["c"])[:, sx, sy, sz],
         rtol=1e-12, atol=1e-13)
+
+
+def test_cs_corner_filter_conserves_and_stabilizes():
+    """The corner-band filter's flux-form center smoothing conserves the
+    Az-weighted volume/tracer content exactly (within-panel telescoping
+    fluxes) while damping the corner velocity noise."""
+    grid = _grid(N=16, Nz=3, depth=1000.0)
+    model = CubedSphereHydrostaticModel(
+        grid, free_surface=SplitExplicitFreeSurface(substeps=8),
+        tracers=("c",), buoyancy=None, corner_filter=0.005)
+    g = grid.panel_grid
+    eta0 = grid.set_tracer(
+        lambda lam, phi, z: 5.0 * np.exp(-((lam - 30) ** 2 + phi ** 2)
+                                         / 400.0) + 0 * z
+    )[..., g.Hz:g.Hz + 1]
+    state = model.initial_state(
+        eta=eta0, c=lambda lam, phi, z: 1.0 + np.cos(np.deg2rad(phi)))
+    vol0 = float(model.total_volume(state))
+    c0 = float(model.total_tracer(state, "c"))
+    step = jax.jit(lambda s: model.step(s, 300.0))
+    for _ in range(10):
+        state = step(state)
+    assert np.isfinite(np.asarray(state.u)).all()
+    scale = float(model.ocean_volume())
+    assert abs(float(model.total_volume(state)) - vol0) < 1e-12 * scale
+    assert abs(float(model.total_tracer(state, "c")) - c0) \
+        < 1e-10 * abs(c0)
