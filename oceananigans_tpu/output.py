@@ -224,7 +224,7 @@ class NetCDFWriter:
         """
         from oceananigans_tpu.grids.base import Face
         from oceananigans_tpu.grids.cubed_sphere_grid import (
-            ConformalCubedSphereGrid, _panel_xyz,
+            ConformalCubedSphereGrid,
         )
         from oceananigans_tpu.grids.latlon import LatitudeLongitudeGrid
         from oceananigans_tpu.grids.orthogonal import (
@@ -259,19 +259,12 @@ class NetCDFWriter:
             ]
 
             # per-panel geographic coordinates at the three horizontal
-            # staggerings (faces trimmed to the first N)
-            def geo(xs, ys):
-                XX, YY = np.meshgrid(xs, ys, indexing="ij")
-                lam = np.zeros((6,) + XX.shape)
-                phi = np.zeros((6,) + XX.shape)
-                for p in range(6):
-                    P = _panel_xyz(p, XX.ravel(), YY.ravel()).reshape(
-                        *XX.shape, 3)
-                    phi[p] = np.rad2deg(np.arcsin(
-                        np.clip(P[..., 2], -1, 1)))
-                    lam[p] = np.rad2deg(np.arctan2(P[..., 1], P[..., 0]))
-                return lam, phi
-
+            # staggerings (faces trimmed to the first N); shared helper
+            # so writer coordinates are identical to the ones the model
+            # evaluates forcings/BCs on
+            from oceananigans_tpu.grids.cubed_sphere_grid import (
+                panel_geographic_coords as geo,
+            )
             d = 2.0 / N
             tC = -1.0 + d * (np.arange(N) + 0.5)
             tF = -1.0 + d * np.arange(N)
@@ -381,30 +374,48 @@ class NetCDFWriter:
                 ds.attrs["location"] = loc
                 ds.dims[0].attach_scale(f["time"])
                 off = 1 if panel is not None else 0
+                # named prognostic fields are interior-shaped by
+                # construction, so mismatches there are errors; CALLABLE
+                # outputs may legitimately drop axes (1-D profiles, 2-D
+                # means) — best-effort scale matching by length, like
+                # the pre-round-4 behavior
+                strict = isinstance(self.outputs[name], str)
                 for di, n in enumerate(shape, start=1):
                     ax = di - 1
-                    if panel is not None and ax == 0:
-                        if n != 6:
-                            raise ValueError(
-                                f"output {name!r}: leading axis has "
-                                f"length {n}, expected 6 panels")
+                    if panel is not None and ax == 0 and n == 6:
                         ds.dims[di].attach_scale(panel_ds)
                         continue
-                    sp = ax - off
-                    if sp >= 3:
+                    if panel is not None and ax == 0 and strict:
                         raise ValueError(
-                            f"output {name!r} has more than 3 spatial "
-                            f"axes (shape {shape})")
+                            f"output {name!r}: leading axis has "
+                            f"length {n}, expected 6 panels")
+                    sp = ax - off
+                    if sp >= 3 or sp < 0:
+                        if strict:
+                            raise ValueError(
+                                f"output {name!r} has more than 3 "
+                                f"spatial axes (shape {shape})")
+                        continue
                     sds = scale_ds[sp][loc[sp]]
                     ln = sds.shape[0]
                     if n == 1 and ln != 1:
                         continue        # reduced axis (e.g. eta's z)
                     if ln != n:
-                        raise ValueError(
-                            f"output {name!r} axis {sp} has length {n} "
-                            f"but its {loc[sp]!r}-located coordinate "
-                            f"{sds.name!r} has {ln}; writer outputs "
-                            f"must be interior-shaped")
+                        if strict:
+                            raise ValueError(
+                                f"output {name!r} axis {sp} has length "
+                                f"{n} but its {loc[sp]!r}-located "
+                                f"coordinate {sds.name!r} has {ln}; "
+                                f"writer outputs must be "
+                                f"interior-shaped")
+                        # callable: attach any center scale of matching
+                        # length, else leave the axis unreferenced
+                        for alt in scale_ds:
+                            cand = alt.get("c")
+                            if cand is not None and cand.shape[0] == n:
+                                ds.dims[di].attach_scale(cand)
+                                break
+                        continue
                     ds.dims[di].attach_scale(sds)
                 hloc = loc[:2]
                 if coords.get(hloc):

@@ -944,8 +944,13 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                                                               sig)
                 diff = None
                 if model.closure is not None:
-                    def panel_closure(uu, vv, tts):
-                        ww = HY._panel_w(view, uu, vv)
+                    def panel_closure(uu, vv, tts, wu_=None, wv_=None):
+                        # w from the wet-MASKED transports, mirroring the
+                        # serial panel_closure (the solid-cell mirror
+                        # values must not feed the continuity cumsum)
+                        uum = uu if wu_ is None else uu * wu_
+                        vvm = vv if wv_ is None else vv * wv_
+                        ww = HY._panel_w(view, uum, vvm)
                         d = closures_mod.compute_diffusivities(
                             model.closure, lg, uu, vv, ww, tts,
                             model._closure_buoyancy)
@@ -961,7 +966,12 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                               for n, tt in gt.items()}
                         return du, dv, gt, d
 
-                    du, dv, gtc, diff = jax.vmap(panel_closure)(u, v, tr)
+                    if has_bath:
+                        du, dv, gtc, diff = jax.vmap(panel_closure)(
+                            u, v, tr, wu3, wv3)
+                    else:
+                        du, dv, gtc, diff = jax.vmap(panel_closure)(
+                            u, v, tr)
                     Gu = Gu + du
                     Gv = Gv + dv
                     Gt = {n: Gt[n] + gtc[n] for n in Gt}

@@ -438,3 +438,38 @@ def test_hydrostatic_dist_prescribed_velocities():
     np.testing.assert_allclose(
         np.asarray(final.u)[:, sx, sy, sz],
         np.asarray(state.u)[:, sx, sy, sz], atol=1e-13)
+
+
+def test_hydrostatic_dist_closure_with_bathymetry_matches_serial():
+    """Closure + immersed bathymetry together on the mirror-rank path:
+    the distributed panel_closure must compute w from the wet-MASKED
+    velocities exactly like the serial model (regression for the
+    round-4 review finding: the unmasked mirror values fed the
+    continuity cumsum and broke the 1e-12 serial match)."""
+    from oceananigans_tpu.closures import SmagorinskyLilly
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereHydrostaticModel,
+    )
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedHydrostatic,
+    )
+    a = 6.37122e6
+    grid = ConformalCubedSphereGrid((16, 4), z=(-1000.0, 0.0), radius=a)
+
+    def bathy(lam, phi):
+        return np.where(np.abs(phi) > 60.0, 50.0,
+                        -1000.0 + 400.0 * np.exp(
+                            -((lam - 30.0) ** 2 + phi ** 2) / 600.0))
+
+    model = CubedSphereHydrostaticModel(
+        grid, bathymetry=bathy, closure=SmagorinskyLilly())
+    g = grid.panel_grid
+    eta0 = grid.set_tracer(
+        lambda lam, phi, z: 0.5 * np.exp(
+            -(np.deg2rad(phi) ** 2
+              + np.deg2rad(((lam + 180) % 360) - 180) ** 2) / 0.02)
+        + 0 * z)[..., g.Hz:g.Hz + 1]
+    state = model.initial_state(eta=eta0,
+                                b=lambda lam, phi, z: 1e-5 * z)
+    dhy = CubedSphereDistributedHydrostatic(model, R=2, panels=2)
+    _hydro_compare(model, dhy, state, n_steps=2, dt=150.0)

@@ -435,3 +435,18 @@ def test_fused_sw_gate_excludes_unsupported():
                             halo=(3, 0, 0), dtype="float32")
     m = ShallowWaterModel(grid=grid2)
     assert not sw_fused_available(grid2, m)
+
+
+def test_fused_sw_gate_requires_tileable_interior():
+    """sw_fused_available must reject interior x extents the stage
+    kernel cannot tile (regression: a (100, 128) grid passed the gate
+    but sw_rk3_stage raised at step time)."""
+    from oceananigans_tpu import Flat
+    from oceananigans_tpu.models import ShallowWaterModel
+    from oceananigans_tpu.ops.pallas_sw import sw_fused_available
+
+    grid = RectilinearGrid(size=(100, 128), x=(0.0, 1e5), y=(0.0, 1e5),
+                           topology=(Periodic, Periodic, Flat),
+                           halo=(8, 0, 0), dtype="float32")
+    m = ShallowWaterModel(grid=grid)
+    assert not sw_fused_available(grid, m)
