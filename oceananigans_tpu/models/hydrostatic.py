@@ -542,9 +542,18 @@ class _ScaledZGrid:
     ``src/Grids/vertical_discretization.jl:32``) expressed functionally.
     Built inside the jitted step; never stored."""
 
-    def __init__(self, base, sigma):
+    def __init__(self, base, sigma, sigma_fc=None, sigma_cf=None):
         object.__setattr__(self, "base", base)
         object.__setattr__(self, "sigma", sigma)
+        # per-location scalings (reference σᶠᶜⁿ/σᶜᶠⁿ,
+        # ``z_star_vertical_spacing.jl:44-75``): over immersed bathymetry
+        # the face column depths differ from the adjacent centers', so
+        # the x/y flux areas must carry their own σ. Default to the
+        # center σ (index-aligned), the flat-bottom behavior.
+        object.__setattr__(self, "sigma_fc",
+                           sigma if sigma_fc is None else sigma_fc)
+        object.__setattr__(self, "sigma_cf",
+                           sigma if sigma_cf is None else sigma_cf)
 
     def __getattr__(self, name):
         return getattr(object.__getattribute__(self, "base"), name)
@@ -562,10 +571,12 @@ class _ScaledZGrid:
         return self.base.Az(*a, **k)
 
     def Ax(self, lx, ly, lz):
-        return self.dy(ly, lx) * self.dz(lz)
+        s = self.sigma_fc if lx == Face else self.sigma
+        return self.dy(ly, lx) * (s * self.base.dz(lz))
 
     def Ay(self, lx, ly, lz):
-        return self.dx(lx, ly) * self.dz(lz)
+        s = self.sigma_cf if ly == Face else self.sigma
+        return self.dx(lx, ly) * (s * self.base.dz(lz))
 
     def V(self, lx, ly, lz):
         return self.Az(lx, ly) * self.dz(lz)
@@ -842,7 +853,12 @@ class HydrostaticFreeSurfaceModel:
         # persistent barotropic transports from the initial velocities
         # (reference initialize_free_surface!,
         # initialize_split_explicit_substepping.jl:15-25)
-        U0, V0 = self._barotropic_mode(state.u, state.v)
+        if isinstance(self.vertical_coordinate, ZStar):
+            U0, V0 = self._barotropic_mode(
+                state.u, state.v, self._sigma_at(state.eta, "fc"),
+                self._sigma_at(state.eta, "cf"))
+        else:
+            U0, V0 = self._barotropic_mode(state.u, state.v)
         U0, V0 = self._zero_wall_transports(U0, V0)
         return _replace(state, U=U0, V=V0)
 
@@ -943,13 +959,29 @@ class HydrostaticFreeSurfaceModel:
         H = self._column_depth_static()
         return jnp.where(H > 0, 1.0 + eta / jnp.where(H > 0, H, 1.0), 1.0)
 
+    def _sigma_at(self, eta, loc):
+        """σ at a staggered horizontal location from the WET column depth
+        there and η interpolated to it (reference σᶠᶜⁿ/σᶜᶠⁿ built from
+        ``static_column_depthᶠᶜᵃ``, ``z_star_vertical_spacing.jl:44-75``).
+        Over a bathymetry step the face depth is the min of the adjacent
+        columns', so interpolating the center σ would be inconsistent
+        with the face transport the tracer fluxes use."""
+        if loc == "cc":
+            return self._sigma(eta)
+        H = self._column_depth(loc)
+        eta_l = ix_f(eta) if loc == "fc" else iy_f(eta)
+        return jnp.where(H > 0, 1.0 + eta_l / jnp.where(H > 0, H, 1.0),
+                         jnp.ones_like(eta_l))
+
     def _column_depth_static(self):
         return self._column_depth("cc")
 
     def _active_grid(self, state):
         """The grid the dynamics see: σ-scaled under ZStar."""
         if isinstance(self.vertical_coordinate, ZStar):
-            return _ScaledZGrid(self.grid, self._sigma(state.eta))
+            return _ScaledZGrid(self.grid, self._sigma(state.eta),
+                                self._sigma_at(state.eta, "fc"),
+                                self._sigma_at(state.eta, "cf"))
         return self.grid
 
     def compute_w(self, state, g=None):
@@ -971,8 +1003,18 @@ class HydrostaticFreeSurfaceModel:
             # column sum of the scaled divergence is exactly H ∂tσ)
             total = jnp.sum(contrib, axis=Z, keepdims=True)
             dz0 = jnp.broadcast_to(self.grid.dz(Center), self.grid.shape)
+            # WET height above the LOCAL bottom (not the domain bottom):
+            # over bathymetry the grid motion is distributed across the
+            # wet part of the column only, so ω = 0 at the immersed
+            # bottom face and at the moving surface (reference
+            # ``grid_fitted_bottom.jl:147-150`` column depths feeding
+            # ``_update_grid_vertical_velocity!``)
+            wet = in_interior
+            solid = getattr(self.grid, "solid_c", None)
+            if solid is not None:
+                wet = wet & ~solid
             h_below = shift(jnp.cumsum(
-                jnp.where(in_interior, dz0, 0.0), axis=Z), -1, Z)
+                jnp.where(wet, dz0, 0.0), axis=Z), -1, Z)
             h_below = jnp.where(k == 0, 0.0, h_below)
             H = self._column_depth_static()
             w = w + jnp.where(H > 0, h_below / jnp.where(H > 0, H, 1.0),
@@ -1082,6 +1124,19 @@ class HydrostaticFreeSurfaceModel:
         if p_anom is not None:
             Gu = Gu - dx_f(p_anom) / g.dx(Face, Center)
             Gv = Gv - dy_f(p_anom) / g.dy(Face, Center)
+            if isinstance(self.vertical_coordinate, ZStar):
+                # σ-coordinate pressure-gradient correction: the
+                # horizontal gradient at constant σ-level differs from
+                # the constant-z gradient by b ∂x(z) (reference
+                # ``grid_slope_contribution_x``,
+                # z_star_vertical_spacing.jl:125-132). On the z-star
+                # grid z = σ z_ref + η.
+                b = self.buoyancy.buoyancy_ccc(g, state.tracers)
+                zrow = jnp.asarray(self.grid.zC, b.dtype)
+                zrow = zrow.reshape(1, 1, -1)
+                z_c = self._sigma(state.eta) * zrow + state.eta
+                Gu = Gu - ix_f(b) * dx_f(z_c) / g.dx(Face, Center)
+                Gv = Gv - iy_f(b) * dy_f(z_c) / g.dy(Face, Center)
 
         # explicit barotropic pressure gradient (explicit free surface only)
         if isinstance(self.free_surface, ExplicitFreeSurface):
@@ -1186,15 +1241,20 @@ class HydrostaticFreeSurfaceModel:
         return Gu, Gv, Gtracers, diffusivities
 
     # ------------------------------------------------------------------
-    def _barotropic_mode(self, u, v):
-        """(U, V) = ∫ u dz (reference ``_compute_barotropic_mode!``)."""
+    def _barotropic_mode(self, u, v, sigma_fc=None, sigma_cf=None):
+        """(U, V) = ∫ u dz (reference ``_compute_barotropic_mode!``).
+        Under ZStar pass the face σ scalings so the transports integrate
+        the MOVING cell thicknesses (σ dz), matching the thickness the
+        tracer fluxes advect through."""
         g = self.grid
         dz = jnp.broadcast_to(g.dz(Center), g.shape)
         k = jnp.arange(g.shape[Z]).reshape(1, 1, -1)
         in_interior = (k >= g.Hz) & (k < g.Hz + g.Nz)
         dzm = jnp.where(in_interior, dz, 0.0)
-        U = jnp.sum(u * dzm, axis=Z, keepdims=True)
-        V = jnp.sum(v * dzm, axis=Z, keepdims=True)
+        dzu = dzm if sigma_fc is None else sigma_fc * dzm
+        dzv = dzm if sigma_cf is None else sigma_cf * dzm
+        U = jnp.sum(u * dzu, axis=Z, keepdims=True)
+        V = jnp.sum(v * dzv, axis=Z, keepdims=True)
         return U, V
 
     def _column_depth(self, loc="cc"):
@@ -1335,7 +1395,8 @@ class HydrostaticFreeSurfaceModel:
             lams.append(lam.reshape(shape))
         return lams[0] + lams[1]
 
-    def _step_free_surface_implicit(self, state, dt, fs):
+    def _step_free_surface_implicit(self, state, dt, fs,
+                                    sigma_fc=None, sigma_cf=None):
         """Solve [∇·(gH∇) − 1/Δt²] η = (∇·U* − ηⁿ/Δt)/Δt, then return
         (η_new, correction fields)."""
         from oceananigans_tpu.solvers.transforms import dct2, idct2
@@ -1346,12 +1407,13 @@ class HydrostaticFreeSurfaceModel:
             # explicit-halo shard_map: the spectral/matrix solvers need
             # global transforms; CG runs shard-local with exchanged
             # halos + psum-reduced inner products
-            U, V = self._barotropic_mode(state.u, state.v)
+            U, V = self._barotropic_mode(state.u, state.v,
+                                         sigma_fc, sigma_cf)
             divU = self._div_transports(U, V)
             rhs = (divU - state.eta / dt) / dt
             eta = self._implicit_fs_cg(state, rhs, dt, fs)
             return self._fill_eta_halos(eta)
-        U, V = self._barotropic_mode(state.u, state.v)
+        U, V = self._barotropic_mode(state.u, state.v, sigma_fc, sigma_cf)
         divU = self._div_transports(U, V)
         rhs = (divU - state.eta / dt) / dt
 
@@ -1481,13 +1543,19 @@ class HydrostaticFreeSurfaceModel:
                                        reltol=fs.reltol, dot=dot)
         return eta
 
-    def _barotropic_correct(self, state, U_target, V_target):
+    def _barotropic_correct(self, state, U_target, V_target,
+                            sigma_fc=None, sigma_cf=None):
         """u ← u + (Ū − ∫u dz)/H with wet depths; dry columns untouched
-        (reference ``barotropic_split_explicit_corrector.jl``)."""
+        (reference ``barotropic_split_explicit_corrector.jl``). Under
+        ZStar the baroclinic transport and the column thickness are both
+        σ-scaled (reference column_depth = H + η there)."""
         from oceananigans_tpu.immersed import mask_immersed_field
         H_fc = self._column_depth("fc")
         H_cf = self._column_depth("cf")
-        U, V = self._barotropic_mode(state.u, state.v)
+        if sigma_fc is not None:
+            H_fc = H_fc * sigma_fc
+            H_cf = H_cf * sigma_cf
+        U, V = self._barotropic_mode(state.u, state.v, sigma_fc, sigma_cf)
         du = jnp.where(H_fc > 0, (U_target - U)
                        / jnp.where(H_fc > 0, H_fc, 1.0), 0.0)
         dv = jnp.where(H_cf > 0, (V_target - V)
@@ -1527,11 +1595,13 @@ class HydrostaticFreeSurfaceModel:
                    for name in self.tracer_names}
         fs = self.free_surface
         if isinstance(fs, ExplicitFreeSurface):
-            state2 = _replace(state, u=u, v=v, tracers=tracers)
-            state2 = self.fill_state_halos(state2)
-            U, V = self._barotropic_mode(state2.u, state2.v)
+            # Euler η step from the time-n transports — the same time
+            # level the tracer fluxes used (free-surface/tracer
+            # compatibility; reference explicit_rk3_step_free_surface!)
+            U, V = self._barotropic_mode(state.u, state.v)
             eta = state.eta - dt * self._div_transports(U, V)
-            state2 = _replace(state2, eta=eta)
+            state2 = _replace(state, u=u, v=v, tracers=tracers, eta=eta)
+            state2 = self.fill_state_halos(state2)
         elif isinstance(fs, ImplicitFreeSurface):
             state2 = _replace(state, u=u, v=v, tracers=tracers)
             state2 = self.fill_state_halos(state2)
@@ -1588,21 +1658,26 @@ class HydrostaticFreeSurfaceModel:
         c_now, c_prev = ab2_coefficients(state.clock.iteration, chi)
 
         zstar = isinstance(self.vertical_coordinate, ZStar)
+        sigma_fc = sigma_cf = None
         if zstar:
             # store σ-WEIGHTED tendencies: the AB2 memory term Gⁿ⁻¹ was
             # computed on the σⁿ⁻¹ grid, and only σ-weighted tendencies
-            # telescope exactly across grid updates (conservation)
+            # telescope exactly across grid updates (conservation). The
+            # face σ come from the face WET depths (reference σᶠᶜⁿ),
+            # consistent with the flux areas in ``_ScaledZGrid``.
             sigma_n = self._sigma(state.eta)
-            Gu = Gu * ix_f(sigma_n)
-            Gv = Gv * iy_f(sigma_n)
+            sigma_fc = self._sigma_at(state.eta, "fc")
+            sigma_cf = self._sigma_at(state.eta, "cf")
+            Gu = Gu * sigma_fc
+            Gv = Gv * sigma_cf
             Gt = {name: Gc * sigma_n for name, Gc in Gt.items()}
 
         Gu_ab2 = c_now * Gu + c_prev * state.Gu
         Gv_ab2 = c_now * Gv + c_prev * state.Gv
 
         if zstar:
-            u = state.u + dt * Gu_ab2 / ix_f(sigma_n)
-            v = state.v + dt * Gv_ab2 / iy_f(sigma_n)
+            u = state.u + dt * Gu_ab2 / sigma_fc
+            v = state.v + dt * Gv_ab2 / sigma_cf
             tracers = {
                 name: state.tracers[name]
                 + dt * (c_now * Gt[name]
@@ -1619,17 +1694,29 @@ class HydrostaticFreeSurfaceModel:
             }
 
         fs = self.free_surface
+        Geta = None
         if isinstance(fs, ExplicitFreeSurface):
-            # ∂t η = −∇·U with the *updated* velocities (forward-backward)
-            state2 = _replace(state, u=u, v=v, tracers=tracers)
+            # η is an AB2 prognostic with Gη = −∇·U computed from the
+            # SAME time-n transports whose fluxes move the tracers
+            # (reference ``explicit_ab2_step_free_surface!`` +
+            # ``compute_free_surface_tendency!``): this discrete
+            # compatibility keeps a uniform tracer exactly uniform under
+            # ZStar (σⁿ⁺¹ − σⁿ = Δt Gη_ab2 / H telescopes against the
+            # σ-weighted tracer flux divergence). NOTE: no wall-zeroing
+            # here — the transports must match the tracer fluxes' column
+            # sums bit-for-bit (wall faces carry zero velocity already).
+            U_s, V_s = self._barotropic_mode(state.u, state.v,
+                                             sigma_fc, sigma_cf)
+            Geta = -self._div_transports(U_s, V_s)
+            Geta_ab2 = c_now * Geta + c_prev * state.Geta
+            eta = state.eta + dt * Geta_ab2
+            state2 = _replace(state, u=u, v=v, tracers=tracers, eta=eta)
             state2 = self.fill_state_halos(state2)
-            U, V = self._barotropic_mode(state2.u, state2.v)
-            eta = state.eta - dt * self._div_transports(U, V)
-            state2 = _replace(state2, eta=eta)
         elif isinstance(fs, ImplicitFreeSurface):
             state2 = _replace(state, u=u, v=v, tracers=tracers)
             state2 = self.fill_state_halos(state2)
-            eta = self._step_free_surface_implicit(state2, dt, fs)
+            eta = self._step_free_surface_implicit(state2, dt, fs,
+                                                   sigma_fc, sigma_cf)
             u = state2.u - dt * fs.g * dx_f(eta) / g.dx(Face, Center)
             v = state2.v - dt * fs.g * dy_f(eta) / g.dy(Face, Center)
             state2 = _replace(state2, u=u, v=v, eta=eta)
@@ -1640,7 +1727,8 @@ class HydrostaticFreeSurfaceModel:
             state2 = _replace(state, u=u, v=v, tracers=tracers, eta=eta_f,
                               U=U_f, V=V_f)
             state2 = self.fill_state_halos(state2)
-            state2 = self._barotropic_correct(state2, U_f, V_f)
+            state2 = self._barotropic_correct(state2, U_f, V_f,
+                                              sigma_fc, sigma_cf)
 
         # z-star grid update (reference z_star_vertical_spacing.jl): the
         # water columns stretched from σⁿ to σⁿ⁺¹; rescale prognostic
@@ -1648,12 +1736,13 @@ class HydrostaticFreeSurfaceModel:
         if zstar:
             sigma_np1 = self._sigma(state2.eta)
             ratio = sigma_n / sigma_np1
-            u2 = state2.u * ix_f(ratio)
-            v2 = state2.v * iy_f(ratio)
+            u2 = state2.u * (sigma_fc / self._sigma_at(state2.eta, "fc"))
+            v2 = state2.v * (sigma_cf / self._sigma_at(state2.eta, "cf"))
             tr2 = {name: c * ratio for name, c in state2.tracers.items()}
             state2 = _replace(state2, u=u2, v=v2, tracers=tr2)
 
-        state2 = _replace(state2, Gu=Gu, Gv=Gv, Gtracers=Gt)
+        state2 = _replace(state2, Gu=Gu, Gv=Gv, Gtracers=Gt,
+                          **({"Geta": Geta} if Geta is not None else {}))
         state2 = self._implicit_diffusion(state2, diffusivities, dt)
         state2 = _replace(state2, clock=tick(state2.clock, dt))
         return self.update_state(state2)
