@@ -65,14 +65,17 @@ def cs_column_depth(g):
                    keepdims=True)[None]
 
 
-def cs_barotropic_mode(g, u, v):
+def cs_barotropic_mode(g, u, v, sigma_u=None, sigma_v=None):
     """(U, V) = ∫ u dz per panel of stacked (P, nx, ny, nz) velocities
-    (reference ``_compute_barotropic_mode!``)."""
+    (reference ``_compute_barotropic_mode!``). Under ZStar pass the
+    face σ so the transports integrate the moving thickness σ dz."""
     dz = jnp.broadcast_to(g.dz(Center), g.shape)[None]
     k = jnp.arange(g.shape[2]).reshape(1, 1, 1, -1)
     dzm = jnp.where((k >= g.Hz) & (k < g.Hz + g.Nz), dz, 0.0)
-    U = jnp.sum(u * dzm, axis=3, keepdims=True)
-    V = jnp.sum(v * dzm, axis=3, keepdims=True)
+    dzu = dzm if sigma_u is None else sigma_u * dzm
+    dzv = dzm if sigma_v is None else sigma_v * dzm
+    U = jnp.sum(u * dzu, axis=3, keepdims=True)
+    V = jnp.sum(v * dzv, axis=3, keepdims=True)
     return U, V
 
 
@@ -141,14 +144,19 @@ def cs_split_explicit_free_surface(g, U0, V0, eta0, GU, GV, dt,
 
 
 def cs_barotropic_correct(g, u, v, U_target, V_target, mask_u, mask_v,
-                          Hu=None, Hv=None):
+                          Hu=None, Hv=None, sigma_u=None, sigma_v=None):
     """Replace the barotropic mode of (u, v) with the filtered substepped
     transports (reference ``barotropic_split_explicit_corrector.jl``).
     ``Hu``/``Hv``: wet face-column depths (immersed bathymetry); land
-    faces (depth 0) are left untouched."""
-    U, V = cs_barotropic_mode(g, u, v)
+    faces (depth 0) are left untouched. Under ZStar the baroclinic
+    transport and the dividing thickness are both σ-scaled (reference
+    column_depth = H + η on mutable grids)."""
+    U, V = cs_barotropic_mode(g, u, v, sigma_u, sigma_v)
     if Hu is None:
         Hu = Hv = cs_column_depth(g)
+    if sigma_u is not None:
+        Hu = Hu * sigma_u
+        Hv = Hv * sigma_v
     Hu_safe = jnp.where(Hu > 0, Hu, 1.0)
     Hv_safe = jnp.where(Hv > 0, Hv, 1.0)
     u = u + jnp.where(Hu > 0, (U_target - U) / Hu_safe, 0.0) \
@@ -799,11 +807,6 @@ class CubedSphereHydrostaticModel:
         if self._zstar and timestepper != "QuasiAdamsBashforth2":
             raise ValueError("cubed-sphere ZStar needs "
                              "timestepper='QuasiAdamsBashforth2'")
-        if self._zstar and bathymetry is not None:
-            raise NotImplementedError(
-                "cubed-sphere ZStar over immersed bathymetry is not "
-                "wired yet (the dia-surface grid-motion correction "
-                "assumes full columns)")
         if self._zstar and corner_filter:
             raise NotImplementedError(
                 "corner_filter under ZStar would mix columns of "
@@ -1073,7 +1076,11 @@ class CubedSphereHydrostaticModel:
             um, vm = state.u, state.v
             mu = jnp.asarray(self._mask_u, dtype)
             mv = jnp.asarray(self._mask_v, dtype)
-        U0, V0 = cs_barotropic_mode(g, um, vm)
+        if getattr(self, "_zstar", False):
+            su0, sv0 = self._sigma_faces(state.eta)
+            U0, V0 = cs_barotropic_mode(g, um, vm, su0, sv0)
+        else:
+            U0, V0 = cs_barotropic_mode(g, um, vm)
         return dataclasses.replace(state, U=U0 * mu, V=V0 * mv)
 
     # ------------------------------------------------------------------
@@ -1134,7 +1141,26 @@ class CubedSphereHydrostaticModel:
         Hs = jnp.where(H > 0, H, 1.0)
         return jnp.where(H > 0, 1.0 + eta / Hs, 1.0)
 
-    def _panel_w(self, u, v, g=None):
+    def _sigma_faces(self, eta):
+        """σ at the u/v faces from the face WET column depths (reference
+        σᶠᶜⁿ/σᶜᶠⁿ from ``static_column_depthᶠᶜᵃ``,
+        ``z_star_vertical_spacing.jl:44-75``): over bathymetry the face
+        depth is the min of the adjacent columns', so interpolating the
+        center σ would be inconsistent with the face flux areas."""
+        if getattr(self, "_Hu", None) is not None:
+            Hu = jnp.asarray(self._Hu, eta.dtype)
+            Hv = jnp.asarray(self._Hv, eta.dtype)
+        else:
+            H = jnp.asarray(cs_column_depth(self.grid.panel_grid),
+                            eta.dtype)
+            Hu = Hv = H
+        eu = jax.vmap(ix_f)(eta)
+        ev = jax.vmap(iy_f)(eta)
+        su = jnp.where(Hu > 0, 1.0 + eu / jnp.where(Hu > 0, Hu, 1.0), 1.0)
+        sv = jnp.where(Hv > 0, 1.0 + ev / jnp.where(Hv > 0, Hv, 1.0), 1.0)
+        return su, sv
+
+    def _panel_w(self, u, v, g=None, wet_c=None):
         """w at z-faces from continuity (per panel); ``g`` overrides the
         panel grid (the σ-scaled view under ZStar, in which case this is
         the DIA-SURFACE velocity ω: the grid motion h(z)/H·H∂tσ is
@@ -1148,8 +1174,18 @@ class CubedSphereHydrostaticModel:
         if g is None:
             g = self.grid.panel_grid
         base = getattr(g, "base", g)
-        hdiv = (dx_c(g.dy(Center, Face) * u)
-                + dy_c(g.dx(Center, Face) * v)) / g.Az(Center, Center)
+        if scaled:
+            # σ-CONSISTENT horizontal flux divergence (the same σ-scaled
+            # Ax/Ay areas the tracer fluxes use): only this form makes
+            # the per-cell dia-surface cancellation exact for flows with
+            # vertical structure (the plain per-level form commutes σ
+            # through δx, exact only for barotropic u)
+            hdiv = (dx_c(g.Ax(Face, Center, Center) * u)
+                    + dy_c(g.Ay(Center, Face, Center) * v)) \
+                / g.V(Center, Center, Center)
+        else:
+            hdiv = (dx_c(g.dy(Center, Face) * u)
+                    + dy_c(g.dx(Center, Face) * v)) / g.Az(Center, Center)
         dz = jnp.broadcast_to(g.dz(Center), base.shape)
         k = jnp.arange(base.shape[2]).reshape(1, 1, -1)
         interior = (k >= base.Hz) & (k < base.Hz + base.Nz)
@@ -1160,11 +1196,15 @@ class CubedSphereHydrostaticModel:
         if scaled:
             total = jnp.sum(contrib, axis=2, keepdims=True)
             dz0 = jnp.broadcast_to(base.dz(Center), base.shape)
-            hb = jnp.roll(jnp.cumsum(jnp.where(interior, dz0, 0.0), 2),
-                          1, 2)
+            # WET thickness above the LOCAL bottom: the grid motion is
+            # distributed over the wet part of each column only, so
+            # ω = 0 at the immersed bottom face and the moving surface
+            dz0w = jnp.where(interior, dz0, 0.0)
+            if wet_c is not None:
+                dz0w = dz0w * wet_c
+            hb = jnp.roll(jnp.cumsum(dz0w, 2), 1, 2)
             hb = jnp.where(k == 0, 0.0, hb)
-            H = jnp.sum(jnp.where(interior, dz0, 0.0), axis=2,
-                        keepdims=True)
+            H = jnp.sum(dz0w, axis=2, keepdims=True)
             w = w + jnp.where(H > 0, hb / jnp.where(H > 0, H, 1.0),
                               0.0) * total
         return w
@@ -1194,17 +1234,18 @@ class CubedSphereHydrostaticModel:
         return b
 
     def _panel_tendencies(self, u, v, eta, f_ff, zeta, tracers,
-                          wet_u=None, wet_v=None, sigma=None):
+                          wet_u=None, wet_v=None, sigma=None,
+                          sigma_u=None, sigma_v=None, wet_c=None):
         g = self.grid.panel_grid
         if sigma is not None:
             from oceananigans_tpu.models.hydrostatic import _ScaledZGrid
-            g = _ScaledZGrid(g, sigma)
+            g = _ScaledZGrid(g, sigma, sigma_u, sigma_v)
         # transports/divergences use the wet-MASKED velocities (zero flux
         # through the immersed bottom); gradients and shear use the
         # mirrored fields the exchange produced (free-slip extension)
         um = u if wet_u is None else u * wet_u
         vm = v if wet_v is None else v * wet_v
-        w = self._panel_w(um, vm, g)
+        w = self._panel_w(um, vm, g, wet_c)
         b = self._buoyancy_ccc(g, tracers)
         p = self._panel_pressure(b, g) if b is not None else 0.0
         # the distributed view namespaces default to the explicit form
@@ -1235,6 +1276,20 @@ class CubedSphereHydrostaticModel:
         dvdz = dz_f(v) / g.dz(Face)
         Gv = -q_upx * Uv - dy_f(phi) / g.dy(Face, Center) \
             - iz_c(iy_f(w) * dvdz)
+        # σ-coordinate pressure-gradient correction (reference
+        # ``grid_slope_contribution_x``, z_star_vertical_spacing.jl:
+        # 125-132): the p′ gradient at constant σ-level differs from
+        # the constant-z gradient by b ∂x(z), z = σ z_ref + η
+        slope_x = slope_y = None
+        if (sigma is not None and getattr(self, "_zstar", False)
+                and b is not None):
+            base = getattr(g, "base", g)
+            zrow = jnp.asarray(base.zC, u.dtype).reshape(1, 1, -1)
+            z_c = sigma * zrow + eta
+            slope_x = ix_f(b) * dx_f(z_c) / g.dx(Face, Center)
+            slope_y = iy_f(b) * dy_f(z_c) / g.dy(Face, Center)
+            Gu = Gu - slope_x
+            Gv = Gv - slope_y
         adv = getattr(self, "momentum_advection", None)
         if adv is None:
             return Gu, Gv, w
@@ -1252,12 +1307,15 @@ class CubedSphereHydrostaticModel:
             - dx_f(phig) / g.dx(Face, Center)
         Gv_vi = Gv_adv - ix_c(f_ff) * Uv \
             - dy_f(phig) / g.dy(Face, Center)
+        if slope_x is not None:
+            Gu_vi = Gu_vi - slope_x
+            Gv_vi = Gv_vi - slope_y
         Gu = cm * Gu + (1 - cm) * Gu_vi
         Gv = cm * Gv + (1 - cm) * Gv_vi
         return Gu, Gv, w
 
     def _panel_fluxes(self, u, v, w, tracers, wet_u=None, wet_v=None,
-                      wet_w=None, sigma=None):
+                      wet_w=None, sigma=None, sigma_u=None, sigma_v=None):
         """Barotropic + tracer fluxes (horizontal parts edge-synced by
         the caller). With immersed bathymetry, every advective flux
         through a solid face is zeroed (the reference's conditional
@@ -1266,7 +1324,7 @@ class CubedSphereHydrostaticModel:
         g = self.grid.panel_grid
         if sigma is not None:
             from oceananigans_tpu.models.hydrostatic import _ScaledZGrid
-            g = _ScaledZGrid(g, sigma)
+            g = _ScaledZGrid(g, sigma, sigma_u, sigma_v)
         base = getattr(g, "base", g)
         um = u if wet_u is None else u * wet_u
         vm = v if wet_v is None else v * wet_v
@@ -1274,9 +1332,17 @@ class CubedSphereHydrostaticModel:
         k = jnp.arange(base.shape[2]).reshape(1, 1, -1)
         interior = (k >= base.Hz) & (k < base.Hz + base.Nz)
         dzi = jnp.where(interior, dz, 0.0)
-        # vertically integrated transports (for eta)
-        U = jnp.sum(um * dzi, axis=2, keepdims=True)
-        V = jnp.sum(vm * dzi, axis=2, keepdims=True)
+        # vertically integrated transports (for eta): the thickness at
+        # each FACE carries that face's σ, exactly matching the column
+        # sum of the tracer flux areas g.Ax/g.Ay below
+        if sigma is not None and sigma_u is not None:
+            dz0 = jnp.broadcast_to(base.dz(Center), base.shape)
+            dzi0 = jnp.where(interior, dz0, 0.0)
+            U = jnp.sum(um * (sigma_u * dzi0), axis=2, keepdims=True)
+            V = jnp.sum(vm * (sigma_v * dzi0), axis=2, keepdims=True)
+        else:
+            U = jnp.sum(um * dzi, axis=2, keepdims=True)
+            V = jnp.sum(vm * dzi, axis=2, keepdims=True)
         Fx = g.dy(Center, Face) * U
         Fy = g.dx(Center, Face) * V
         Ft = {}
@@ -1399,14 +1465,20 @@ class CubedSphereHydrostaticModel:
                 wu = jnp.asarray(self._wet_u, dtype)
                 wv = jnp.asarray(self._wet_v, dtype)
                 ww = jnp.asarray(self._wet_w, dtype)
+                wc = jnp.asarray(self._wet_c, dtype)
             else:
-                wu = wv = ww = ones2
+                wu = wv = ww = wc = ones2
             sg = sig if sig is not None else ones2
+            if zstar:
+                sgu, sgv = self._sigma_faces(state.eta)
+            else:
+                sgu = sgv = ones2
             Gu, Gv, w = jax.vmap(self._panel_tendencies)(
                 state.u, state.v, state.eta, f, zeta, state.tracers,
-                wu, wv, sg)
+                wu, wv, sg, sgu, sgv, wc)
             Fx, Fy, Ft = jax.vmap(self._panel_fluxes)(
-                state.u, state.v, w, state.tracers, wu, wv, ww, sg)
+                state.u, state.v, w, state.tracers, wu, wv, ww, sg,
+                sgu, sgv)
         Fx, Fy = cubed_sphere_sync_edge_fluxes(Fx, Fy, self.grid)
         Ft = {n: (*cubed_sphere_sync_edge_fluxes(fx_, fy_, self.grid),
                   fz_) for n, (fx_, fy_, fz_) in Ft.items()}
@@ -1499,9 +1571,12 @@ class CubedSphereHydrostaticModel:
                 {n: G * mcw * kin for n, G in Gt.items()}, diffusivities)
 
     # ------------------------------------------------------------------
-    def _euler_free_surface(self, s, u_e, v_e, Gu, Gv, Geta, dt):
+    def _euler_free_surface(self, s, u_e, v_e, Gu, Gv, Geta, dt,
+                            sigma_u=None, sigma_v=None):
         """Free-surface part of one Euler substage: returns the stage
-        (u, v, eta, U, V) after the configured barotropic treatment."""
+        (u, v, eta, U, V) after the configured barotropic treatment.
+        Under ZStar ``sigma_u``/``sigma_v`` scale the transport
+        thicknesses (the barotropic mode integrates σ dz)."""
         from oceananigans_tpu.models.hydrostatic import (
             ExplicitFreeSurface, ImplicitFreeSurface,
         )
@@ -1535,7 +1610,7 @@ class CubedSphereHydrostaticModel:
             else v_e * jnp.asarray(self._wet_v, dtype)
         if isinstance(fs, ExplicitFreeSurface):
             eta = s.eta + dt * Geta
-            U, V = cs_barotropic_mode(g, um, vm)
+            U, V = cs_barotropic_mode(g, um, vm, sigma_u, sigma_v)
             return u_e, v_e, eta, U * mu, V * mv
         if isinstance(fs, ImplicitFreeSurface):
             eta = cs_implicit_free_surface(
@@ -1548,10 +1623,11 @@ class CubedSphereHydrostaticModel:
                 else u_e * jnp.asarray(self._wet_u, dtype)
             vm = v_e if self._wet_v is None \
                 else v_e * jnp.asarray(self._wet_v, dtype)
-            U, V = cs_barotropic_mode(g, um, vm)
+            U, V = cs_barotropic_mode(g, um, vm, sigma_u, sigma_v)
             return u_e, v_e, eta, U * mu, V * mv
         # split-explicit barotropic substepping from the PERSISTENT
         # barotropic state (s.U, s.V), slow-forced by ∫ G dz
+        # (Gu is already σ-weighted under ZStar, so GU = ∫ σ Gu dz)
         GU, GV = cs_barotropic_mode(g, Gu, Gv)
         eta_f, U_f, V_f = cs_split_explicit_free_surface(
             g, s.U, s.V, s.eta, GU, GV, dt, fs, exchange_eta,
@@ -1559,7 +1635,8 @@ class CubedSphereHydrostaticModel:
         # correct the wet-masked velocities; the solid mirror is
         # restored by the next exchange
         u_c, v_c = cs_barotropic_correct(g, um, vm, U_f, V_f,
-                                         mask_u2, mask_v2, Hu=Hu, Hv=Hv)
+                                         mask_u2, mask_v2, Hu=Hu, Hv=Hv,
+                                         sigma_u=sigma_u, sigma_v=sigma_v)
         if self._wet_u is not None:
             wu = jnp.asarray(self._wet_u, dtype)
             wv = jnp.asarray(self._wet_v, dtype)
@@ -1586,13 +1663,15 @@ class CubedSphereHydrostaticModel:
         c_now, c_prev = ab2_coefficients(s.clock.iteration, chi)
         Gu, Gv, Geta, Gt, diff = self.compute_tendencies(s)
         zstar = getattr(self, "_zstar", False)
+        six_u = six_v = None
         if zstar:
             # store σ-WEIGHTED tendencies: only those telescope exactly
             # across the moving grid (reference
-            # z_star_vertical_spacing.jl; flat-model _step_qab2)
+            # z_star_vertical_spacing.jl; flat-model _step_qab2). Face σ
+            # from the face WET depths (σᶠᶜⁿ) — consistent with the flux
+            # areas over bathymetry.
             sigma_n = self._sigma_field(s.eta)
-            six_u = jax.vmap(ix_f)(sigma_n)
-            six_v = jax.vmap(iy_f)(sigma_n)
+            six_u, six_v = self._sigma_faces(s.eta)
             Gu = Gu * six_u
             Gv = Gv * six_v
             Gt = {n: Gt[n] * sigma_n for n in self.tracer_names}
@@ -1608,15 +1687,17 @@ class CubedSphereHydrostaticModel:
             u_e = s.u + dt * Gu_eff
             v_e = s.v + dt * Gv_eff
         u, v, eta, U, V = self._euler_free_surface(
-            s, u_e, v_e, Gu_eff, Gv_eff, Geta_eff, dt)
+            s, u_e, v_e, Gu_eff, Gv_eff, Geta_eff, dt,
+            sigma_u=six_u, sigma_v=six_v)
         if zstar:
             tracers = {n: s.tracers[n] + dt * Gt_eff[n] / sigma_n
                        for n in self.tracer_names}
             # grid update σⁿ -> σⁿ⁺¹: rescale so ∫ σ q dV is conserved
             sigma_np1 = self._sigma_field(eta)
             ratio = sigma_n / sigma_np1
-            u = u * jax.vmap(ix_f)(ratio)
-            v = v * jax.vmap(iy_f)(ratio)
+            six_u1, six_v1 = self._sigma_faces(eta)
+            u = u * (six_u / six_u1)
+            v = v * (six_v / six_v1)
             tracers = {n: c * ratio for n, c in tracers.items()}
         else:
             tracers = {n: s.tracers[n] + dt * Gt_eff[n]

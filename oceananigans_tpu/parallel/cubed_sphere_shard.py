@@ -763,7 +763,8 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
         aux = {}
         if getattr(model, "_wet_u", None) is not None:
             for nm in ("_wet_c", "_wet_u", "_wet_v", "_wet_w",
-                       "_Hu", "_Hv", "_wet2_c", "_wet2_u", "_wet2_v",
+                       "_Hc", "_Hu", "_Hv",
+                       "_wet2_c", "_wet2_u", "_wet2_v",
                        "_top_c", "_top_u", "_top_v",
                        "_bot_c", "_bot_u", "_bot_v"):
                 aux[nm] = jax.device_put(
@@ -834,8 +835,8 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 _dz_row=getattr(model, "_dz_row", None),
                 _explicit_eta_grad=getattr(model, "_explicit_eta_grad",
                                            True))
-            view._panel_w = lambda uu, vv, gg=None: HY._panel_w(
-                view, uu, vv, gg)
+            view._panel_w = lambda uu, vv, gg=None, wc=None: HY._panel_w(
+                view, uu, vv, gg, wc)
             view._panel_pressure = lambda bb, gg=None: HY._panel_pressure(
                 view, bb, gg)
             view._buoyancy_ccc = lambda gg, tr: HY._buoyancy_ccc(view, gg,
@@ -857,8 +858,16 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
             view._eval_cs_flux = lambda bc, n, s, st, t, dt_: \
                 HY._eval_cs_flux(view, bc, n, s, st, t, dt_)
             view._zstar = zstar
-            view._Hc = None
+            # blocked wet-column depths for the per-location σ over
+            # bathymetry (None -> the flat-bottom cs_column_depth path)
+            view._Hc = jnp.asarray(aux["_Hc"], state.u.dtype) \
+                if "_Hc" in aux else None
+            view._Hu = jnp.asarray(aux["_Hu"], state.u.dtype) \
+                if "_Hu" in aux else None
+            view._Hv = jnp.asarray(aux["_Hv"], state.u.dtype) \
+                if "_Hv" in aux else None
             view._sigma_field = lambda e: HY._sigma_field(view, e)
+            view._sigma_faces = lambda e: HY._sigma_faces(view, e)
             mu = jnp.asarray(mu_l, state.u.dtype)
             mv = jnp.asarray(mv_l, state.u.dtype)
             mc = jnp.asarray(mc_l, state.u.dtype)
@@ -902,23 +911,26 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                     lambda up, vp: vorticity_z_ff(lg, up, vp))(u, v)
                 zeta = self._corner_fix(zeta, u, v, dev)
                 sig = view._sigma_field(eta) if zstar else None
-                if has_bath:
-                    Gu, Gv, w = jax.vmap(
-                        partial(HY._panel_tendencies, view))(
-                        u, v, eta, fff, zeta, tr, wu3, wv3)
-                    Fx, Fy, Ft = jax.vmap(
-                        partial(HY._panel_fluxes, view))(
-                        u, v, w, tr, wu3, wv3, ww3)
-                elif zstar:
-                    # zstar excludes bathymetry (serial model raises):
-                    # neutral all-ones wet masks, σ-scaled panel views
+                if has_bath or zstar:
+                    # neutral all-ones masks/σ keep the vmapped
+                    # signatures uniform (×1.0 is bitwise exact)
                     ones2 = jnp.ones((u.shape[0], 1, 1, 1), u.dtype)
+                    if has_bath:
+                        wu_, wv_, ww_, wc_ = wu3, wv3, ww3, wc3
+                    else:
+                        wu_ = wv_ = ww_ = wc_ = ones2
+                    sg = sig if sig is not None else ones2
+                    if zstar:
+                        sgu, sgv = view._sigma_faces(eta)
+                    else:
+                        sgu = sgv = ones2
                     Gu, Gv, w = jax.vmap(
                         partial(HY._panel_tendencies, view))(
-                        u, v, eta, fff, zeta, tr, ones2, ones2, sig)
+                        u, v, eta, fff, zeta, tr, wu_, wv_, sg,
+                        sgu, sgv, wc_)
                     Fx, Fy, Ft = jax.vmap(
                         partial(HY._panel_fluxes, view))(
-                        u, v, w, tr, ones2, ones2, ones2, sig)
+                        u, v, w, tr, wu_, wv_, ww_, sg, sgu, sgv)
                 else:
                     Gu, Gv, w = jax.vmap(
                         partial(HY._panel_tendencies, view))(
@@ -1040,14 +1052,16 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 Hu_b = Hv_b = None
                 mu2, mv2, mc2 = mu, mv, mc
 
-            def euler_fs(s_eta, s_U, s_V, u_e, v_e, Gu, Gv, Geta, dt_):
+            def euler_fs(s_eta, s_U, s_V, u_e, v_e, Gu, Gv, Geta, dt_,
+                         sigma_u=None, sigma_v=None):
                 if prescribed:
                     return u_e, v_e, s_eta, s_U, s_V
                 um = u_e * wu3 if has_bath else u_e
                 vm = v_e * wv3 if has_bath else v_e
                 if isinstance(fs, ExplicitFreeSurface):
                     eta_e = s_eta + dt_ * Geta
-                    U_e, V_e = cs_barotropic_mode(lg, um, vm)
+                    U_e, V_e = cs_barotropic_mode(lg, um, vm,
+                                                  sigma_u, sigma_v)
                     return u_e, v_e, eta_e, U_e * mu2, V_e * mv2
                 if isinstance(fs, ImplicitFreeSurface):
                     eta_e = cs_implicit_free_surface(
@@ -1058,7 +1072,8 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                     v_e = v_e - dt_ * fs.g * gy * mv2
                     um = u_e * wu3 if has_bath else u_e
                     vm = v_e * wv3 if has_bath else v_e
-                    U_e, V_e = cs_barotropic_mode(lg, um, vm)
+                    U_e, V_e = cs_barotropic_mode(lg, um, vm,
+                                                  sigma_u, sigma_v)
                     return u_e, v_e, eta_e, U_e * mu2, V_e * mv2
                 GU, GV = cs_barotropic_mode(lg, Gu, Gv)
                 eta_f, U_f, V_f = cs_split_explicit_free_surface(
@@ -1066,7 +1081,9 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                     sync2d, mu2, mv2, Hu=Hu_b, Hv=Hv_b)
                 u_c, v_c = cs_barotropic_correct(lg, um, vm, U_f, V_f,
                                                  mu2, mv2,
-                                                 Hu=Hu_b, Hv=Hv_b)
+                                                 Hu=Hu_b, Hv=Hv_b,
+                                                 sigma_u=sigma_u,
+                                                 sigma_v=sigma_v)
                 if has_bath:
                     u_c = u_c * wu3 + u_e * (1 - wu3)
                     v_c = v_c * wv3 + v_e * (1 - wv3)
@@ -1078,18 +1095,15 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 from oceananigans_tpu.timesteppers import (
                     ab2_coefficients,
                 )
-                from oceananigans_tpu.ops.operators import (
-                    ix_f as _ixf, iy_f as _iyf,
-                )
                 u, v, tr, eta = fill(state.u, state.v,
                                      dict(state.tracers), state.eta)
                 c_now, c_prev = ab2_coefficients(state.clock.iteration)
                 Gu, Gv, Geta, Gt, diff = tendencies(
                     u, v, eta, tr, state.clock.time)
+                six_u = six_v = None
                 if zstar:
                     sigma_n = view._sigma_field(eta)
-                    six_u = jax.vmap(_ixf)(sigma_n)
-                    six_v = jax.vmap(_iyf)(sigma_n)
+                    six_u, six_v = view._sigma_faces(eta)
                     Gu = Gu * six_u
                     Gv = Gv * six_v
                     Gt = {n: Gt[n] * sigma_n for n in names}
@@ -1106,14 +1120,15 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                     v_e = v + dt_ * Gv_eff
                 u, v, eta, U_, V_ = euler_fs(
                     eta, state.U, state.V, u_e, v_e, Gu_eff, Gv_eff,
-                    Geta_eff, dt_)
+                    Geta_eff, dt_, six_u, six_v)
                 if zstar:
                     tr = {n: tr[n] + dt_ * Gt_eff[n] / sigma_n
                           for n in names}
                     sigma_np1 = view._sigma_field(eta)
                     ratio = sigma_n / sigma_np1
-                    u = u * jax.vmap(_ixf)(ratio)
-                    v = v * jax.vmap(_iyf)(ratio)
+                    six_u1, six_v1 = view._sigma_faces(eta)
+                    u = u * (six_u / six_u1)
+                    v = v * (six_v / six_v1)
                     tr = {n: c * ratio for n, c in tr.items()}
                 else:
                     tr = {n: tr[n] + dt_ * Gt_eff[n] for n in names}

@@ -687,3 +687,81 @@ def test_cs_corner_filter_conserves_and_stabilizes():
     assert abs(float(model.total_volume(state)) - vol0) < 1e-12 * scale
     assert abs(float(model.total_tracer(state, "c")) - c0) \
         < 1e-10 * abs(c0)
+
+
+def test_cs_zstar_over_bathymetry_uniform_and_conserving():
+    """ZStar + immersed bathymetry on the cubed sphere (round-5 ask 1):
+    a uniform tracer over continents + ridge stays uniform to roundoff
+    under the explicit FS (wet-column σ everywhere), and the σ-weighted
+    content conserves."""
+    from oceananigans_tpu.models.hydrostatic import (
+        ExplicitFreeSurface, ZStar,
+    )
+    grid = _grid(N=12, Nz=4, depth=1000.0)
+    model = CubedSphereHydrostaticModel(
+        grid, timestepper="QuasiAdamsBashforth2",
+        vertical_coordinate=ZStar(), bathymetry=_two_continents,
+        free_surface=ExplicitFreeSurface(),
+        tracers=("c",), buoyancy=None)
+    g = grid.panel_grid
+    eta0 = grid.set_tracer(
+        lambda lam, phi, z: 20.0 * np.exp(-((lam + 60) ** 2
+                                            + (phi - 10) ** 2) / 400.0)
+        + 0 * z)[..., g.Hz:g.Hz + 1]
+    # land columns carry no eta
+    eta0 = eta0 * jnp.asarray(model._wet2_c, eta0.dtype)
+    state = model.initial_state(eta=eta0, c=1.0)
+    c0 = float(model.total_tracer(state, "c"))
+    step = jax.jit(lambda s: model.step(s, 100.0))
+    s = state
+    for _ in range(10):
+        s = step(s)
+    assert np.isfinite(np.asarray(s.u)).all()
+    c1 = float(model.total_tracer(s, "c"))
+    assert abs(c1 - c0) < 1e-11 * abs(c0)
+    sx, sy, sz = g.interior_slices
+    cu = np.asarray(s.tracers["c"])[:, sx, sy, sz]
+    wet = np.asarray(model._wet_c, bool)[:, sx, sy, sz]
+    assert np.abs(cu[wet] - 1.0).max() < 1e-11, np.abs(cu[wet] - 1.0).max()
+    # the free surface is genuinely moving over the wet columns
+    assert np.abs(np.asarray(s.eta)[:, sx, sy]).max() > 1.0
+
+
+def test_cs_zstar_bathymetry_dist_matches_serial():
+    """ZStar + bathymetry + AB2 + split-explicit on the mirror-rank
+    distributed path matches the serial stacked-panel model at R=2."""
+    from oceananigans_tpu.models.hydrostatic import ZStar
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedHydrostatic,
+    )
+    grid = _grid(N=16, Nz=3, depth=1000.0)
+    model = CubedSphereHydrostaticModel(
+        grid, timestepper="QuasiAdamsBashforth2",
+        vertical_coordinate=ZStar(), bathymetry=_two_continents,
+        free_surface=SplitExplicitFreeSurface(substeps=8),
+        tracers=("c",), buoyancy=None)
+    g = grid.panel_grid
+    eta0 = grid.set_tracer(
+        lambda lam, phi, z: 40.0 * np.exp(-((lam - 30) ** 2 + phi ** 2)
+                                          / 400.0) + 0 * z
+    )[..., g.Hz:g.Hz + 1]
+    eta0 = eta0 * jnp.asarray(model._wet2_c, eta0.dtype)
+    state = model.initial_state(
+        eta=eta0, c=lambda lam, phi, z: 1.0 + 0.5 * np.cos(
+            np.deg2rad(phi)))
+    dhy = CubedSphereDistributedHydrostatic(model, R=2, panels=2)
+    bstate = dhy.to_local_state(state)
+    sstate = state
+    sstep = jax.jit(lambda s: model.step(s, 300.0))
+    for _ in range(3):
+        sstate = sstep(sstate)
+        bstate = dhy.step(bstate, 300.0)
+    dstate = dhy.from_local_state(bstate)
+    sx, sy, sz = g.interior_slices
+    np.testing.assert_allclose(
+        np.asarray(dstate.eta)[:, sx, sy],
+        np.asarray(sstate.eta)[:, sx, sy], rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(dstate.tracers["c"])[:, sx, sy, sz],
+        np.asarray(sstate.tracers["c"])[:, sx, sy, sz],
+        rtol=1e-12, atol=1e-13)
