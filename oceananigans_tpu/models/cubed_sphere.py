@@ -807,11 +807,6 @@ class CubedSphereHydrostaticModel:
         if self._zstar and timestepper != "QuasiAdamsBashforth2":
             raise ValueError("cubed-sphere ZStar needs "
                              "timestepper='QuasiAdamsBashforth2'")
-        if self._zstar and corner_filter:
-            raise NotImplementedError(
-                "corner_filter under ZStar would mix columns of "
-                "different σ (breaking exact σ-weighted conservation); "
-                "not wired yet")
         self.corner_upwind_width = int(corner_upwind_width)
         self.grid = grid
         self.g = float(gravitational_acceleration)
@@ -1777,6 +1772,21 @@ class CubedSphereHydrostaticModel:
             else self._mask_u * self._wet_u
         mv = self._mask_v if self._wet_v is None \
             else self._mask_v * self._wet_v
+        if getattr(self, "_zstar", False):
+            # ZStar composition: smooth the σ-WEIGHTED content σc (and η
+            # itself, which carries σ), then unscale by the σ of the
+            # filtered η — ∑ Az dz σc and ∑ Az η both telescope exactly,
+            # so the filter preserves the z-star conservation laws
+            sigma = self._sigma_field(s.eta)
+            eta_f = _corner_smooth_center(self, s.eta)
+            sigma_f = self._sigma_field(eta_f)
+            tracers = {n: _corner_smooth_center(self, c * sigma) / sigma_f
+                       for n, c in s.tracers.items()}
+            return dataclasses.replace(
+                s,
+                u=_corner_smooth_velocity(self, s.u, mu),
+                v=_corner_smooth_velocity(self, s.v, mv),
+                eta=eta_f, tracers=tracers)
         return dataclasses.replace(
             s,
             u=_corner_smooth_velocity(self, s.u, mu),

@@ -44,7 +44,9 @@ from oceananigans_tpu.grids.cubed_sphere_grid import (
 )
 from oceananigans_tpu.grids.base import Center as _Center
 from oceananigans_tpu.grids.orthogonal import OrthogonalSphericalShellGrid
-from oceananigans_tpu.ops.operators import vorticity_z_ff
+from oceananigans_tpu.ops.operators import (
+    dx_c, dx_f, dy_c, dy_f, vorticity_z_ff,
+)
 from oceananigans_tpu.timesteppers import RK3_STAGES, tick
 
 __all__ = ["CubedSphereDistributedSW", "CubedSphereDistributedHydrostatic"]
@@ -580,6 +582,56 @@ class _CSDistBase:
                 f"panels={lay.panels}, devices={lay.n_dev})")
 
 
+def _block_cf_aux(wrapper, model):
+    """Blocked corner-filter weights for a distributed wrapper (empty
+    dict when the filter is off). The serial weights are panel-frame
+    (``_corner_filter_setup``); blocking carries each block's halo ring
+    so the flux-form taps agree across block boundaries."""
+    if not getattr(model, "corner_filter", None):
+        return {}
+    out = {}
+    for nm in ("_cf_x", "_cf_y", "_cf_inv_az"):
+        a = np.asarray(getattr(model, nm))
+        if a.ndim == 3:
+            a = np.broadcast_to(a, (6,) + a.shape)
+        out[nm] = jax.device_put(
+            wrapper._block_panel(jnp.asarray(a)),
+            wrapper._state_sharding)
+    return out
+
+
+def _corner_filter_fns(model, cfa, cm, dtype):
+    """(smooth_center, smooth_vel) replicating the serial corner-band
+    filter (``_corner_smooth_center`` / ``_corner_smooth_velocity``) on
+    the blocked local layout: identical taps (the one-ring Laplacian
+    reads freshly exchanged halo values), so the distributed filter is
+    bitwise the serial one at interior cells."""
+    cfx = jnp.asarray(cfa["_cf_x"], dtype)
+    cfy = jnp.asarray(cfa["_cf_y"], dtype)
+    ia = jnp.asarray(cfa["_cf_inv_az"], dtype)
+    eps = float(model.corner_filter)
+    cml = jnp.asarray(cm, dtype)
+
+    def smooth_center(q):
+        wx, wy = cfx, cfy
+        if q.shape[-1] != wx.shape[-1]:
+            wx = jnp.max(wx, axis=-1, keepdims=True)
+            wy = jnp.max(wy, axis=-1, keepdims=True)
+
+        def panel(a, ax, ay, ii):
+            return a + (dx_c(ax * dx_f(a)) + dy_c(ay * dy_f(a))) * ii
+        return jax.vmap(panel)(q, wx, wy, ia)
+
+    def smooth_vel(q, mask):
+        def panel(a):
+            lap = (jnp.roll(a, 1, 0) + jnp.roll(a, -1, 0)
+                   + jnp.roll(a, 1, 1) + jnp.roll(a, -1, 1) - 4.0 * a)
+            return a + eps * cml * lap
+        return q + (jax.vmap(panel)(q) - q) * jnp.asarray(mask, dtype)
+
+    return smooth_center, smooth_vel
+
+
 class CubedSphereDistributedSW(_CSDistBase):
     """Explicit-halo distributed ``CubedSphereShallowWaterModel``
     (see ``_CSDistBase`` for the usage pattern and guarantees)."""
@@ -591,11 +643,8 @@ class CubedSphereDistributedSW(_CSDistBase):
         if not isinstance(model, CubedSphereShallowWaterModel):
             raise ValueError("CubedSphereDistributedSW wraps a "
                              "CubedSphereShallowWaterModel")
-        if getattr(model, "corner_filter", None):
-            raise NotImplementedError(
-                "corner_filter on the distributed cubed sphere is not "
-                "wired yet (serial model only)")
         super().__init__(model, R=R, panels=panels, devices=devices)
+        self.cf_aux = _block_cf_aux(self, model)
         names = model.tracer_names
         self.ex_state = _build_exchange(
             _state_fill_entries(self.grid, self.lay, 1 + len(names)),
@@ -624,7 +673,7 @@ class CubedSphereDistributedSW(_CSDistBase):
         g2d_specs = {k: P("x", "y", None) for k in fields2d}
         has_hs = self.hs_blocked is not None
 
-        def sstep(state, dt, g2d, fff, hs, cm):
+        def sstep(state, dt, g2d, fff, hs, cm, cfa):
             dev = (jax.lax.axis_index("panel") * R
                    + jax.lax.axis_index("x")) * R \
                 + jax.lax.axis_index("y")
@@ -697,6 +746,15 @@ class CubedSphereDistributedSW(_CSDistBase):
                       for n in names}
                 G_prev = (Gu, Gv, Gh, Gt)
             u, v, h, tr = fill(u, v, h, tr)
+            if cfa and not model.prescribed_velocities:
+                # corner-band filter on FILLED halos (the serial
+                # step's _apply_corner_filter sequence), then re-fill
+                smooth_c, smooth_v = _corner_filter_fns(
+                    model, cfa, cm, u.dtype)
+                u = smooth_v(u, mu)
+                v = smooth_v(v, mv)
+                h = smooth_c(h)
+                u, v, h, tr = fill(u, v, h, tr)
             return dataclasses.replace(
                 state, u=u, v=v, h=h, tracers=tr,
                 Gu=G_prev[0], Gv=G_prev[1], Gh=G_prev[2],
@@ -705,15 +763,18 @@ class CubedSphereDistributedSW(_CSDistBase):
         def step(state, dt):
             specs = state_specs(state)
             hs = self.hs_blocked
+            cf_specs = {k: P("panel", "x", "y", None)
+                        for k in self.cf_aux}
             fn = shard_map(
                 sstep, mesh=mesh,
                 in_specs=(specs, P(), g2d_specs,
                           P("panel", "x", "y", None),
                           P("panel", "x", "y", None) if has_hs else P(),
-                          P("x", "y", None)),
+                          P("x", "y", None), cf_specs),
                 out_specs=specs, check_vma=False)
             return fn(state, dt, fields2d, self.f_blocked,
-                      hs if has_hs else jnp.zeros(()), self.cm_blocked)
+                      hs if has_hs else jnp.zeros(()), self.cm_blocked,
+                      self.cf_aux)
 
         return jax.jit(step)
 
@@ -732,10 +793,6 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
         if not isinstance(model, CubedSphereHydrostaticModel):
             raise ValueError("CubedSphereDistributedHydrostatic wraps a "
                              "CubedSphereHydrostaticModel")
-        if getattr(model, "corner_filter", None):
-            raise NotImplementedError(
-                "corner_filter on the distributed cubed sphere is not "
-                "wired yet (serial model only)")
         super().__init__(model, R=R, panels=panels, devices=devices)
         names = model.tracer_names
         T = len(names)
@@ -778,6 +835,7 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 aux[nm] = jax.device_put(
                     self._block_panel(jnp.asarray(getattr(model, nm))),
                     self._state_sharding)
+        aux.update(_block_cf_aux(self, model))
         self.hy_aux = aux
 
     def _build(self):
@@ -1089,6 +1147,29 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                     v_c = v_c * wv3 + v_e * (1 - wv3)
                 return u_c, v_c, eta_f, U_f, V_f
 
+            has_cf = "_cf_x" in aux and not prescribed
+
+            def apply_cf(u, v, tr, eta):
+                """Corner-band filter on FILLED halos (the serial
+                ``_apply_corner_filter`` sequence: fill → smooth →
+                re-fill; ZStar smooths the σ-weighted content)."""
+                if not has_cf:
+                    return u, v, tr, eta
+                smooth_c, smooth_v = _corner_filter_fns(
+                    model, aux, cm, u.dtype)
+                uf = smooth_v(u, mu_t)
+                vf = smooth_v(v, mv_t)
+                if zstar:
+                    sigma = view._sigma_field(eta)
+                    eta_f = smooth_c(eta)
+                    sigma_f = view._sigma_field(eta_f)
+                    trf = {n: smooth_c(tr[n] * sigma) / sigma_f
+                           for n in names}
+                else:
+                    eta_f = smooth_c(eta)
+                    trf = {n: smooth_c(tr[n]) for n in names}
+                return fill(uf, vf, trf, eta_f)
+
             dt_ = jnp.asarray(dt, state.u.dtype)
             if getattr(model, "timestepper",
                        "RungeKutta3") == "QuasiAdamsBashforth2":
@@ -1140,6 +1221,7 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                                     u=uu, v=vv, tracers=tts))
                     u, v, tr = jax.vmap(panel_implicit)(u, v, tr, diff)
                 u, v, tr, eta = fill(u, v, tr, eta)
+                u, v, tr, eta = apply_cf(u, v, tr, eta)
                 return dataclasses.replace(
                     state, u=u, v=v, eta=eta, tracers=tr, U=U_, V=V_,
                     Gu=Gu, Gv=Gv, Geta=Geta, Gtracers=Gt,
@@ -1175,6 +1257,7 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 V_ = zeta_c * psi[5] + gamma * V_e
                 u, v, tr = un, vn, trn
             u, v, tr, eta = fill(u, v, tr, eta)
+            u, v, tr, eta = apply_cf(u, v, tr, eta)
             return dataclasses.replace(
                 state, u=u, v=v, eta=eta, tracers=tr, U=U_, V=V_,
                 clock=tick(state.clock, dt_))

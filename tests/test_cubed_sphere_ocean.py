@@ -765,3 +765,118 @@ def test_cs_zstar_bathymetry_dist_matches_serial():
         np.asarray(dstate.tracers["c"])[:, sx, sy, sz],
         np.asarray(sstate.tracers["c"])[:, sx, sy, sz],
         rtol=1e-12, atol=1e-13)
+
+
+def test_cs_corner_filter_zstar_conserves():
+    """corner_filter composes with ZStar (round-5 ask 2 fallback): the
+    filter smooths the σ-weighted content, so ∫ σ c dV and ∫ Az η stay
+    conserved to roundoff."""
+    from oceananigans_tpu.models.hydrostatic import ZStar
+    grid = _grid(N=16, Nz=3, depth=1000.0)
+    model = CubedSphereHydrostaticModel(
+        grid, timestepper="QuasiAdamsBashforth2",
+        vertical_coordinate=ZStar(), corner_filter=0.005,
+        free_surface=SplitExplicitFreeSurface(substeps=8),
+        tracers=("c",), buoyancy=None)
+    g = grid.panel_grid
+    eta0 = grid.set_tracer(
+        lambda lam, phi, z: 40.0 * np.exp(-((lam - 30) ** 2 + phi ** 2)
+                                          / 400.0) + 0 * z
+    )[..., g.Hz:g.Hz + 1]
+    state = model.initial_state(
+        eta=eta0, c=lambda lam, phi, z: 1.0 + 0.5 * np.cos(
+            np.deg2rad(phi)))
+    c0 = float(model.total_tracer(state, "c"))
+    sx, sy, _ = g.interior_slices
+    Az = np.asarray(g.Az("c", "c"))[sx, sy, 0]
+    vol0 = float((np.asarray(state.eta)[:, sx, sy, 0] * Az).sum())
+    step = jax.jit(lambda s: model.step(s, 300.0))
+    s = state
+    for _ in range(5):
+        s = step(s)
+    assert np.isfinite(np.asarray(s.u)).all()
+    c1 = float(model.total_tracer(s, "c"))
+    vol1 = float((np.asarray(s.eta)[:, sx, sy, 0] * Az).sum())
+    assert abs(c1 - c0) < 1e-11 * abs(c0)
+    eta_scale = float(np.abs(np.asarray(s.eta)[:, sx, sy, 0] * Az).sum())
+    assert abs(vol1 - vol0) < 1e-11 * eta_scale
+
+
+def test_cs_corner_filter_dist_matches_serial():
+    """corner_filter on the mirror-rank distributed hydrostatic path
+    matches the serial stacked-panel model at R=2 (round-5 ask 2
+    fallback: the flagship distributed run is now protectable)."""
+    from oceananigans_tpu.models.hydrostatic import ZStar
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedHydrostatic,
+    )
+    grid = _grid(N=16, Nz=3, depth=1000.0)
+    model = CubedSphereHydrostaticModel(
+        grid, timestepper="QuasiAdamsBashforth2",
+        vertical_coordinate=ZStar(), corner_filter=0.005,
+        bathymetry=_two_continents,
+        free_surface=SplitExplicitFreeSurface(substeps=8),
+        tracers=("c",), buoyancy=None)
+    g = grid.panel_grid
+    eta0 = grid.set_tracer(
+        lambda lam, phi, z: 40.0 * np.exp(-((lam - 30) ** 2 + phi ** 2)
+                                          / 400.0) + 0 * z
+    )[..., g.Hz:g.Hz + 1]
+    eta0 = eta0 * jnp.asarray(model._wet2_c, eta0.dtype)
+    state = model.initial_state(
+        eta=eta0, c=lambda lam, phi, z: 1.0 + 0.5 * np.cos(
+            np.deg2rad(phi)))
+    dhy = CubedSphereDistributedHydrostatic(model, R=2, panels=2)
+    bstate = dhy.to_local_state(state)
+    sstate = state
+    sstep = jax.jit(lambda s: model.step(s, 300.0))
+    for _ in range(3):
+        sstate = sstep(sstate)
+        bstate = dhy.step(bstate, 300.0)
+    dstate = dhy.from_local_state(bstate)
+    sx, sy, sz = g.interior_slices
+    np.testing.assert_allclose(
+        np.asarray(dstate.eta)[:, sx, sy],
+        np.asarray(sstate.eta)[:, sx, sy], rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(dstate.tracers["c"])[:, sx, sy, sz],
+        np.asarray(sstate.tracers["c"])[:, sx, sy, sz],
+        rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(dstate.u)[:, sx, sy, sz],
+        np.asarray(sstate.u)[:, sx, sy, sz], rtol=1e-11, atol=1e-12)
+
+
+def test_cs_sw_corner_filter_dist_matches_serial():
+    """corner_filter on the distributed SHALLOW-WATER wrapper matches
+    the serial model at R=2."""
+    from oceananigans_tpu.models.cubed_sphere import (
+        CubedSphereShallowWaterModel,
+    )
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedSW,
+    )
+    grid = _grid(N=16, Nz=1, depth=1000.0)
+    model = CubedSphereShallowWaterModel(
+        grid, gravitational_acceleration=9.81, corner_filter=0.005)
+    g = grid.panel_grid
+    h0 = grid.set_tracer(
+        lambda lam, phi, z: 1000.0 + 40.0 * np.exp(
+            -((lam - 30) ** 2 + phi ** 2) / 400.0) + 0 * z
+    )[..., g.Hz:g.Hz + 1]
+    state = model.initial_state(h=h0)
+    dsw = CubedSphereDistributedSW(model, R=2, panels=2)
+    bstate = dsw.to_local_state(state)
+    sstate = state
+    sstep = jax.jit(lambda s: model.step(s, 200.0))
+    for _ in range(3):
+        sstate = sstep(sstate)
+        bstate = dsw.step(bstate, 200.0)
+    dstate = dsw.from_local_state(bstate)
+    sx, sy, _ = g.interior_slices
+    np.testing.assert_allclose(
+        np.asarray(dstate.h)[:, sx, sy],
+        np.asarray(sstate.h)[:, sx, sy], rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(dstate.u)[:, sx, sy],
+        np.asarray(sstate.u)[:, sx, sy], rtol=1e-11, atol=1e-12)
