@@ -205,6 +205,73 @@ def cs_implicit_free_surface(g, u_star, v_star, eta0, dt, fs,
     return exchange_eta(eta * mc)
 
 
+def _vertex_orientation_masks(g, N):
+    """(nx, ny, 4) one-hot masks of the 4 cube-corner VERTEX slots of a
+    panel, by orientation (SW, SE, NW, NE). Shared across panels; the
+    distributed wrappers block-window them like the corner mask."""
+    H = g.Hx
+    m = np.zeros((g.shape[0], g.shape[1], 4))
+    m[H, H, 0] = 1.0
+    m[H + N, H, 1] = 1.0
+    m[H, H + N, 2] = 1.0
+    m[H + N, H + N, 3] = 1.0
+    return m
+
+
+def _corner_vertex_scalar_fix(q_ff, h, vmasks):
+    """Replace the 4 cube-corner VERTEX values of a vertex-located
+    interpolant (built as ``ix_f(iy_f(h))``) with the mean of the 3 REAL
+    adjacent cell values. The 4-point average reads the phantom diagonal
+    halo cell — at a 3-valent cube corner no fourth cell exists, and the
+    diagonal slot holds an ambiguous average of two different cells
+    (whatever the halo exchange wrote). Mask-driven whole-array form
+    (each orientation drops its phantom member), so it works unchanged
+    on the distributed block layout."""
+    A = h
+    B = jnp.roll(h, 1, 0)
+    C = jnp.roll(h, 1, 1)
+    D = jnp.roll(B, 1, 1)
+    third = jnp.asarray(1.0 / 3.0, h.dtype)
+    means = (A + B + C, A + B + D, A + C + D, B + C + D)
+    for k in range(4):
+        m = vmasks[:, :, k:k + 1]
+        q_ff = q_ff + m * (means[k] * third - q_ff)
+    return q_ff
+
+
+def _corner_bernoulli_upwind_correction(g, u, v, K, cmf):
+    """Corner-band SELF-UPWINDED Bernoulli head: the correction that
+    replaces the centered KE gradient ∂K with the own-component-biased
+    form inside the corner band (reference ``bernoulli_head_U``,
+    ``vector_invariant_self_upwinding.jl:60-81``, at first order).
+
+    ROOT CAUSE of the cube-corner instability (round-5): at the
+    3-valent corners the centered ∂x(K) closes a positive u² feedback
+    loop — the growing corner velocity raises K, whose centered
+    gradient accelerates the SAME face — which neither PV upwinding
+    (it damps enstrophy, not energy) nor band-width/dt changes remove;
+    measured e-folding ≈ 0.2 days at C32 Williamson-2, NaN by day 4.
+    Upwinding the u²-part of ∂K (δx(u²/2) biased to the upwind cell by
+    sign(u), the v²-part symmetric — exactly the reference's
+    self-upwinding decomposition) makes the feedback dissipative:
+    5-day inviscid C32 W2 stays bounded with NO filter. The centered
+    and upwinded forms agree to O(Δx), so the scheme remains 2nd order
+    outside the band and consistent inside it."""
+    u2h = 0.5 * u * u
+    v2h = 0.5 * v * v
+    t1 = dx_c(u2h)
+    t1f = jnp.where(u >= 0, jnp.roll(t1, 1, 0), t1)
+    t2f = iy_c(dx_f(v2h))
+    dKx_up = (t1f + t2f) / g.dx(Face, Center)
+    dKx_c = dx_f(K) / g.dx(Face, Center)
+    t1v = dy_c(v2h)
+    t1vf = jnp.where(v >= 0, jnp.roll(t1v, 1, 1), t1v)
+    t2vf = ix_c(dy_f(u2h))
+    dKy_up = (t1vf + t2vf) / g.dy(Face, Center)
+    dKy_c = dy_f(K) / g.dy(Face, Center)
+    return cmf * (dKx_c - dKx_up), cmf * (dKy_c - dKy_up)
+
+
 def _corner_filter_setup(model, corner_filter):
     """Precompute the corner-band filter weights. ``corner_filter`` is
     a small dimensionless coefficient (0.005 is a good default when
@@ -434,14 +501,16 @@ class CubedSphereShallowWaterModel:
             | (idx >= H + N - self.corner_upwind_width)
         self._corner_mask = (near[:, None]
                              & near[None, :]).astype(float)[..., None]
-        #: corner-band filter coefficient (see _corner_filter_setup):
-        #: long inviscid integrations develop a nonlinear instability at
-        #: the 3-valent cube corners (the K ~ u² feedback through the
-        #: phantom corner halos); measured at C32 Williamson-2 the
-        #: unfiltered run goes NaN by day 4, while corner_filter=0.005
-        #: holds the 5-day l2(h) at 4.5e-3 (published band). Real
-        #: cubed-sphere cores apply equivalent corner/divergence filters
-        #: (e.g. FV3). Off by default (short runs don't need it).
+        self._vfix = _vertex_orientation_masks(g, N)
+        #: optional corner-band filter coefficient (see
+        #: _corner_filter_setup). Since round 5 the former corner
+        #: instability is ROOT-CAUSE fixed (the corner-band
+        #: self-upwinded Bernoulli head,
+        #: ``_corner_bernoulli_upwind_correction``) — 5-day inviscid
+        #: C32 Williamson-2 is stable and in the published band with NO
+        #: filter (l2(h) = 3.1e-3). The filter remains available as
+        #: extra smoothing for very long / coarse runs (real
+        #: cubed-sphere cores carry equivalent options, e.g. FV3).
         _corner_filter_setup(self, corner_filter)
 
     # ------------------------------------------------------------------
@@ -512,6 +581,8 @@ class CubedSphereShallowWaterModel:
         # up at the panel seams.
         eps = jnp.asarray(1e-30, h.dtype)
         h_ff = ix_f(iy_f(h))
+        h_ff = _corner_vertex_scalar_fix(
+            h_ff, h, jnp.asarray(self._vfix, h.dtype))
         q = (zeta + f_ff) / (h_ff + eps)
         K = 0.5 * (ix_c(u * u) + iy_c(v * v))
         phi = K + self.g * (h if hs is None else h + hs)
@@ -535,6 +606,11 @@ class CubedSphereShallowWaterModel:
                 q_up, q_upx = q1y, q1x
             Gu = q_up * Vu - dx_f(phi) / g.dx(Face, Center)
             Gv = -q_upx * Uv - dy_f(phi) / g.dy(Face, Center)
+            cmf = jnp.asarray(self._corner_mask, q.dtype)
+            dGu, dGv = _corner_bernoulli_upwind_correction(g, u, v, K,
+                                                           cmf)
+            Gu = Gu + dGu
+            Gv = Gv + dGv
         else:
             Gu = iy_c(q * ix_f(V)) - dx_f(phi) / g.dx(Face, Center)
             Gv = -ix_c(q * iy_f(U)) - dy_f(phi) / g.dy(Face, Center)
@@ -1271,6 +1347,13 @@ class CubedSphereHydrostaticModel:
         dvdz = dz_f(v) / g.dz(Face)
         Gv = -q_upx * Uv - dy_f(phi) / g.dy(Face, Center) \
             - iz_c(iy_f(w) * dvdz)
+        # corner-band self-upwinded Bernoulli head (the root-cause fix
+        # for the 3-valent-corner u² feedback; see
+        # _corner_bernoulli_upwind_correction)
+        dGu_c, dGv_c = _corner_bernoulli_upwind_correction(g, u, v, K,
+                                                           cm)
+        Gu = Gu + dGu_c
+        Gv = Gv + dGv_c
         # σ-coordinate pressure-gradient correction (reference
         # ``grid_slope_contribution_x``, z_star_vertical_spacing.jl:
         # 125-132): the p′ gradient at constant σ-level differs from

@@ -645,6 +645,7 @@ class CubedSphereDistributedSW(_CSDistBase):
                              "CubedSphereShallowWaterModel")
         super().__init__(model, R=R, panels=panels, devices=devices)
         self.cf_aux = _block_cf_aux(self, model)
+        self.vfix_blocked = self._block_tile_2d(jnp.asarray(model._vfix))
         names = model.tracer_names
         self.ex_state = _build_exchange(
             _state_fill_entries(self.grid, self.lay, 1 + len(names)),
@@ -673,7 +674,7 @@ class CubedSphereDistributedSW(_CSDistBase):
         g2d_specs = {k: P("x", "y", None) for k in fields2d}
         has_hs = self.hs_blocked is not None
 
-        def sstep(state, dt, g2d, fff, hs, cm, cfa):
+        def sstep(state, dt, g2d, fff, hs, cm, cfa, vfx):
             dev = (jax.lax.axis_index("panel") * R
                    + jax.lax.axis_index("x")) * R \
                 + jax.lax.axis_index("y")
@@ -682,7 +683,7 @@ class CubedSphereDistributedSW(_CSDistBase):
                 grid=SimpleNamespace(panel_grid=lg), g=model.g,
                 vorticity_scheme=model.vorticity_scheme,
                 tracer_advection=model.tracer_advection,
-                _corner_mask=cm)
+                _corner_mask=cm, _vfix=vfx)
             mu = jnp.asarray(mu_l, state.u.dtype)
             mv = jnp.asarray(mv_l, state.u.dtype)
             mc = jnp.asarray(mc_l, state.u.dtype)
@@ -770,11 +771,12 @@ class CubedSphereDistributedSW(_CSDistBase):
                 in_specs=(specs, P(), g2d_specs,
                           P("panel", "x", "y", None),
                           P("panel", "x", "y", None) if has_hs else P(),
-                          P("x", "y", None), cf_specs),
+                          P("x", "y", None), cf_specs,
+                          P("x", "y", None)),
                 out_specs=specs, check_vma=False)
             return fn(state, dt, fields2d, self.f_blocked,
                       hs if has_hs else jnp.zeros(()), self.cm_blocked,
-                      self.cf_aux)
+                      self.cf_aux, self.vfix_blocked)
 
         return jax.jit(step)
 

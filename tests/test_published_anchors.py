@@ -163,10 +163,11 @@ def test_williamson2_l2_error_converges_second_order():
     converges at ≥2nd order in panel resolution. Published
     second-order cubed-sphere finite-volume models report day-scale
     l2(h) in the 1e-4..1e-3 band at C32-class resolution (e.g.
-    Rossmanith 2006 JCP, Chen & Xiao 2008); measured here (f64):
-    e8 = 1.69e-2, e16 = 5.03e-3, e32 = 6.57e-4 after 1 day — a
-    convergence ratio of 7.7 (order ≈ 2.9) on the finer pair, where
-    the first-order corner bands stop dominating."""
+    Rossmanith 2006 JCP, Chen & Xiao 2008); measured here (f64, with
+    the round-5 corner-band Bernoulli upwinding): e16 = 5.22e-3,
+    e32 = 8.59e-4 after 1 day — a convergence ratio of 6.1
+    (order ≈ 2.6) on the finer pair, where the first-order corner
+    bands stop dominating."""
     e16 = _williamson2_l2_error(16)
     assert e16 < 8e-3, e16              # measured 5.0e-3 + margin
     e32 = _williamson2_l2_error(32)
@@ -269,15 +270,16 @@ def test_shallow_water_gravity_wave_dispersion():
 
 
 def test_williamson2_five_day_l2_error():
-    """The standard 5-day Williamson-2 integration at C32: published
-    second-order cubed-sphere shallow-water models report l2(h) of
-    order 1e-3 at this resolution/duration (e.g. Rossmanith 2006 JCP
-    213:629 band; Chen & Xiao 2008). Long inviscid runs need the
-    corner-band filter (without it a nonlinear corner instability goes
-    NaN by day 4 — see the model docstring); with corner_filter=0.005
-    the measured 5-day l2(h) is 6.4e-3 (the conservative
-    within-panel filter adds some diffusion over the first-order
-    corner bands). Assert the published-scale band with margin."""
-    e = _williamson2_l2_error(32, days=5.0, corner_filter=0.005)
+    """The standard 5-day Williamson-2 integration at C32 with NO
+    filter: published second-order cubed-sphere shallow-water models
+    report l2(h) of order 1e-3 at this resolution/duration (e.g.
+    Rossmanith 2006 JCP 213:629 band; Chen & Xiao 2008). Round 5
+    root-caused the former corner instability (the centered KE
+    gradient's u² feedback at the 3-valent corners — cured by the
+    corner-band self-upwinded Bernoulli head,
+    ``_corner_bernoulli_upwind_correction``): the unfiltered 5-day run
+    is now stable and MORE accurate than the old filtered anchor
+    (measured 3.12e-3 vs 6.4e-3 filtered in round 4)."""
+    e = _williamson2_l2_error(32, days=5.0, corner_filter=None)
     assert np.isfinite(e), e
-    assert e < 8e-3, e
+    assert e < 4.5e-3, e
