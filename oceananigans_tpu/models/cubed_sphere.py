@@ -205,6 +205,21 @@ def cs_implicit_free_surface(g, u_star, v_star, eta0, dt, fs,
     return exchange_eta(eta * mc)
 
 
+class _PanelSolidView:
+    """Panel-grid view exposing ``solid_c`` so the generic closure
+    fluxes (``closures.py`` → ``immersed.mask_flux``) zero diffusive
+    transport through the immersed boundary on the cubed sphere —
+    horizontal stresses and tracer diffusion no longer leak at coastal
+    walls (reference ``conditional_differences.jl``)."""
+
+    def __init__(self, base, solid_c):
+        object.__setattr__(self, "base", base)
+        object.__setattr__(self, "solid_c", solid_c)
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "base"), name)
+
+
 def _vertex_orientation_masks(g, N):
     """(nx, ny, 4) one-hot masks of the 4 cube-corner VERTEX slots of a
     panel, by orientation (SW, SE, NW, NE). Shared across panels; the
@@ -1570,20 +1585,25 @@ class CubedSphereHydrostaticModel:
             from oceananigans_tpu import closures as closures_mod
             g = self.grid.panel_grid
 
-            def panel_closure(u, v, tracers, wet_u=None, wet_v=None):
+            def panel_closure(u, v, tracers, wet_u=None, wet_v=None,
+                              wet_c=None):
                 # w from the wet-masked transports; shear/diffusivities
-                # from the mirrored fields (zero-gradient at the bottom)
+                # from the mirrored fields (zero-gradient at the bottom);
+                # diffusive FLUXES through solid faces are zeroed via the
+                # solid-aware grid view (no coastal-wall leak)
                 um = u if wet_u is None else u * wet_u
                 vm = v if wet_v is None else v * wet_v
                 w = self._panel_w(um, vm)
+                gx = g if wet_c is None \
+                    else _PanelSolidView(g, wet_c < 0.5)
                 diff = closures_mod.compute_diffusivities(
                     self.closure, g, u, v, w, tracers,
                     self._closure_buoyancy)
                 du, dv, _ = closures_mod.momentum_flux_divergences(
-                    self.closure, g, u, v, w, tracers, diff,
+                    self.closure, gx, u, v, w, tracers, diff,
                     include_implicit=False)
                 gt = {n: closures_mod.tracer_flux_divergence(
-                    self.closure, g, n, tracers[n], tracers, diff,
+                    self.closure, gx, n, tracers[n], tracers, diff,
                     include_implicit=False) for n in tracers}
                 # fully-implicit closures return scalar zeros here; vmap
                 # needs array outputs
@@ -1600,7 +1620,8 @@ class CubedSphereHydrostaticModel:
                 du, dv, gtc, diffusivities = jax.vmap(panel_closure)(
                     state.u, state.v, state.tracers,
                     jnp.asarray(self._wet_u, dtype),
-                    jnp.asarray(self._wet_v, dtype))
+                    jnp.asarray(self._wet_v, dtype),
+                    jnp.asarray(self._wet_c, dtype))
             Gu = Gu + du
             Gv = Gv + dv
             Gt = {n: Gt[n] + gtc[n] for n in Gt}

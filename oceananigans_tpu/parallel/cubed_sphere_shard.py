@@ -1016,21 +1016,29 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                                                               sig)
                 diff = None
                 if model.closure is not None:
-                    def panel_closure(uu, vv, tts, wu_=None, wv_=None):
+                    def panel_closure(uu, vv, tts, wu_=None, wv_=None,
+                                      wc_=None):
                         # w from the wet-MASKED transports, mirroring the
                         # serial panel_closure (the solid-cell mirror
-                        # values must not feed the continuity cumsum)
+                        # values must not feed the continuity cumsum);
+                        # diffusive fluxes through solid faces zeroed via
+                        # the solid-aware grid view
+                        from oceananigans_tpu.models.cubed_sphere import (
+                            _PanelSolidView,
+                        )
                         uum = uu if wu_ is None else uu * wu_
                         vvm = vv if wv_ is None else vv * wv_
                         ww = HY._panel_w(view, uum, vvm)
+                        gx = lg if wc_ is None \
+                            else _PanelSolidView(lg, wc_ < 0.5)
                         d = closures_mod.compute_diffusivities(
                             model.closure, lg, uu, vv, ww, tts,
                             model._closure_buoyancy)
                         du, dv, _ = closures_mod.momentum_flux_divergences(
-                            model.closure, lg, uu, vv, ww, tts, d,
+                            model.closure, gx, uu, vv, ww, tts, d,
                             include_implicit=False)
                         gt = {n: closures_mod.tracer_flux_divergence(
-                            model.closure, lg, n, tts[n], tts, d,
+                            model.closure, gx, n, tts[n], tts, d,
                             include_implicit=False) for n in tts}
                         du = du + jnp.zeros_like(uu)
                         dv = dv + jnp.zeros_like(vv)
@@ -1040,7 +1048,7 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
 
                     if has_bath:
                         du, dv, gtc, diff = jax.vmap(panel_closure)(
-                            u, v, tr, wu3, wv3)
+                            u, v, tr, wu3, wv3, wc3)
                     else:
                         du, dv, gtc, diff = jax.vmap(panel_closure)(
                             u, v, tr)

@@ -880,3 +880,37 @@ def test_cs_sw_corner_filter_dist_matches_serial():
     np.testing.assert_allclose(
         np.asarray(dstate.u)[:, sx, sy],
         np.asarray(sstate.u)[:, sx, sy], rtol=1e-11, atol=1e-12)
+
+
+def test_cs_smagorinsky_coastal_wall_budget_closes():
+    """Horizontal (Smagorinsky-class) diffusive fluxes are zeroed
+    through cubed-sphere coastal walls (round-5 ask 3; reference
+    ``conditional_differences.jl``): with continents + ridge and a flow
+    striking the coasts, the tracer budget closes to roundoff-scale
+    (the former STATUS gap 2 leak is gone). The tiny residual is the
+    panel-seam diffusive-flux truncation mismatch, not a wall leak."""
+    from oceananigans_tpu.closures import SmagorinskyLilly
+    a = 6.37122e6
+    grid = _grid(N=12, Nz=4, depth=1000.0)
+    model = CubedSphereHydrostaticModel(
+        grid, bathymetry=_two_continents, closure=SmagorinskyLilly(),
+        tracers=("c",), buoyancy=None)
+    from oceananigans_tpu.models.cubed_sphere import (
+        panel_vector_components,
+    )
+    u, v = panel_vector_components(
+        grid, lambda P: np.cross(np.array([0.0, 0.0, 10.0 / a]), P * a))
+    nz = grid.panel_grid.shape[2]
+    u3 = np.broadcast_to(np.asarray(u), u.shape[:3] + (nz,))
+    v3 = np.broadcast_to(np.asarray(v), v.shape[:3] + (nz,))
+    state = model.initial_state(
+        u=u3, v=v3,
+        c=lambda lam, phi, z: 1.0 + 0.5 * np.cos(np.deg2rad(phi)))
+    c0 = float(model.total_tracer(state, "c"))
+    # dt respects the EXPLICIT vertical-diffusion limit dz^2/(2 nu)
+    step = jax.jit(lambda s: model.step(s, 10.0))
+    for _ in range(20):
+        state = step(state)
+    assert bool(np.isfinite(np.asarray(state.u)).all())
+    c1 = float(model.total_tracer(state, "c"))
+    assert abs(c1 - c0) / abs(c0) < 1e-9, abs(c1 - c0) / abs(c0)
