@@ -1513,10 +1513,18 @@ class CubedSphereHydrostaticModel:
         """Add top/bottom boundary fluxes into the tendencies at the
         surface / bottom-most wet cell (reference ``apply_flux_bcs.jl``
         sign convention: a bottom [left] flux adds +q/Δz, a top [right]
-        flux adds −q/Δz)."""
+        flux adds −q/Δz). Under ZStar the boundary cell's MOVING
+        thickness is σΔz — dividing by it here means the σ-weighted
+        tendency carries exactly q/Δz_ref, the conserved-content form
+        (ADVICE r4: the static Δz overcounted by σ ≈ 1 + η/H)."""
         dtype = Gu.dtype
         dz = jnp.asarray(self._dz_row, dtype)
         t = state.clock.time
+        if getattr(self, "_zstar", False):
+            sig_c = self._sigma_field(state.eta)
+            sig_u, sig_v = self._sigma_faces(state.eta)
+        else:
+            sig_c = sig_u = sig_v = None
         for name, fbc in self.bcs.items():
             for side, sign in (("top", -1.0), ("bottom", 1.0)):
                 bc = getattr(fbc, side, None)
@@ -1526,6 +1534,10 @@ class CubedSphereHydrostaticModel:
                 ind = jnp.asarray(self._boundary_indicator(name, side),
                                   dtype)
                 contrib = sign * q * ind / dz
+                if sig_c is not None:
+                    sig = sig_u if name == "u" else \
+                        sig_v if name == "v" else sig_c
+                    contrib = contrib / sig
                 if name == "u":
                     Gu = Gu + contrib
                 elif name == "v":

@@ -297,13 +297,18 @@ class NonhydrostaticModel:
         _buoy_ok = self.buoyancy is None or (
             isinstance(getattr(self.buoyancy, "formulation", None), _BT)
             and self.buoyancy.gravity_unit_vector == (0.0, 0.0, -1.0))
+        from oceananigans_tpu.ops.pallas_weno import (
+            science_kernel_fits as _skf,
+        )
+        _T = len(self.tracer_names)
         self.fused_ab2_science = (
             _fused_common
             and self.fused_kernels == "centered2"
             and ab2_fused_available(grid, self.advection)
             and not self.fused_ab2
             and (self.coriolis is None or type(self.coriolis) is _FP)
-            and _buoy_ok)
+            and _buoy_ok
+            and _skf(grid, _T, halo=1))
         # the WENO science configuration (f-plane + BuoyancyTracer +
         # WENO-advected tracers) gets the same one-pass treatment
         self.fused_ab2_weno_science = (
@@ -312,7 +317,8 @@ class NonhydrostaticModel:
             and weno5_ab2_available(grid, self.advection)
             and not self.fused_ab2_weno
             and (self.coriolis is None or type(self.coriolis) is _FP)
-            and _buoy_ok)
+            and _buoy_ok
+            and _skf(grid, _T, halo=3))
         # generic-order fused tracer advection (ops/pallas_tracer) for
         # WENO orders the hand-written WENO-5 kernel does not cover
         from oceananigans_tpu.advection import WENO as _WENO

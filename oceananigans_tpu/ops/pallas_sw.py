@@ -70,7 +70,10 @@ def sw_fused_available(grid, model) -> bool:
                 if (bc is not None and bc.classification == "flux"
                         and bc.condition is not None):
                     return False
-    if g.H[0] < PAD or g.H[0] % 8:
+    if g.H[0] != PAD:
+        # the kernel hard-codes the owned-interior start at row PAD
+        # (ADVICE r4: with H[0] > PAD it would treat true halo rows as
+        # interior, correct only by the accident of the trailing fill)
         return False
     # the slab tiling needs an 8-divisible interior x extent
     # (sw_rk3_stage raises otherwise)

@@ -452,6 +452,21 @@ def weno5_science_ab2_update(grid, u, v, w, tracers, Gu_prev, Gv_prev,
     return un, vn, wn, cn, gu, gv, gw, gc
 
 
+def science_kernel_fits(grid, n_tracers, halo=3, itemsize=4) -> bool:
+    """Would the fused science kernel's VMEM slabs fit the budget even
+    at the smallest tile (tile_x = 1)? The model gates must include
+    this bound: without it a many-tracer configuration fails at COMPILE
+    time inside the jitted step with no XLA fallback (ADVICE r4).
+    ``halo``: the x-window halo (3 for WENO-5, 1 for Centered-2)."""
+    ny = grid.N[1] + 2 * grid.H[1]
+    nz = grid.N[2] + 2 * grid.H[2]
+    ny = -(-ny // 8) * 8
+    nz = -(-nz // 128) * 128
+    nin = 3 + int(n_tracers)
+    need = (nin * (1 + 2 * halo) + 3 * nin) * ny * nz * itemsize
+    return need <= 64 * 1024 * 1024
+
+
 def weno5_ab2_available(grid, advection) -> bool:
     """Everything ``weno5_available`` needs PLUS pad-free (8, 128)
     alignment of the full y/z extents (direct full-shape HBM stores)."""
