@@ -144,17 +144,24 @@ def cs_split_explicit_free_surface(g, U0, V0, eta0, GU, GV, dt,
 
 
 def cs_barotropic_correct(g, u, v, U_target, V_target, mask_u, mask_v,
-                          Hu=None, Hv=None, sigma_u=None, sigma_v=None):
+                          Hu=None, Hv=None, sigma_u=None, sigma_v=None,
+                          depth_u=None, depth_v=None):
     """Replace the barotropic mode of (u, v) with the filtered substepped
     transports (reference ``barotropic_split_explicit_corrector.jl``).
     ``Hu``/``Hv``: wet face-column depths (immersed bathymetry); land
     faces (depth 0) are left untouched. Under ZStar the baroclinic
     transport and the dividing thickness are both σ-scaled (reference
-    column_depth = H + η on mutable grids)."""
+    column_depth = H + η on mutable grids). With partial bottom cells
+    ``sigma_u`` carries the full 3-D per-cell thickness factor for the
+    mode integral while ``depth_u`` carries the 2-D σ for the column
+    depth (``Hu`` is already fraction-aware)."""
     U, V = cs_barotropic_mode(g, u, v, sigma_u, sigma_v)
     if Hu is None:
         Hu = Hv = cs_column_depth(g)
-    if sigma_u is not None:
+    if depth_u is not None:
+        Hu = Hu * depth_u
+        Hv = Hv * depth_v
+    elif sigma_u is not None:
         Hu = Hu * sigma_u
         Hv = Hv * sigma_v
     Hu_safe = jnp.where(Hu > 0, Hu, 1.0)
@@ -1046,6 +1053,7 @@ class CubedSphereHydrostaticModel:
         self.bathymetry = bathymetry
         self._wet_c = self._wet_u = self._wet_v = self._wet_w = None
         self._Hu = self._Hv = self._Hc = None
+        self._frac_c = self._frac_u = self._frac_v = None
         self._wet2_c = self._wet2_u = self._wet2_v = None
         kk = np.arange(g.shape[2]).reshape(1, 1, 1, -1)
         Hz, Nz = g.Hz, g.Nz
@@ -1075,19 +1083,54 @@ class CubedSphereHydrostaticModel:
                 bot_full = np.asarray(cubed_sphere_halo_exchange(
                     jnp.asarray(bot_full), grid))
             zc = np.asarray(g.zC).reshape(1, 1, 1, -1)
-            wet = (zc >= bot_full).astype(float)
+            dzf = np.broadcast_to(np.asarray(g.dz(Center)),
+                                  g.shape)[None]
+            from oceananigans_tpu.immersed import (
+                PartialCellBottom as _PCB,
+            )
+            if isinstance(bathymetry, _PCB):
+                # partial bottom cells (reference
+                # ``partial_cell_bottom.jl:11`` +
+                # ``multi_region_models.jl:45``): the bottom-adjacent
+                # cell keeps the actual water fraction of its height,
+                # so gentle slopes avoid the staircase error
+                zf = np.asarray(g.zF).reshape(1, 1, 1, -1)
+                z_top = zf + dzf
+                with np.errstate(invalid="ignore"):
+                    water = np.clip((z_top - bot_full) / dzf, 0.0, 1.0)
+                eps_min = bathymetry.minimum_fractional_cell_height
+                wet = (water >= eps_min).astype(float)
+                frac = np.where(wet > 0,
+                                np.clip(water, eps_min, 1.0), 1.0)
+                self._frac_c = frac
+                # face thickness: the SHALLOWER of the two adjacent
+                # partial cells (reference partial-cell Δzᶠᶜᶜ)
+                self._frac_u = np.minimum(frac, np.roll(frac, 1, axis=1))
+                self._frac_v = np.minimum(frac, np.roll(frac, 1, axis=2))
+            else:
+                wet = (zc >= bot_full).astype(float)
+                self._frac_c = self._frac_u = self._frac_v = None
             self._wet_c = wet
             # a face is wet only when both adjacent cells are (face i
             # sits between cells i-1 and i)
             self._wet_u = wet * np.roll(wet, 1, axis=1)
             self._wet_v = wet * np.roll(wet, 1, axis=2)
             self._wet_w = wet * np.roll(wet, 1, axis=3)
-            dzf = np.broadcast_to(np.asarray(g.dz(Center)),
-                                  g.shape)[None]
             dzi = dzf * kin
-            self._Hc = np.sum(self._wet_c * dzi, axis=3, keepdims=True)
-            self._Hu = np.sum(self._wet_u * dzi, axis=3, keepdims=True)
-            self._Hv = np.sum(self._wet_v * dzi, axis=3, keepdims=True)
+            if self._frac_c is not None:
+                self._Hc = np.sum(self._wet_c * self._frac_c * dzi,
+                                  axis=3, keepdims=True)
+                self._Hu = np.sum(self._wet_u * self._frac_u * dzi,
+                                  axis=3, keepdims=True)
+                self._Hv = np.sum(self._wet_v * self._frac_v * dzi,
+                                  axis=3, keepdims=True)
+            else:
+                self._Hc = np.sum(self._wet_c * dzi, axis=3,
+                                  keepdims=True)
+                self._Hu = np.sum(self._wet_u * dzi, axis=3,
+                                  keepdims=True)
+                self._Hv = np.sum(self._wet_v * dzi, axis=3,
+                                  keepdims=True)
             self._wet2_c = (self._Hc > 0).astype(float)
             self._wet2_u = (self._Hu > 0).astype(float)
             self._wet2_v = (self._Hv > 0).astype(float)
@@ -1162,11 +1205,15 @@ class CubedSphereHydrostaticModel:
             um, vm = state.u, state.v
             mu = jnp.asarray(self._mask_u, dtype)
             mv = jnp.asarray(self._mask_v, dtype)
+        su0 = sv0 = None
         if getattr(self, "_zstar", False):
             su0, sv0 = self._sigma_faces(state.eta)
-            U0, V0 = cs_barotropic_mode(g, um, vm, su0, sv0)
-        else:
-            U0, V0 = cs_barotropic_mode(g, um, vm)
+        if self._frac_u is not None:
+            fu0 = jnp.asarray(self._frac_u, dtype)
+            fv0 = jnp.asarray(self._frac_v, dtype)
+            su0 = fu0 if su0 is None else su0 * fu0
+            sv0 = fv0 if sv0 is None else sv0 * fv0
+        U0, V0 = cs_barotropic_mode(g, um, vm, su0, sv0)
         return dataclasses.replace(state, U=U0 * mu, V=V0 * mv)
 
     # ------------------------------------------------------------------
@@ -1321,7 +1368,8 @@ class CubedSphereHydrostaticModel:
 
     def _panel_tendencies(self, u, v, eta, f_ff, zeta, tracers,
                           wet_u=None, wet_v=None, sigma=None,
-                          sigma_u=None, sigma_v=None, wet_c=None):
+                          sigma_u=None, sigma_v=None, wet_c=None,
+                          sigma2d=None):
         g = self.grid.panel_grid
         if sigma is not None:
             from oceananigans_tpu.models.hydrostatic import _ScaledZGrid
@@ -1369,20 +1417,36 @@ class CubedSphereHydrostaticModel:
                                                            cm)
         Gu = Gu + dGu_c
         Gv = Gv + dGv_c
-        # σ-coordinate pressure-gradient correction (reference
-        # ``grid_slope_contribution_x``, z_star_vertical_spacing.jl:
-        # 125-132): the p′ gradient at constant σ-level differs from
-        # the constant-z gradient by b ∂x(z), z = σ z_ref + η
+        # σ-coordinate / partial-cell pressure-gradient correction
+        # (reference ``grid_slope_contribution_x``,
+        # z_star_vertical_spacing.jl:125-132): the p′ gradient at
+        # constant k-level differs from the constant-z gradient by
+        # b ∂x(z). Under ZStar z = σ z_ref + η; a partial bottom cell's
+        # center additionally rises by (1 − frac)·Δz/2 (``sigma2d``
+        # carries the z-star part alone so frac = sigma / sigma2d).
         slope_x = slope_y = None
-        if (sigma is not None and getattr(self, "_zstar", False)
-                and b is not None):
+        partial = sigma2d is not None and sigma2d is not sigma
+        if (sigma is not None and b is not None
+                and (getattr(self, "_zstar", False) or partial)):
             base = getattr(g, "base", g)
             zrow = jnp.asarray(base.zC, u.dtype).reshape(1, 1, -1)
-            z_c = sigma * zrow + eta
+            if partial:
+                s2 = sigma2d
+                frac3 = sigma / s2
+                dz0 = jnp.asarray(base.dz(Center), u.dtype)
+                zref = zrow + 0.5 * (1.0 - frac3) * dz0
+            else:
+                s2 = sigma
+                zref = zrow
+            z_c = s2 * zref + eta
+            # sign: our p′ = −∫_z^0 b dz′ has ∂z p′ = +b, so
+            # −(∂x p)_z = −(∂x p)_k + b ∂x(z) — the correction ADDS
+            # b ∂x(z) (verified by the rest-over-slope test: the
+            # opposite sign doubles the spurious flow)
             slope_x = ix_f(b) * dx_f(z_c) / g.dx(Face, Center)
             slope_y = iy_f(b) * dy_f(z_c) / g.dy(Face, Center)
-            Gu = Gu - slope_x
-            Gv = Gv - slope_y
+            Gu = Gu + slope_x
+            Gv = Gv + slope_y
         adv = getattr(self, "momentum_advection", None)
         if adv is None:
             return Gu, Gv, w
@@ -1401,8 +1465,8 @@ class CubedSphereHydrostaticModel:
         Gv_vi = Gv_adv - ix_c(f_ff) * Uv \
             - dy_f(phig) / g.dy(Face, Center)
         if slope_x is not None:
-            Gu_vi = Gu_vi - slope_x
-            Gv_vi = Gv_vi - slope_y
+            Gu_vi = Gu_vi + slope_x
+            Gv_vi = Gv_vi + slope_y
         Gu = cm * Gu + (1 - cm) * Gu_vi
         Gv = cm * Gv + (1 - cm) * Gv_vi
         return Gu, Gv, w
@@ -1538,6 +1602,11 @@ class CubedSphereHydrostaticModel:
                     sig = sig_u if name == "u" else \
                         sig_v if name == "v" else sig_c
                     contrib = contrib / sig
+                if getattr(self, "_frac_c", None) is not None:
+                    # a PARTIAL bottom cell's thickness is frac·Δz
+                    fr = self._frac_u if name == "u" else \
+                        self._frac_v if name == "v" else self._frac_c
+                    contrib = contrib / jnp.asarray(fr, dtype)
                 if name == "u":
                     Gu = Gu + contrib
                 elif name == "v":
@@ -1578,19 +1647,33 @@ class CubedSphereHydrostaticModel:
                 sgu, sgv = self._sigma_faces(state.eta)
             else:
                 sgu = sgv = ones2
+            sg2d = sg
+            if self._frac_c is not None:
+                # partial bottom cells: the STATIC height fractions ride
+                # the same scaled-metric channel as the (time-varying)
+                # z-star σ — the grid the dynamics see has thickness
+                # frac·σ·dz. The continuity integral sees the fractional
+                # thickness through wet_c·frac.
+                sg = sg * jnp.asarray(self._frac_c, dtype)
+                sgu = sgu * jnp.asarray(self._frac_u, dtype)
+                sgv = sgv * jnp.asarray(self._frac_v, dtype)
+                wc = wc * jnp.asarray(self._frac_c, dtype)
             Gu, Gv, w = jax.vmap(self._panel_tendencies)(
                 state.u, state.v, state.eta, f, zeta, state.tracers,
-                wu, wv, sg, sgu, sgv, wc)
+                wu, wv, sg, sgu, sgv, wc, sg2d)
             Fx, Fy, Ft = jax.vmap(self._panel_fluxes)(
                 state.u, state.v, w, state.tracers, wu, wv, ww, sg,
                 sgu, sgv)
         Fx, Fy = cubed_sphere_sync_edge_fluxes(Fx, Fy, self.grid)
         Ft = {n: (*cubed_sphere_sync_edge_fluxes(fx_, fy_, self.grid),
                   fz_) for n, (fx_, fy_, fz_) in Ft.items()}
-        if sig is None:
+        if sig is None and self._frac_c is None:
             Geta, Gt = jax.vmap(self._panel_divergences)(Fx, Fy, Ft)
         else:
-            Geta, Gt = jax.vmap(self._panel_divergences)(Fx, Fy, Ft, sig)
+            # the divergence volume must carry the FULL per-cell
+            # thickness factor (z-star σ × partial-cell frac) — the same
+            # σ channel the fluxes were assembled with
+            Geta, Gt = jax.vmap(self._panel_divergences)(Fx, Fy, Ft, sg)
 
         diffusivities = None
         if self.closure is not None:
@@ -1714,14 +1797,23 @@ class CubedSphereHydrostaticModel:
             Hu = Hv = None
         mu = jnp.asarray(mask_u2, dtype)
         mv = jnp.asarray(mask_v2, dtype)
-        # transports integrate the wet-masked velocities
+        # transports integrate the wet-masked velocities; with partial
+        # bottom cells the 3-D fraction joins the mode weights while the
+        # 2-D σ alone scales the (fraction-aware) column depths
+        mode_u, mode_v = sigma_u, sigma_v
+        frac_u = frac_v = None
+        if getattr(self, "_frac_u", None) is not None:
+            frac_u = jnp.asarray(self._frac_u, dtype)
+            frac_v = jnp.asarray(self._frac_v, dtype)
+            mode_u = frac_u if mode_u is None else mode_u * frac_u
+            mode_v = frac_v if mode_v is None else mode_v * frac_v
         um = u_e if self._wet_u is None \
             else u_e * jnp.asarray(self._wet_u, dtype)
         vm = v_e if self._wet_v is None \
             else v_e * jnp.asarray(self._wet_v, dtype)
         if isinstance(fs, ExplicitFreeSurface):
             eta = s.eta + dt * Geta
-            U, V = cs_barotropic_mode(g, um, vm, sigma_u, sigma_v)
+            U, V = cs_barotropic_mode(g, um, vm, mode_u, mode_v)
             return u_e, v_e, eta, U * mu, V * mv
         if isinstance(fs, ImplicitFreeSurface):
             eta = cs_implicit_free_surface(
@@ -1734,20 +1826,26 @@ class CubedSphereHydrostaticModel:
                 else u_e * jnp.asarray(self._wet_u, dtype)
             vm = v_e if self._wet_v is None \
                 else v_e * jnp.asarray(self._wet_v, dtype)
-            U, V = cs_barotropic_mode(g, um, vm, sigma_u, sigma_v)
+            U, V = cs_barotropic_mode(g, um, vm, mode_u, mode_v)
             return u_e, v_e, eta, U * mu, V * mv
         # split-explicit barotropic substepping from the PERSISTENT
         # barotropic state (s.U, s.V), slow-forced by ∫ G dz
-        # (Gu is already σ-weighted under ZStar, so GU = ∫ σ Gu dz)
-        GU, GV = cs_barotropic_mode(g, Gu, Gv)
+        # (Gu is already σ-weighted under ZStar, so GU = ∫ σ Gu frac dz)
+        GU, GV = cs_barotropic_mode(g, Gu, Gv, frac_u, frac_v)
         eta_f, U_f, V_f = cs_split_explicit_free_surface(
             g, s.U, s.V, s.eta, GU, GV, dt, fs, exchange_eta,
             sync_fluxes, mask_u2, mask_v2, Hu=Hu, Hv=Hv)
         # correct the wet-masked velocities; the solid mirror is
         # restored by the next exchange
-        u_c, v_c = cs_barotropic_correct(g, um, vm, U_f, V_f,
-                                         mask_u2, mask_v2, Hu=Hu, Hv=Hv,
-                                         sigma_u=sigma_u, sigma_v=sigma_v)
+        u_c, v_c = cs_barotropic_correct(
+            g, um, vm, U_f, V_f, mask_u2, mask_v2, Hu=Hu, Hv=Hv,
+            sigma_u=mode_u, sigma_v=mode_v,
+            depth_u=(sigma_u if sigma_u is not None
+                     else jnp.ones((), dtype))
+            if frac_u is not None else None,
+            depth_v=(sigma_v if sigma_v is not None
+                     else jnp.ones((), dtype))
+            if frac_v is not None else None)
         if self._wet_u is not None:
             wu = jnp.asarray(self._wet_u, dtype)
             wv = jnp.asarray(self._wet_v, dtype)
@@ -1888,14 +1986,22 @@ class CubedSphereHydrostaticModel:
             else self._mask_u * self._wet_u
         mv = self._mask_v if self._wet_v is None \
             else self._mask_v * self._wet_v
-        if getattr(self, "_zstar", False):
-            # ZStar composition: smooth the σ-WEIGHTED content σc (and η
-            # itself, which carries σ), then unscale by the σ of the
-            # filtered η — ∑ Az dz σc and ∑ Az η both telescope exactly,
-            # so the filter preserves the z-star conservation laws
-            sigma = self._sigma_field(s.eta)
+        if getattr(self, "_zstar", False) or self._frac_c is not None:
+            # ZStar / partial-cell composition: smooth the
+            # THICKNESS-WEIGHTED content (σ·frac·c) and η itself (the σ
+            # carrier), then unscale by the filtered thickness —
+            # ∑ Az dz σ frac c and ∑ Az η both telescope exactly, so
+            # the filter preserves the conservation laws
+            one = jnp.ones((), s.eta.dtype)
+            zs = getattr(self, "_zstar", False)
+            sigma = self._sigma_field(s.eta) if zs else one
+            if self._frac_c is not None:
+                fr = jnp.asarray(self._frac_c, s.eta.dtype)
+                sigma = sigma * fr
             eta_f = _corner_smooth_center(self, s.eta)
-            sigma_f = self._sigma_field(eta_f)
+            sigma_f = self._sigma_field(eta_f) if zs else one
+            if self._frac_c is not None:
+                sigma_f = sigma_f * fr
             tracers = {n: _corner_smooth_center(self, c * sigma) / sigma_f
                        for n, c in s.tracers.items()}
             return dataclasses.replace(
@@ -1943,6 +2049,9 @@ class CubedSphereHydrostaticModel:
             c = c * self._sigma_field(state.eta)[:, sx, sy, :]
         if self._wet_c is not None:
             c = c * jnp.asarray(self._wet_c, c.dtype)[:, sx, sy, sz]
+        if self._frac_c is not None:
+            # partial bottom cells hold only their water fraction
+            c = c * jnp.asarray(self._frac_c, c.dtype)[:, sx, sy, sz]
         return jnp.sum(c * dV)
 
     def ocean_volume(self):
@@ -1953,7 +2062,10 @@ class CubedSphereHydrostaticModel:
               * jnp.broadcast_to(g.dz(Center), g.shape)[sx, sy, sz])
         if self._wet_c is None:
             return 6.0 * jnp.sum(dV)
-        return jnp.sum(jnp.asarray(self._wet_c)[:, sx, sy, sz] * dV)
+        w = jnp.asarray(self._wet_c)[:, sx, sy, sz]
+        if self._frac_c is not None:
+            w = w * jnp.asarray(self._frac_c)[:, sx, sy, sz]
+        return jnp.sum(w * dV)
 
     def __repr__(self):
         return (f"CubedSphereHydrostaticModel(N={self.grid.N_panel}, "

@@ -1135,8 +1135,10 @@ class HydrostaticFreeSurfaceModel:
                 zrow = jnp.asarray(self.grid.zC, b.dtype)
                 zrow = zrow.reshape(1, 1, -1)
                 z_c = self._sigma(state.eta) * zrow + state.eta
-                Gu = Gu - ix_f(b) * dx_f(z_c) / g.dx(Face, Center)
-                Gv = Gv - iy_f(b) * dy_f(z_c) / g.dy(Face, Center)
+                # sign: our p′ = −∫_z^0 b dz′ has ∂z p′ = +b, so the
+                # constant-z gradient correction ADDS b ∂x(z)
+                Gu = Gu + ix_f(b) * dx_f(z_c) / g.dx(Face, Center)
+                Gv = Gv + iy_f(b) * dy_f(z_c) / g.dy(Face, Center)
 
         # explicit barotropic pressure gradient (explicit free surface only)
         if isinstance(self.free_surface, ExplicitFreeSurface):

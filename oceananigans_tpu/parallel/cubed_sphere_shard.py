@@ -829,6 +829,12 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 aux[nm] = jax.device_put(
                     self._block_panel(jnp.asarray(getattr(model, nm))),
                     self._state_sharding)
+        if getattr(model, "_frac_c", None) is not None:
+            # partial bottom cells: blocked height fractions
+            for nm in ("_frac_c", "_frac_u", "_frac_v"):
+                aux[nm] = jax.device_put(
+                    self._block_panel(jnp.asarray(getattr(model, nm))),
+                    self._state_sharding)
         needs_geo = bool(getattr(model, "bcs", None)) \
             or "u" in model.forcings or "v" in model.forcings
         if needs_geo:
@@ -928,6 +934,8 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 if "_Hv" in aux else None
             view._sigma_field = lambda e: HY._sigma_field(view, e)
             view._sigma_faces = lambda e: HY._sigma_faces(view, e)
+            for nm in ("_frac_c", "_frac_u", "_frac_v"):
+                setattr(view, nm, aux.get(nm))
             mu = jnp.asarray(mu_l, state.u.dtype)
             mv = jnp.asarray(mv_l, state.u.dtype)
             mc = jnp.asarray(mc_l, state.u.dtype)
@@ -984,10 +992,16 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                         sgu, sgv = view._sigma_faces(eta)
                     else:
                         sgu = sgv = ones2
+                    sg2d = sg
+                    if "_frac_c" in aux:
+                        sg = sg * jnp.asarray(aux["_frac_c"], u.dtype)
+                        sgu = sgu * jnp.asarray(aux["_frac_u"], u.dtype)
+                        sgv = sgv * jnp.asarray(aux["_frac_v"], u.dtype)
+                        wc_ = wc_ * jnp.asarray(aux["_frac_c"], u.dtype)
                     Gu, Gv, w = jax.vmap(
                         partial(HY._panel_tendencies, view))(
                         u, v, eta, fff, zeta, tr, wu_, wv_, sg,
-                        sgu, sgv, wc_)
+                        sgu, sgv, wc_, sg2d)
                     Fx, Fy, Ft = jax.vmap(
                         partial(HY._panel_fluxes, view))(
                         u, v, w, tr, wu_, wv_, ww_, sg, sgu, sgv)
@@ -1007,13 +1021,15 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                                           mean=True)
                     Ft = {n: (res[2 * i], res[2 * i + 1], Ft[n][2])
                           for i, n in enumerate(names)}
-                if sig is None:
+                if sig is None and "_frac_c" not in aux:
                     Geta, Gt = jax.vmap(
                         partial(HY._panel_divergences, view))(Fx, Fy, Ft)
                 else:
+                    # full per-cell thickness factor (σ × frac) — the
+                    # same channel the fluxes were assembled with
                     Geta, Gt = jax.vmap(
                         partial(HY._panel_divergences, view))(Fx, Fy, Ft,
-                                                              sig)
+                                                              sg)
                 diff = None
                 if model.closure is not None:
                     def panel_closure(uu, vv, tts, wu_=None, wv_=None,
@@ -1126,10 +1142,21 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                     return u_e, v_e, s_eta, s_U, s_V
                 um = u_e * wu3 if has_bath else u_e
                 vm = v_e * wv3 if has_bath else v_e
+                # partial bottom cells: 3-D fractions join the mode
+                # weights; the 2-D sigma alone scales the (already
+                # fraction-aware) column depths (mirrors the serial
+                # _euler_free_surface)
+                mode_u, mode_v = sigma_u, sigma_v
+                fru = frv = None
+                if "_frac_u" in aux:
+                    fru = jnp.asarray(aux["_frac_u"], u_e.dtype)
+                    frv = jnp.asarray(aux["_frac_v"], u_e.dtype)
+                    mode_u = fru if mode_u is None else mode_u * fru
+                    mode_v = frv if mode_v is None else mode_v * frv
                 if isinstance(fs, ExplicitFreeSurface):
                     eta_e = s_eta + dt_ * Geta
                     U_e, V_e = cs_barotropic_mode(lg, um, vm,
-                                                  sigma_u, sigma_v)
+                                                  mode_u, mode_v)
                     return u_e, v_e, eta_e, U_e * mu2, V_e * mv2
                 if isinstance(fs, ImplicitFreeSurface):
                     eta_e = cs_implicit_free_surface(
@@ -1141,17 +1168,21 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                     um = u_e * wu3 if has_bath else u_e
                     vm = v_e * wv3 if has_bath else v_e
                     U_e, V_e = cs_barotropic_mode(lg, um, vm,
-                                                  sigma_u, sigma_v)
+                                                  mode_u, mode_v)
                     return u_e, v_e, eta_e, U_e * mu2, V_e * mv2
-                GU, GV = cs_barotropic_mode(lg, Gu, Gv)
+                GU, GV = cs_barotropic_mode(lg, Gu, Gv, fru, frv)
                 eta_f, U_f, V_f = cs_split_explicit_free_surface(
                     lg, s_U, s_V, s_eta, GU, GV, dt_, fs, exch_eta,
                     sync2d, mu2, mv2, Hu=Hu_b, Hv=Hv_b)
-                u_c, v_c = cs_barotropic_correct(lg, um, vm, U_f, V_f,
-                                                 mu2, mv2,
-                                                 Hu=Hu_b, Hv=Hv_b,
-                                                 sigma_u=sigma_u,
-                                                 sigma_v=sigma_v)
+                u_c, v_c = cs_barotropic_correct(
+                    lg, um, vm, U_f, V_f, mu2, mv2, Hu=Hu_b, Hv=Hv_b,
+                    sigma_u=mode_u, sigma_v=mode_v,
+                    depth_u=(sigma_u if sigma_u is not None
+                             else jnp.ones((), u_e.dtype))
+                    if fru is not None else None,
+                    depth_v=(sigma_v if sigma_v is not None
+                             else jnp.ones((), u_e.dtype))
+                    if frv is not None else None)
                 if has_bath:
                     u_c = u_c * wu3 + u_e * (1 - wu3)
                     v_c = v_c * wv3 + v_e * (1 - wv3)
@@ -1169,10 +1200,16 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                     model, aux, cm, u.dtype)
                 uf = smooth_v(u, mu_t)
                 vf = smooth_v(v, mv_t)
-                if zstar:
-                    sigma = view._sigma_field(eta)
+                if zstar or "_frac_c" in aux:
+                    one = jnp.ones((), eta.dtype)
+                    sigma = view._sigma_field(eta) if zstar else one
+                    if "_frac_c" in aux:
+                        frc = jnp.asarray(aux["_frac_c"], eta.dtype)
+                        sigma = sigma * frc
                     eta_f = smooth_c(eta)
-                    sigma_f = view._sigma_field(eta_f)
+                    sigma_f = view._sigma_field(eta_f) if zstar else one
+                    if "_frac_c" in aux:
+                        sigma_f = sigma_f * frc
                     trf = {n: smooth_c(tr[n] * sigma) / sigma_f
                            for n in names}
                 else:

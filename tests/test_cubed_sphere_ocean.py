@@ -914,3 +914,152 @@ def test_cs_smagorinsky_coastal_wall_budget_closes():
     assert bool(np.isfinite(np.asarray(state.u)).all())
     c1 = float(model.total_tracer(state, "c"))
     assert abs(c1 - c0) / abs(c0) < 1e-9, abs(c1 - c0) / abs(c0)
+
+
+def test_cs_partial_cell_bottom_basic():
+    """PartialCellBottom on the cubed sphere (round-5 ask 7; reference
+    ``partial_cell_bottom.jl:11`` + ``multi_region_models.jl:45``):
+    fractional bottom-cell heights refine the wet-column depths between
+    the staircase (GridFittedBottom) values."""
+    from oceananigans_tpu.immersed import (
+        GridFittedBottom, PartialCellBottom,
+    )
+    grid = _grid(N=12, Nz=4, depth=1000.0)
+
+    def ridge(lam, phi):
+        return -1000.0 + 400.0 * np.exp(-((lam - 30.0) ** 2 + phi ** 2)
+                                        / 400.0)
+
+    m_pcb = CubedSphereHydrostaticModel(
+        grid, bathymetry=PartialCellBottom(ridge), tracers=("c",),
+        buoyancy=None)
+    m_gfb = CubedSphereHydrostaticModel(
+        grid, bathymetry=GridFittedBottom(ridge), tracers=("c",),
+        buoyancy=None)
+    Hp = np.asarray(m_pcb._Hc)
+    Hg = np.asarray(m_gfb._Hc)
+    assert (Hp > 0).all()
+    # partial depths track the true depth much closer than staircase
+    g = grid.panel_grid
+    sx, sy, _ = g.interior_slices
+    lam = m_pcb._lam_c[..., 0]
+    true_H = -ridge(lam, m_pcb._phi_c[..., 0])
+    err_p = np.abs(Hp[:, :, :, 0] - true_H)[:, sx, sy].max()
+    err_g = np.abs(Hg[:, :, :, 0] - true_H)[:, sx, sy].max()
+    assert err_p < 0.21 * 250.0 + 1e-6     # within min_frac*dz
+    assert err_p < 0.5 * err_g
+    # a short run stays finite and conserves the fractional content
+    state = m_pcb.initial_state(
+        c=lambda lam, phi, z: 1.0 + 0.5 * np.cos(np.deg2rad(phi)))
+    c0 = float(m_pcb.total_tracer(state, "c"))
+    step = jax.jit(lambda s: m_pcb.step(s, 100.0))
+    for _ in range(5):
+        state = step(state)
+    assert np.isfinite(np.asarray(state.u)).all()
+    c1 = float(m_pcb.total_tracer(state, "c"))
+    assert abs(c1 - c0) < 1e-11 * abs(c0)
+
+
+def test_cs_partial_cell_zstar_uniform_tracer():
+    """ZStar over PartialCellBottom: a uniform tracer stays uniform to
+    roundoff under the explicit FS (the fractional thicknesses ride the
+    scaled-metric channel; the dia-surface cancellation is exact)."""
+    from oceananigans_tpu.immersed import PartialCellBottom
+    from oceananigans_tpu.models.hydrostatic import (
+        ExplicitFreeSurface, ZStar,
+    )
+    grid = _grid(N=12, Nz=4, depth=1000.0)
+    model = CubedSphereHydrostaticModel(
+        grid, timestepper="QuasiAdamsBashforth2",
+        vertical_coordinate=ZStar(),
+        bathymetry=PartialCellBottom(
+            lambda lam, phi: -1000.0 + 400.0 * np.exp(
+                -((lam - 30.0) ** 2 + phi ** 2) / 400.0)),
+        free_surface=ExplicitFreeSurface(), tracers=("c",),
+        buoyancy=None)
+    g = grid.panel_grid
+    eta0 = grid.set_tracer(
+        lambda lam, phi, z: 20.0 * np.exp(-((lam + 60) ** 2
+                                            + (phi - 10) ** 2) / 400.0)
+        + 0 * z)[..., g.Hz:g.Hz + 1]
+    state = model.initial_state(eta=eta0, c=1.0)
+    c0 = float(model.total_tracer(state, "c"))
+    step = jax.jit(lambda s: model.step(s, 100.0))
+    s = state
+    for _ in range(10):
+        s = step(s)
+    assert np.isfinite(np.asarray(s.u)).all()
+    sx, sy, sz = g.interior_slices
+    cu = np.asarray(s.tracers["c"])[:, sx, sy, sz]
+    wet = np.asarray(model._wet_c, bool)[:, sx, sy, sz]
+    assert np.abs(cu[wet] - 1.0).max() < 1e-11, np.abs(cu[wet] - 1.0).max()
+    c1 = float(model.total_tracer(s, "c"))
+    assert abs(c1 - c0) < 1e-11 * abs(c0)
+
+
+def test_cs_partial_cell_rest_over_slope():
+    """Resting state with uniform buoyancy over a partial-cell slope:
+    the partial-cell pressure-gradient slope correction keeps spurious
+    velocities at truncation level (pressure consistency)."""
+    from oceananigans_tpu.buoyancy import BuoyancyTracer
+    from oceananigans_tpu.immersed import PartialCellBottom
+    grid = _grid(N=12, Nz=4, depth=1000.0)
+    model = CubedSphereHydrostaticModel(
+        grid,
+        bathymetry=PartialCellBottom(
+            lambda lam, phi: -1000.0 + 400.0 * np.exp(
+                -((lam - 30.0) ** 2 + phi ** 2) / 400.0)),
+        tracers=("b",), buoyancy=BuoyancyTracer())
+    state = model.initial_state(b=1e-2)     # constant buoyancy
+    step = jax.jit(lambda s: model.step(s, 100.0))
+    s = state
+    for _ in range(10):
+        s = step(s)
+    umax = float(np.abs(np.asarray(s.u)).max())
+    assert np.isfinite(umax)
+    # with b = const the pressure force is irrotational: spurious flow
+    # stays at discretization level (measured ~0 with the slope term)
+    assert umax < 1e-4, umax
+
+
+def test_cs_partial_cell_dist_matches_serial():
+    """PartialCellBottom + ZStar + split-explicit on the mirror-rank
+    distributed path matches the serial model at R=2."""
+    from oceananigans_tpu.immersed import PartialCellBottom
+    from oceananigans_tpu.models.hydrostatic import ZStar
+    from oceananigans_tpu.parallel.cubed_sphere_shard import (
+        CubedSphereDistributedHydrostatic,
+    )
+    grid = _grid(N=16, Nz=3, depth=1000.0)
+    model = CubedSphereHydrostaticModel(
+        grid, timestepper="QuasiAdamsBashforth2",
+        vertical_coordinate=ZStar(),
+        bathymetry=PartialCellBottom(
+            lambda lam, phi: -1000.0 + 400.0 * np.exp(
+                -((lam - 30.0) ** 2 + phi ** 2) / 400.0)),
+        free_surface=SplitExplicitFreeSurface(substeps=8),
+        tracers=("c",), buoyancy=None)
+    g = grid.panel_grid
+    eta0 = grid.set_tracer(
+        lambda lam, phi, z: 40.0 * np.exp(-((lam - 30) ** 2 + phi ** 2)
+                                          / 400.0) + 0 * z
+    )[..., g.Hz:g.Hz + 1]
+    state = model.initial_state(
+        eta=eta0, c=lambda lam, phi, z: 1.0 + 0.5 * np.cos(
+            np.deg2rad(phi)))
+    dhy = CubedSphereDistributedHydrostatic(model, R=2, panels=2)
+    bstate = dhy.to_local_state(state)
+    sstate = state
+    sstep = jax.jit(lambda s: model.step(s, 300.0))
+    for _ in range(3):
+        sstate = sstep(sstate)
+        bstate = dhy.step(bstate, 300.0)
+    dstate = dhy.from_local_state(bstate)
+    sx, sy, sz = g.interior_slices
+    np.testing.assert_allclose(
+        np.asarray(dstate.eta)[:, sx, sy],
+        np.asarray(sstate.eta)[:, sx, sy], rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(dstate.tracers["c"])[:, sx, sy, sz],
+        np.asarray(sstate.tracers["c"])[:, sx, sy, sz],
+        rtol=1e-12, atol=1e-13)
