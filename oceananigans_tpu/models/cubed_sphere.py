@@ -1566,10 +1566,15 @@ class CubedSphereHydrostaticModel:
         q = jnp.asarray(q, dtype)
         if q.ndim == 3:
             q = q[..., None]
-        if q.ndim == 4 and q.shape[1] == self.grid.N_panel:
-            g = self.grid.panel_grid
+        g = self.grid.panel_grid
+        if (q.ndim == 4 and q.shape[1] == self.grid.N_panel
+                and q.shape[1] != g.shape[0]):
+            # interior-shaped array -> embed in the halo frame (guard on
+            # the FRAME size too: on the distributed block layout the
+            # local frame can coincidentally equal N_panel)
             H, N = g.Hx, self.grid.N_panel
-            full = jnp.zeros((6, g.shape[0], g.shape[1], 1), dtype)
+            full = jnp.zeros((q.shape[0], g.shape[0], g.shape[1], 1),
+                             dtype)
             q = full.at[:, H:H + N, H:H + N, :].set(q)
         return q
 
@@ -1585,8 +1590,13 @@ class CubedSphereHydrostaticModel:
         dz = jnp.asarray(self._dz_row, dtype)
         t = state.clock.time
         if getattr(self, "_zstar", False):
-            sig_c = self._sigma_field(state.eta)
-            sig_u, sig_v = self._sigma_faces(state.eta)
+            # the distributed adapter passes a namespace with fields()
+            # only (no .eta attribute)
+            eta_ = getattr(state, "eta", None)
+            if eta_ is None:
+                eta_ = state.fields()["eta"]
+            sig_c = self._sigma_field(eta_)
+            sig_u, sig_v = self._sigma_faces(eta_)
         else:
             sig_c = sig_u = sig_v = None
         for name, fbc in self.bcs.items():
