@@ -523,7 +523,12 @@ class ZStar:
     ``HydrostaticFreeSurfaceModels.jl:26-27`` + ``z_star_vertical_
     spacing.jl``): vertical spacings scale with the column stretching
     σ = (H + η)/H, and prognostic fields are rescaled by σⁿ/σⁿ⁺¹ after the
-    free-surface update so ∫ σ q dV is exactly conserved."""
+    free-surface update so the σ-weighted content ∫ σ q dV is conserved
+    to roundoff (flux-form telescoping; pinned at 1e-12 relative on the
+    test configurations — see docs/VALIDATION.md for the per-config
+    tolerances). Uniform-tracer PRESERVATION is exact under the explicit
+    free surface (AB2-compatible η tendency) and truncation-level under
+    split-explicit substepping."""
 
     def __repr__(self):
         return "ZStar()"
@@ -1734,7 +1739,7 @@ class HydrostaticFreeSurfaceModel:
 
         # z-star grid update (reference z_star_vertical_spacing.jl): the
         # water columns stretched from σⁿ to σⁿ⁺¹; rescale prognostic
-        # fields so ∫ σ q dV is conserved exactly
+        # fields so ∫ σ q dV is conserved to roundoff (telescoping)
         if zstar:
             sigma_np1 = self._sigma(state2.eta)
             ratio = sigma_n / sigma_np1
