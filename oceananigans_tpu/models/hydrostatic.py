@@ -749,14 +749,19 @@ class HydrostaticFreeSurfaceModel:
                                   and _jax.default_backend() != "cpu")
         else:
             self.fused_kernels = _ok and bool(fused_kernels)
-        # fused generic-order WENO tracer advection (ops/pallas_tracer)
+        # fused generic-order WENO tracer advection (ops/pallas_tracer);
+        # heavy-lane-padding configs (nz ≈ 60) now qualify through the
+        # TRANSPOSED (z, y, x) layout (round-5 lane-major relayout),
+        # which sidesteps the padding the _lane_ok gate guards against
         from oceananigans_tpu.ops.pallas_tracer import (
             tracer_fusion_available as _tfa,
+            transposed_layout_preferred as _tlp,
         )
         _tok = _tfa(grid, tracer_advection)
         if fused_kernels == "auto":
-            self.fused_tracer = (_tok and _lane_ok
-                                 and _jax.default_backend() != "cpu")
+            self.fused_tracer = (
+                _tok and (_lane_ok or _tlp(grid, tracer_advection))
+                and _jax.default_backend() != "cpu")
         else:
             self.fused_tracer = _tok and bool(fused_kernels)
         b = getattr(tracer_advection, "bind_grid", None)

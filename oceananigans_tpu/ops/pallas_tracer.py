@@ -145,26 +145,73 @@ def _kernel(*refs, TX, OFF, NT, scheme, mvals, morder):
         g_refs[t][:] = -g / M["v_ccc"]
 
 
+def transposed_layout_preferred(grid, scheme) -> bool:
+    """True when the (z, y, x) SLAB-OVER-Z layout beats the default
+    (x, y, z): the z extent pads badly onto the 128 lanes (nz+2H ≪ 128,
+    e.g. the realistic hydrostatic nz ≈ 60) while x makes good lanes.
+    The kernel is axis-symmetric (same reconstruction in every
+    direction), so the transposed call reuses it with the axis roles
+    swapped — the round-5 lane-major relayout (VERDICT r4 ask 4)."""
+    from oceananigans_tpu.grids.rectilinear import RectilinearGrid
+    if not (type(grid) is RectilinearGrid and grid.regular):
+        return False
+    B = (scheme.order + 1) // 2
+    if grid.H[2] < B or grid.H[1] < B:
+        # the transposed slab axis (z) and the sublane axis (y) both
+        # need materialized halos
+        return False
+    nz_tot = grid.N[2] + 2 * grid.H[2]
+    nx_tot = grid.N[0] + 2 * grid.H[0]
+    pad_z = (-(-nz_tot // 128) * 128) / nz_tot
+    pad_x = (-(-nx_tot // 128) * 128) / nx_tot
+    return pad_z > 1.25 and pad_x <= 1.25 and all(n > 1 for n in grid.N)
+
+
 def weno_tracer_tendencies(grid, scheme, u, v, w, tracers, tile_x=None,
-                           interpret=False):
+                           interpret=False, layout="auto"):
     """{name: −∇·(𝐯c)} for every tracer, fused in one Pallas pass.
     Inputs are full halo-extended arrays with halos filled; output halo
     rows are zero. Matches the XLA path (−``div_Uc``) to float32
-    roundoff."""
+    roundoff.
+
+    ``layout``: "auto" transposes to the (z, y, x) slab-over-z layout
+    when that avoids heavy z→lane padding (``transposed_layout_
+    preferred``); "xyz"/"zyx" force a layout."""
+    if layout == "auto":
+        layout = "zyx" if transposed_layout_preferred(grid, scheme) \
+            else "xyz"
+    if layout == "zyx":
+        # the kernel treats its three axes with the SAME upwinded
+        # reconstruction, so swapping the slab and lane roles is a pure
+        # relabeling: slab-axis velocity slot <- w (z-faces), lane-axis
+        # slot <- u (x-faces); metric scalars swap accordingly.
+        T = lambda a: jnp.transpose(a, (2, 1, 0))
+        outs = _tracer_core(
+            grid, scheme,
+            T(w), T(v), T(u), {n: T(c) for n, c in tracers.items()},
+            N=grid.N[2], H0=grid.H[2],
+            lane_axis=0, tile_x=tile_x, interpret=interpret)
+        return {n: T(g) for n, g in outs.items()}
+    return _tracer_core(grid, scheme, u, v, w, tracers,
+                        N=grid.N[0], H0=grid.H[0], lane_axis=2,
+                        tile_x=tile_x, interpret=interpret)
+
+
+def _tracer_core(grid, scheme, u, v, w, tracers, N, H0, lane_axis,
+                 tile_x=None, interpret=False):
     names = list(tracers)
     NT = len(names)
     B = (scheme.order + 1) // 2
     nx, ny0, nz0 = u.shape
-    N = grid.N[0]
-    H0 = grid.H[0]
     ny = -(-ny0 // 8) * 8
     nz = -(-nz0 // 128) * 128
+    H_lane = grid.H[lane_axis]
     if grid.H[1] == 0 and ny != ny0:
         raise ValueError("halo-free periodic axis 1 must be a multiple "
                          "of 8")
-    if grid.H[2] == 0 and nz != nz0:
-        raise ValueError("halo-free periodic axis 2 must be a multiple "
-                         "of 128")
+    if H_lane == 0 and nz != nz0:
+        raise ValueError("halo-free periodic lane axis must be a "
+                         "multiple of 128")
     if tile_x is None:
         budget = 48 * 1024 * 1024
         tile_x = 8
@@ -190,8 +237,15 @@ def weno_tracer_tendencies(grid, scheme, u, v, w, tracers, tile_x=None,
         dxc = grid.Lx / grid.Nx
         dyc = grid.Ly / grid.Ny
         dzc = grid.Lz / grid.Nz
-        mvals.update(ax_fcc=dyc * dzc, ay_cfc=dxc * dzc, az_cc=dxc * dyc,
-                     v_ccc=dxc * dyc * dzc)
+        if lane_axis == 0:
+            # transposed (z, y, x) layout: the slab axis is GRID-z and
+            # the lane axis GRID-x, so the slab-face area is Az and the
+            # lane-face area Ax
+            mvals.update(ax_fcc=dxc * dyc, ay_cfc=dxc * dzc,
+                         az_cc=dyc * dzc, v_ccc=dxc * dyc * dzc)
+        else:
+            mvals.update(ax_fcc=dyc * dzc, ay_cfc=dxc * dzc,
+                         az_cc=dxc * dyc, v_ccc=dxc * dyc * dzc)
     else:
         for name, expr in _metric_exprs(grid).items():
             a = jnp.asarray(expr, u.dtype)

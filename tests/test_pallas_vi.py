@@ -245,3 +245,46 @@ def test_tracer_kernel_matches_div_Uc_latlon():
     ref = -div_Uc(grid, sch, u, v, w, c)
     err = float(jnp.max(jnp.abs(got["T"][S] - ref[S])))
     assert err / float(jnp.max(jnp.abs(ref[S]))) < 1e-12
+
+
+def test_tracer_kernel_transposed_layout_matches_div_Uc():
+    """The (z, y, x) slab-over-z TRANSPOSED layout of the fused tracer
+    kernel (round-5 lane-major relayout for nz ≈ 60 configs) equals
+    −div_Uc for orders 5/7 (interpret mode, f64), forced AND via the
+    auto-preference on an nz-thin grid."""
+    from oceananigans_tpu import WENO
+    from oceananigans_tpu.advection import div_Uc
+    from oceananigans_tpu.fields import LOC_C
+    from oceananigans_tpu.ops.pallas_tracer import (
+        tracer_fusion_available, transposed_layout_preferred,
+        weno_tracer_tendencies,
+    )
+
+    for order, halo in ((5, 3), (7, 4)):
+        sch = WENO(order)
+        grid = RectilinearGrid(size=(16, 12, 8), extent=(1.0, 2.0, 0.5),
+                               topology=(Bounded, Bounded, Bounded),
+                               halo=halo + 1, dtype="float64")
+        assert tracer_fusion_available(grid, sch)
+        u, v, w = _fields(grid, seed=3)
+        rng = np.random.default_rng(5)
+        bcs = regularize_field_boundary_conditions(None, grid, LOC_C)
+        cs = {}
+        for name in ("T", "S"):
+            a = jnp.asarray(rng.standard_normal(grid.shape))
+            cs[name] = fill_halo_regions(a, grid, bcs, LOC_C)
+        got = jax.jit(lambda u, v, w, cs: weno_tracer_tendencies(
+            grid, sch, u, v, w, cs, interpret=True,
+            layout="zyx"))(u, v, w, cs)
+        S = grid.interior_slices
+        for name in cs:
+            ref = -div_Uc(grid, sch, u, v, w, cs[name])
+            err = float(jnp.max(jnp.abs(got[name][S] - ref[S])))
+            assert err / float(jnp.max(jnp.abs(ref[S]))) < 1e-12
+
+    # the auto gate prefers the transposed layout for the realistic
+    # nz-thin configuration (x lanes pad 4%, z lanes would pad 88%)
+    g2 = RectilinearGrid(size=(360, 160, 60), extent=(4e7, 2e7, 4e3),
+                         topology=(Periodic, Bounded, Bounded),
+                         halo=4, dtype="float32")
+    assert transposed_layout_preferred(g2, WENO(7))
