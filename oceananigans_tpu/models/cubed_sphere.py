@@ -21,6 +21,7 @@ circulation and kinetic energy as a scalar gradient (reference
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict
 
 import jax
@@ -523,6 +524,12 @@ class CubedSphereShallowWaterModel:
             | (idx >= H + N - self.corner_upwind_width)
         self._corner_mask = (near[:, None]
                              & near[None, :]).astype(float)[..., None]
+        wke = min(int(os.environ.get("CS_KE_BAND", "2")),
+                  self.corner_upwind_width)
+        near_ke = (idx < H + wke) | (idx >= H + N - wke)
+        self._corner_mask_ke = (near_ke[:, None]
+                                & near_ke[None, :]).astype(
+                                    float)[..., None]
         self._vfix = _vertex_orientation_masks(g, N)
         #: optional corner-band filter coefficient (see
         #: _corner_filter_setup). Since round 5 the former corner
@@ -628,7 +635,7 @@ class CubedSphereShallowWaterModel:
                 q_up, q_upx = q1y, q1x
             Gu = q_up * Vu - dx_f(phi) / g.dx(Face, Center)
             Gv = -q_upx * Uv - dy_f(phi) / g.dy(Face, Center)
-            cmf = jnp.asarray(self._corner_mask, q.dtype)
+            cmf = jnp.asarray(self._corner_mask_ke, q.dtype)
             dGu, dGv = _corner_bernoulli_upwind_correction(g, u, v, K,
                                                            cmf)
             Gu = Gu + dGu
@@ -1020,6 +1027,12 @@ class CubedSphereHydrostaticModel:
             | (idx >= H + N - self.corner_upwind_width)
         self._corner_mask = (near[:, None]
                              & near[None, :]).astype(float)[..., None]
+        wke = min(int(os.environ.get("CS_KE_BAND", "2")),
+                  self.corner_upwind_width)
+        near_ke = (idx < H + wke) | (idx >= H + N - wke)
+        self._corner_mask_ke = (near_ke[:, None]
+                                & near_ke[None, :]).astype(
+                                    float)[..., None]
         self._z_row = np.asarray(g.zC).reshape(1, 1, 1, -1)
         # z-row shape (layout-independent: the distributed blocks share it)
         self._dz_row = np.asarray(g.dz(Center)).reshape(1, 1, 1, -1)
@@ -1413,8 +1426,10 @@ class CubedSphereHydrostaticModel:
         # corner-band self-upwinded Bernoulli head (the root-cause fix
         # for the 3-valent-corner u² feedback; see
         # _corner_bernoulli_upwind_correction)
+        cm_ke = jnp.asarray(getattr(self, "_corner_mask_ke",
+                                    self._corner_mask), u.dtype)
         dGu_c, dGv_c = _corner_bernoulli_upwind_correction(g, u, v, K,
-                                                           cm)
+                                                           cm_ke)
         Gu = Gu + dGu_c
         Gv = Gv + dGv_c
         # σ-coordinate / partial-cell pressure-gradient correction

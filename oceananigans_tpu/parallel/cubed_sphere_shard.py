@@ -435,6 +435,9 @@ class _CSDistBase:
             self._state_sharding)
         self.cm_blocked = self._block_tile_2d(
             jnp.asarray(model._corner_mask))
+        self.cmke_blocked = self._block_tile_2d(
+            jnp.asarray(getattr(model, "_corner_mask_ke",
+                                model._corner_mask)))
         # block-local interior masks (device-independent: every block
         # owns its interior, face fields include the shared high face —
         # within-panel shared faces are computed identically on both
@@ -674,7 +677,7 @@ class CubedSphereDistributedSW(_CSDistBase):
         g2d_specs = {k: P("x", "y", None) for k in fields2d}
         has_hs = self.hs_blocked is not None
 
-        def sstep(state, dt, g2d, fff, hs, cm, cfa, vfx):
+        def sstep(state, dt, g2d, fff, hs, cm, cfa, vfx, cmke):
             dev = (jax.lax.axis_index("panel") * R
                    + jax.lax.axis_index("x")) * R \
                 + jax.lax.axis_index("y")
@@ -683,7 +686,8 @@ class CubedSphereDistributedSW(_CSDistBase):
                 grid=SimpleNamespace(panel_grid=lg), g=model.g,
                 vorticity_scheme=model.vorticity_scheme,
                 tracer_advection=model.tracer_advection,
-                _corner_mask=cm, _vfix=vfx)
+                _corner_mask=cm, _vfix=vfx,
+                _corner_mask_ke=cmke)
             mu = jnp.asarray(mu_l, state.u.dtype)
             mv = jnp.asarray(mv_l, state.u.dtype)
             mc = jnp.asarray(mc_l, state.u.dtype)
@@ -772,11 +776,11 @@ class CubedSphereDistributedSW(_CSDistBase):
                           P("panel", "x", "y", None),
                           P("panel", "x", "y", None) if has_hs else P(),
                           P("x", "y", None), cf_specs,
-                          P("x", "y", None)),
+                          P("x", "y", None), P("x", "y", None)),
                 out_specs=specs, check_vma=False)
             return fn(state, dt, fields2d, self.f_blocked,
                       hs if has_hs else jnp.zeros(()), self.cm_blocked,
-                      self.cf_aux, self.vfix_blocked)
+                      self.cf_aux, self.vfix_blocked, self.cmke_blocked)
 
         return jax.jit(step)
 
@@ -883,7 +887,7 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
         prescribed = bool(getattr(model, "prescribed_velocities", False))
         zstar = getattr(model, "_zstar", False)
 
-        def sstep(state, dt, g2d, fff, cm, lam, phi, aux):
+        def sstep(state, dt, g2d, fff, cm, lam, phi, aux, cmke):
             dev = (jax.lax.axis_index("panel") * R
                    + jax.lax.axis_index("x")) * R \
                 + jax.lax.axis_index("y")
@@ -900,7 +904,8 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                 bcs=getattr(model, "bcs", {}),
                 _dz_row=getattr(model, "_dz_row", None),
                 _explicit_eta_grad=getattr(model, "_explicit_eta_grad",
-                                           True))
+                                           True),
+                _corner_mask_ke=cmke)
             view._panel_w = lambda uu, vv, gg=None, wc=None: HY._panel_w(
                 view, uu, vv, gg, wc)
             view._panel_pressure = lambda bb, gg=None: HY._panel_pressure(
@@ -1322,13 +1327,13 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                           else P(),
                           P("panel", "x", "y", None) if has_forcing
                           else P(),
-                          aux_specs),
+                          aux_specs, P("x", "y", None)),
                 out_specs=specs, check_vma=False)
             z = jnp.zeros(())
             return fn(state, dt, fields2d, self.f_blocked,
                       self.cm_blocked,
                       self.lam_blocked if has_forcing else z,
                       self.phi_blocked if has_forcing else z,
-                      self.hy_aux)
+                      self.hy_aux, self.cmke_blocked)
 
         return jax.jit(step)
