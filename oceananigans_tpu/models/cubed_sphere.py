@@ -327,11 +327,19 @@ def _corner_filter_setup(model, corner_filter):
     model._cf_x = (eps * fx * Az_fx)[..., None]
     model._cf_y = (eps * fy * Az_fy)[..., None]
     model._cf_inv_az = (1.0 / Az)[..., None]
-    # keep the filter from reaching across the immersed bottom
+    # keep the filter from reaching across the immersed bottom. The wet
+    # masks must be restricted to INTERIOR z-levels here: the z-HALO
+    # slots sit above the surface, where zc > terrain height marks
+    # halo cells "wet" even over land — the 2-D (η) smoothing's
+    # max-over-z weight reduction would then flux volume into land
+    # columns (round-5 leak: 2e-11/step in the C48 global ocean).
     wu = getattr(model, "_wet_u", None)
     if wu is not None:
-        model._cf_x = model._cf_x[None] * np.asarray(model._wet_u)
-        model._cf_y = model._cf_y[None] * np.asarray(model._wet_v)
+        gz = model.grid.panel_grid
+        kz = np.arange(gz.shape[2]).reshape(1, 1, 1, -1)
+        kin_z = ((kz >= gz.Hz) & (kz < gz.Hz + gz.Nz)).astype(float)
+        model._cf_x = model._cf_x[None] * np.asarray(model._wet_u) * kin_z
+        model._cf_y = model._cf_y[None] * np.asarray(model._wet_v) * kin_z
 
 
 def _corner_smooth_center(model, q):
@@ -1475,6 +1483,10 @@ class CubedSphereHydrostaticModel:
         Gu_adv = adv.u_tendency(g, u, v, w, zeta=zeta)
         Gv_adv = adv.v_tendency(g, u, v, w, zeta=zeta)
         phig = p + eta_term
+        if not hasattr(phig, "ndim"):
+            # no buoyancy pressure and the barotropic gradient lives in
+            # the split/implicit machinery: nothing to differentiate
+            phig = jnp.zeros_like(u)
         Gu_vi = Gu_adv + iy_c(f_ff) * Vu \
             - dx_f(phig) / g.dx(Face, Center)
         Gv_vi = Gv_adv - ix_c(f_ff) * Uv \
@@ -2007,10 +2019,17 @@ class CubedSphereHydrostaticModel:
         # filter on FILLED halos (one-ring Laplacian taps), re-filled by
         # the caller's trailing exchange
         s = self.fill_state_halos(s)
-        mu = self._mask_u if self._wet_u is None \
-            else self._mask_u * self._wet_u
-        mv = self._mask_v if self._wet_v is None \
-            else self._mask_v * self._wet_v
+        if self._wet_u is None:
+            mu, mv = self._mask_u, self._mask_v
+        else:
+            # restrict to INTERIOR z-levels: the z-halo slots above the
+            # terrain are spuriously "wet" (zc > land height), and the
+            # smoother must not write velocity there (land stays dry)
+            gz = self.grid.panel_grid
+            kz = np.arange(gz.shape[2]).reshape(1, 1, 1, -1)
+            kin_z = ((kz >= gz.Hz) & (kz < gz.Hz + gz.Nz)).astype(float)
+            mu = self._mask_u * self._wet_u * kin_z
+            mv = self._mask_v * self._wet_v * kin_z
         if getattr(self, "_zstar", False) or self._frac_c is not None:
             # ZStar / partial-cell composition: smooth the
             # THICKNESS-WEIGHTED content (σ·frac·c) and η itself (the σ

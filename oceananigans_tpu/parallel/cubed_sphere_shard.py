@@ -1203,8 +1203,9 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                     return u, v, tr, eta
                 smooth_c, smooth_v = _corner_filter_fns(
                     model, aux, cm, u.dtype)
-                uf = smooth_v(u, mu_t)
-                vf = smooth_v(v, mv_t)
+                kin_f = jnp.asarray(kin_np, u.dtype)
+                uf = smooth_v(u, mu_t * kin_f)
+                vf = smooth_v(v, mv_t * kin_f)
                 if zstar or "_frac_c" in aux:
                     one = jnp.ones((), eta.dtype)
                     sigma = view._sigma_field(eta) if zstar else one

@@ -1063,3 +1063,20 @@ def test_cs_partial_cell_dist_matches_serial():
         np.asarray(dstate.tracers["c"])[:, sx, sy, sz],
         np.asarray(sstate.tracers["c"])[:, sx, sy, sz],
         rtol=1e-12, atol=1e-13)
+
+
+def test_cs_weno_vi_split_explicit_no_buoyancy():
+    """WENOVectorInvariant + split-explicit FS + no buoyancy: the VI
+    potential term degenerates to a scalar zero (round-5 regression —
+    dx_f used to crash on the float)."""
+    grid = _grid(N=16, Nz=2, halo=6)
+    model = CubedSphereHydrostaticModel(
+        grid, momentum_advection=WENOVectorInvariant(),
+        free_surface=SplitExplicitFreeSurface(substeps=4),
+        tracers=(), buoyancy=None)
+    state = model.initial_state(
+        eta=grid.set_tracer(
+            lambda lam, phi, z: 10.0 * np.cos(np.deg2rad(phi)) + 0 * z
+        )[..., grid.panel_grid.Hz:grid.panel_grid.Hz + 1])
+    s = model.step(state, 100.0)
+    assert np.isfinite(np.asarray(s.u)).all()
