@@ -1079,6 +1079,69 @@ class CubedSphereHydrostaticModel:
         kk = np.arange(g.shape[2]).reshape(1, 1, 1, -1)
         Hz, Nz = g.Hz, g.Nz
         kin = ((kk >= Hz) & (kk < Hz + Nz)).astype(float)
+        from oceananigans_tpu.immersed import (
+            GridFittedBoundary as _GFB,
+        )
+        if isinstance(bathymetry, _GFB):
+            # arbitrary 3-D solid mask (reference ``GridFittedBoundary``,
+            # ``grid_fitted_boundary.jl:9`` + ``multi_region_models.jl:44``):
+            # mask(lam_deg, phi_deg, z) -> solid, or a (6, N, N, Nz)-class
+            # array. Solid cells anywhere in the column are masked; the
+            # free-slip bottom-mirror fill uses the bottom-most WET cell
+            # of each column (mid-column solid pockets get that value as
+            # the free-slip extension).
+            m = bathymetry.mask
+            zc = np.asarray(g.zC).reshape(1, 1, 1, -1)
+            if callable(m):
+                lam3 = self._lam_c                       # (6, nx, ny, 1)
+                phi3 = self._phi_c
+                solid = np.asarray(m(lam3, phi3, zc), float)
+                solid = np.broadcast_to(solid, (6, nx, ny,
+                                                g.shape[2])).copy()
+            else:
+                mv = np.asarray(m, float)
+                solid = np.zeros((6, nx, ny, g.shape[2]))
+                if mv.shape == (6, N, N, Nz):
+                    solid[:, H:H + N, H:H + N, Hz:Hz + Nz] = mv
+                elif mv.shape == (6, nx, ny, g.shape[2]):
+                    solid = mv.copy()
+                else:
+                    raise ValueError(
+                        f"GridFittedBoundary mask must be "
+                        f"(6, {N}, {N}, {Nz}) or full-frame, got "
+                        f"{mv.shape}")
+                solid = np.asarray(cubed_sphere_halo_exchange(
+                    jnp.asarray(solid), grid)) > 0.5
+                solid = solid.astype(float)
+            wet = 1.0 - np.clip(solid, 0.0, 1.0)
+            self._frac_c = self._frac_u = self._frac_v = None
+            self._wet_c = wet
+            self._wet_u = wet * np.roll(wet, 1, axis=1)
+            self._wet_v = wet * np.roll(wet, 1, axis=2)
+            self._wet_w = wet * np.roll(wet, 1, axis=3)
+            dzf = np.broadcast_to(np.asarray(g.dz(Center)),
+                                  g.shape)[None]
+            dzi = dzf * kin
+            self._Hc = np.sum(self._wet_c * dzi, axis=3, keepdims=True)
+            self._Hu = np.sum(self._wet_u * dzi, axis=3, keepdims=True)
+            self._Hv = np.sum(self._wet_v * dzi, axis=3, keepdims=True)
+            self._wet2_c = (self._Hc > 0).astype(float)
+            self._wet2_u = (self._Hu > 0).astype(float)
+            self._wet2_v = (self._Hv > 0).astype(float)
+            top = (kk == Hz + Nz - 1).astype(float)
+            self._top_c = top * self._wet2_c
+            self._top_u = top * self._wet2_u
+            self._top_v = top * self._wet2_v
+
+            def bot_ind(w3):
+                below = np.roll(w3, 1, axis=3)
+                return w3 * (1.0 - below) * kin
+
+            self._bot_c = bot_ind(self._wet_c)
+            self._bot_u = bot_ind(self._wet_u)
+            self._bot_v = bot_ind(self._wet_v)
+            _corner_filter_setup(self, corner_filter)
+            return
         if bathymetry is not None:
             from oceananigans_tpu.immersed import GridFittedBottom
             bot = bathymetry.bottom_height \

@@ -1080,3 +1080,46 @@ def test_cs_weno_vi_split_explicit_no_buoyancy():
         )[..., grid.panel_grid.Hz:grid.panel_grid.Hz + 1])
     s = model.step(state, 100.0)
     assert np.isfinite(np.asarray(s.u)).all()
+
+
+def test_cs_grid_fitted_boundary_mask():
+    """GridFittedBoundary (arbitrary 3-D solid mask) on the cubed sphere
+    (reference grid_fitted_boundary.jl:9 + multi_region_models.jl:44):
+    solid cells stay dry, tracer content over the fluid conserves."""
+    from oceananigans_tpu.immersed import GridFittedBoundary
+
+    def mask(lam, phi, z):
+        # polar caps (all depths) + a mid-depth equatorial ring pocket
+        caps = np.abs(phi) > 65.0
+        ring = (np.abs(phi) < 8.0) & (np.abs(lam - 30.0) < 20.0) \
+            & (z < -250.0) & (z > -600.0)
+        return caps | ring
+
+    grid = _grid(N=12, Nz=4, depth=1000.0)
+    model = CubedSphereHydrostaticModel(
+        grid, bathymetry=GridFittedBoundary(mask), tracers=("c",),
+        buoyancy=None)
+    g = grid.panel_grid
+    assert model._wet_c is not None
+    # some interior solid cells exist at mid depth
+    sx, sy, sz = g.interior_slices
+    wet = np.asarray(model._wet_c)[:, sx, sy, sz]
+    assert (wet == 0).any() and (wet == 1).any()
+    state = model.initial_state(
+        c=lambda lam, phi, z: 1.0 + 0.5 * np.cos(np.deg2rad(phi)),
+        eta=grid.set_tracer(
+            lambda lam, phi, z: 5.0 * np.cos(np.deg2rad(3 * lam))
+            + 0 * z)[..., g.Hz:g.Hz + 1] * jnp.asarray(
+                model._wet2_c, jnp.float64))
+    c0 = float(model.total_tracer(state, "c"))
+    step = jax.jit(lambda s: model.step(s, 100.0))
+    s = state
+    for _ in range(10):
+        s = step(s)
+    assert np.isfinite(np.asarray(s.u)).all()
+    c1 = float(model.total_tracer(s, "c"))
+    assert abs(c1 - c0) < 1e-11 * abs(c0)
+    # solid cells carry the free-slip mirror of the bottom-most wet
+    # value (fill_state_halos contract), so don't assert zeros there;
+    # instead the WET-masked transports through solid faces vanish in
+    # the flux assembly (exercised by the conservation check above)
