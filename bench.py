@@ -231,7 +231,7 @@ def _hydro_vi(inner, repeats):
     # XLA path here (its layout remains z-lane).
     grid = RectilinearGrid(size=(Nx, Ny, Nz), extent=(4e7, 2e7, 4e3),
                            topology=(Periodic, Bounded, Bounded),
-                           halo=4, dtype="float32")
+                           halo=(6, 6, 4), dtype="float32")
     model = HydrostaticFreeSurfaceModel(
         grid=grid, momentum_advection=WENOVectorInvariant(),
         tracer_advection=WENO(7), tracers=("T", "S"),

@@ -744,11 +744,18 @@ class HydrostaticFreeSurfaceModel:
         # kernel on.
         nztot = grid.N[2] + 2 * grid.H[2]
         _lane_ok = (-(-nztot // 128) * 128) * 4 <= nztot * 5
+        # nz-thin configs qualify through the TRANSPOSED (z, y, x) VI
+        # kernel (round-5 lane-major relayout)
+        from oceananigans_tpu.ops.pallas_vi import (
+            vi_transposed_layout_preferred as _vtlp,
+        )
+        _ok_zyx = (isinstance(momentum_advection, VectorInvariant)
+                   and _vtlp(grid, momentum_advection))
         if fused_kernels == "auto":
-            self.fused_kernels = (_ok and _lane_ok
+            self.fused_kernels = (((_ok and _lane_ok) or _ok_zyx)
                                   and _jax.default_backend() != "cpu")
         else:
-            self.fused_kernels = _ok and bool(fused_kernels)
+            self.fused_kernels = (_ok or _ok_zyx) and bool(fused_kernels)
         # fused generic-order WENO tracer advection (ops/pallas_tracer);
         # heavy-lane-padding configs (nz ≈ 60) now qualify through the
         # TRANSPOSED (z, y, x) layout (round-5 lane-major relayout),
@@ -1107,11 +1114,17 @@ class HydrostaticFreeSurfaceModel:
                 import jax as _jax
 
                 from oceananigans_tpu.ops.pallas_vi import (
-                    vi_momentum_tendency,
+                    vi_momentum_tendency, vi_momentum_tendency_zyx,
+                    vi_transposed_layout_preferred,
                 )
-                Gu, Gv = vi_momentum_tendency(
-                    self.grid, ma, u, v, w,
-                    interpret=_jax.default_backend() == "cpu")
+                if vi_transposed_layout_preferred(self.grid, ma):
+                    Gu, Gv = vi_momentum_tendency_zyx(
+                        self.grid, ma, u, v, w,
+                        interpret=_jax.default_backend() == "cpu")
+                else:
+                    Gu, Gv = vi_momentum_tendency(
+                        self.grid, ma, u, v, w,
+                        interpret=_jax.default_backend() == "cpu")
             else:
                 Gu = ma.u_tendency(g, u, v, w)
                 Gv = ma.v_tendency(g, u, v, w)

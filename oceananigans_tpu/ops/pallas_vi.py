@@ -73,6 +73,32 @@ def vi_halo_x(vi):
     return max(Bv, Bke, Bd)
 
 
+def _vi_schemes_ok(vi) -> bool:
+    """Scheme admissibility shared by both layouts: plain WENO schemes,
+    1-D stencils, OnlySelfUpwinding with Centered(2) cross terms."""
+    from oceananigans_tpu.advection import Centered
+    from oceananigans_tpu.models.hydrostatic import (
+        CrossAndSelfUpwinding, OnlySelfUpwinding, VectorInvariant,
+    )
+    if not isinstance(vi, VectorInvariant):
+        return False
+    if getattr(vi, "multi_dimensional_stencil", False):
+        return False
+    if vi.vorticity_stencil not in ("velocity", "default"):
+        return False
+    if _buffers(vi) is None:
+        return False
+    for s_ in (vi.vorticity_scheme, vi.kinetic_energy_gradient_scheme,
+               vi.divergence_scheme, vi.vertical_scheme):
+        if s_.bounds is not None or getattr(s_, "_tables", None)                 is not None:
+            return False
+    up = vi.upwinding
+    if type(up) is CrossAndSelfUpwinding or type(up) is not             OnlySelfUpwinding:
+        return False
+    return (type(up.cross_scheme) is Centered
+            and up.cross_scheme.order == 2)
+
+
 def vi_available(grid, vi) -> bool:
     """True when the fused kernel applies: a regular 3-D rectilinear
     grid OR a z-regular LatitudeLongitudeGrid (curvature metrics become
@@ -321,6 +347,237 @@ def _kernel(*refs, TX, HX, OFF, vi, mvals, morder):
     Fz = Wadv * vz
     gv = gv - (phi + zn(Fz, 1) - Fz) / M["v_cfc"]
     gv_ref[:] = gv
+
+
+def _kernel_zyx(*refs, TX, vi, mvals, morder):
+    """TRANSPOSED layout (z, y, x): slabs over z, y in sublanes, x in
+    lanes — the lane-major relayout for nz-thin realistic configs
+    (VERDICT r4 ask 4). Same physics term-by-term as ``_kernel``; the
+    x-direction stencils become lane rolls and the VERTICAL advection
+    walks the slab window (halo Bz per side)."""
+    u_hbm, v_hbm, w_hbm = refs[:3]
+    marrs = refs[3:3 + len(morder)]
+    gu_ref, gv_ref, u_s, v_s, w_s, sems = refs[3 + len(morder):]
+    Bv, Bke, Bd, Bz = _buffers(vi)
+    i = pl.program_id(0)
+    x0 = i * TX            # window start row: H0 + i*TX - Bz, offset by
+    W = TX + 2 * Bz        # the caller through OFF folded into the slice
+
+    cps = []
+    for src, dst, s in ((u_hbm, u_s, 0), (v_hbm, v_s, 1), (w_hbm, w_s, 2)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(x0, W)], dst, sems.at[s])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    u = u_s[:]
+    v = v_s[:]
+    w = w_s[:]
+
+    sv = vi.vorticity_scheme
+    ske = vi.kinetic_energy_gradient_scheme
+    sd = vi.divergence_scheme
+    sz = vi.vertical_scheme
+    velocity_stencil = vi.vorticity_stencil == "velocity"
+
+    M = {name: (mvals[name] if mvals[name] is not None
+                else marrs[morder.index(name)][:])
+         for name in _METRICS}
+
+    def yn(a, n):   # a[j+n] in y (sublane)
+        return pltpu.roll(a, (a.shape[1] - n) % a.shape[1], 1)
+
+    def xn(a, n):   # a[i+n] in x (lane)
+        return pltpu.roll(a, (a.shape[2] - n) % a.shape[2], 2)
+
+    def zc(a, n=0, cnt=TX):
+        """slab rows at vertical CELL offset n (output-aligned)."""
+        return a[Bz + n: Bz + n + cnt]
+
+    # output-aligned slabs
+    u0 = zc(u)
+    v0 = zc(v)
+
+    u2 = 0.5 * u0 * u0
+    v2 = 0.5 * v0 * v0
+    au0 = M["ax_fcc"] * u0
+    av0 = M["ay_cfc"] * v0
+
+    # ζ at (f,f): (δx(Δy v) − δy(Δx u)) / Az — all lanes at once
+    Z0 = ((M["dy_vf"] * v0 - xn(M["dy_vf"] * v0, -1))
+          - (M["dx_uf"] * u0 - yn(M["dx_uf"] * u0, -1))) / M["az_ff"]
+
+    if velocity_stencil:
+        S1_0 = 0.5 * (u0 + yn(u0, -1))                 # ℑy(u)
+        S2_0 = 0.5 * (v0 + xn(v0, -1))                 # ℑx(v)
+
+    # ==================================================================
+    # Gu at (f,c,c)
+    # ==================================================================
+    dxv0 = M["dx_vf"] * v0
+    t0 = 0.5 * (yn(dxv0, 1) + dxv0)
+    vhat = 0.5 * (t0 + xn(t0, -1)) / M["dx_uf"]
+    taps = {n: yn(Z0, n + 1) for n in range(-Bv, Bv)}
+    smooth = ([{n: yn(S1_0, n + 1) for n in range(-Bv, Bv)},
+               {n: yn(S2_0, n + 1) for n in range(-Bv, Bv)}]
+              if velocity_stencil else None)
+    gu = vhat * _recon(sv, taps, smooth, vhat, _sel2)
+
+    # Bernoulli head: δx(u²/2) upwinded on u + centered δx(v²/2)
+    taps = {n: xn(u2, n + 1) - xn(u2, n) for n in range(-Bke, Bke)}
+    smooth = [{n: 0.5 * (xn(u0, n + 1) + xn(u0, n))
+               for n in range(-Bke, Bke)}]
+    duR = _recon(ske, taps, smooth, u0, _sel3)
+    Dv2 = v2 - xn(v2, -1)                       # δx(v²/2) at (f,f,c)
+    dvS = 0.5 * Dv2 + 0.5 * yn(Dv2, 1)
+    gu = gu - (duR + dvS) / M["dx_uf"]
+
+    # divergence flux (OnlySelfUpwinding)
+    taps = {n: xn(au0, n + 1) - xn(au0, n) for n in range(-Bd, Bd)}
+    dyv_c = {n: yn(xn(av0, n), 1) - xn(av0, n)
+             for n in range(-Bd, Bd + 1)}
+    smooth = [{n: taps[n] + dyv_c[n] for n in range(-Bd, Bd)}]
+    duR = _recon(sd, taps, smooth, u0, _sel2)
+    dvS = 0.5 * dyv_c[-1] + 0.5 * dyv_c[0]
+    phi = u0 * (dvS + duR)
+
+    # vertical flux: faces at slab rows [0, TX]
+    awF = M["az_cc"] * zc(w, 0, TX + 1)
+    WadvU = 0.5 * (awF + xn(awF, -1))           # ℑx(Az w) at (f,c,f)
+    taps = {n: zc(u, n, TX + 1) for n in range(-Bz, Bz)}
+    uzF = _recon(sz, taps, None, WadvU, _sel2)
+    FzU = WadvU * uzF
+    gu = gu - (phi + FzU[1:] - FzU[:-1]) / M["v_fcc"]
+    gu_ref[:] = gu
+
+    # ==================================================================
+    # Gv at (c,f,c)
+    # ==================================================================
+    dyu0 = M["dy_uc"] * u0
+    t = 0.5 * (xn(dyu0, 1) + dyu0)
+    uhat = 0.5 * (t + yn(t, -1)) / M["dy_vf"]
+    taps = {n: xn(Z0, n + 1) for n in range(-Bv, Bv)}
+    smooth = ([{n: xn(S1_0, n + 1) for n in range(-Bv, Bv)},
+               {n: xn(S2_0, n + 1) for n in range(-Bv, Bv)}]
+              if velocity_stencil else None)
+    gv = -uhat * _recon(sv, taps, smooth, uhat, _sel2)
+
+    # Bernoulli head
+    taps = {n: yn(v2, n + 1) - yn(v2, n) for n in range(-Bke, Bke)}
+    smooth = [{n: 0.5 * (yn(v0, n + 1) + yn(v0, n))
+               for n in range(-Bke, Bke)}]
+    dvR = _recon(ske, taps, smooth, v0, _sel3)
+    Du2_0 = u2 - yn(u2, -1)                     # δy(u²/2) at (f,f,c)
+    duS = 0.5 * Du2_0 + 0.5 * xn(Du2_0, 1)
+    gv = gv - (dvR + duS) / M["dy_vf"]
+
+    # divergence flux
+    taps = {n: yn(av0, n + 1) - yn(av0, n) for n in range(-Bd, Bd)}
+    dxU0 = xn(au0, 1) - au0
+    smooth = [{n: taps[n] + yn(dxU0, n) for n in range(-Bd, Bd)}]
+    dvR = _recon(sd, taps, smooth, v0, _sel2)
+    duS = 0.5 * yn(dxU0, -1) + 0.5 * dxU0
+    phi = v0 * (duS + dvR)
+
+    WadvV = 0.5 * (awF + yn(awF, -1))           # ℑy(Az w) at (c,f,f)
+    taps = {n: zc(v, n, TX + 1) for n in range(-Bz, Bz)}
+    vzF = _recon(sz, taps, None, WadvV, _sel2)
+    FzV = WadvV * vzF
+    gv = gv - (phi + FzV[1:] - FzV[:-1]) / M["v_cfc"]
+    gv_ref[:] = gv
+
+
+def vi_transposed_layout_preferred(grid, vi) -> bool:
+    """True when the (z, y, x) layout beats (x, y, z) for the VI kernel
+    (same criterion as the tracer kernel's
+    ``transposed_layout_preferred``, with the VI stencil reaches)."""
+    from oceananigans_tpu.grids.rectilinear import RectilinearGrid
+    if not (type(grid) is RectilinearGrid and grid.regular):
+        return False
+    if not _vi_schemes_ok(vi):
+        return False
+    b = _buffers(vi)
+    if b is None:
+        return False
+    Bv, Bke, Bd, Bz = b
+    need_x = max(Bv, Bke, Bd) + 1       # lane-roll reach in x
+    need_y = max(Bv + 1, Bke + 1, Bd + 1)
+    if grid.H[0] < need_x or grid.H[1] < need_y or grid.H[2] < Bz + 1:
+        return False
+    nz_tot = grid.N[2] + 2 * grid.H[2]
+    nx_tot = grid.N[0] + 2 * grid.H[0]
+    pad_z = (-(-nz_tot // 128) * 128) / nz_tot
+    pad_x = (-(-nx_tot // 128) * 128) / nx_tot
+    return pad_z > 1.25 and pad_x <= 1.25 and all(n > 1 for n in grid.N)
+
+
+def vi_momentum_tendency_zyx(grid, vi, u, v, w, tile_z=None,
+                             interpret=False):
+    """Transposed-layout VI tendencies: transpose to (z, y, x), run
+    ``_kernel_zyx`` with slabs over z, transpose back."""
+    Bv, Bke, Bd, Bz = _buffers(vi)
+    T = lambda a: jnp.transpose(a, (2, 1, 0))
+    uT, vT, wT = T(u), T(v), T(w)
+    nzt, ny0, nx0 = uT.shape
+    N = grid.N[2]
+    H0 = grid.H[2]
+    ny = -(-ny0 // 8) * 8
+    nx128 = -(-nx0 // 128) * 128
+    arrs = [uT, vT, wT]
+    if (ny, nx128) != (ny0, nx0):
+        pad = ((0, 0), (0, ny - ny0), (0, nx128 - nx0))
+        arrs = [jnp.pad(a, pad) for a in arrs]
+    if tile_z is None:
+        budget = 48 * 1024 * 1024
+        tile_z = 8
+        while tile_z > 1 and (3 * (tile_z + 2 * Bz) + 2 * tile_z) \
+                * ny * nx128 * u.dtype.itemsize > budget:
+            tile_z //= 2
+    TZ = tile_z
+    while TZ > 1 and N % TZ:
+        TZ //= 2
+    gz = N // TZ
+
+    from oceananigans_tpu.grids.rectilinear import RectilinearGrid
+    assert type(grid) is RectilinearGrid and grid.regular
+    dxc = grid.Lx / grid.Nx
+    dyc = grid.Ly / grid.Ny
+    dzc = grid.Lz / grid.Nz
+    mvals = dict(dy_vf=dyc, dx_uf=dxc, dx_vf=dxc, dy_uc=dyc,
+                 az_ff=dxc * dyc, az_cc=dxc * dyc, ax_fcc=dyc * dzc,
+                 ay_cfc=dxc * dzc, v_fcc=dxc * dyc * dzc,
+                 v_cfc=dxc * dyc * dzc)
+    morder = ()
+
+    kern = partial(_kernel_zyx, TX=TZ, vi=vi, mvals=mvals, morder=morder)
+    out_shape = [jax.ShapeDtypeStruct((N, ny, nx128), u.dtype)] * 2
+    out_spec = pl.BlockSpec((TZ, ny, nx128),
+                            index_map=lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    # the DMA windows start at H0 - Bz + i*TZ: pre-slice the inputs so
+    # program 0's window starts at row 0
+    arrs = [a[H0 - Bz:] for a in arrs]
+    outs = pl.pallas_call(
+        kern,
+        grid=(gz,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=[out_spec] * 2,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((TZ + 2 * Bz, ny, nx128), u.dtype)
+                        for _ in range(3)]
+        + [pltpu.SemaphoreType.DMA((3,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret or _config.pallas_interpret,
+    )(*arrs)
+    guT, gvT = outs
+
+    def embed(gT):
+        full = jnp.zeros((nzt, ny0, nx0), u.dtype)
+        return T(full.at[H0:H0 + N].set(gT[:, :ny0, :nx0]))
+
+    return embed(guT), embed(gvT)
 
 
 def vi_momentum_tendency(grid, vi, u, v, w, tile_x=None, interpret=False):

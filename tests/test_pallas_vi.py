@@ -288,3 +288,87 @@ def test_tracer_kernel_transposed_layout_matches_div_Uc():
                          topology=(Periodic, Bounded, Bounded),
                          halo=4, dtype="float32")
     assert transposed_layout_preferred(g2, WENO(7))
+
+
+@pytest.mark.parametrize("stencil", ["velocity", "default"])
+def test_vi_kernel_transposed_layout_matches_xla(stencil):
+    """The TRANSPOSED (z, y, x) VI kernel (round-5 lane-major relayout
+    for nz-thin realistic configs) matches the XLA path at f64
+    roundoff."""
+    from oceananigans_tpu.ops.pallas_vi import (
+        vi_momentum_tendency_zyx, vi_transposed_layout_preferred,
+    )
+    vi = WENOVectorInvariant(vorticity_stencil=stencil)
+    grid = RectilinearGrid(size=(16, 12, 8), extent=(1.0, 2.0, 0.5),
+                           topology=(Bounded, Bounded, Bounded), halo=6,
+                           dtype="float64")
+    u, v, w = _fields(grid)
+    gu, gv = jax.jit(lambda u, v, w: vi_momentum_tendency_zyx(
+        grid, vi, u, v, w, interpret=True))(u, v, w)
+    S = grid.interior_slices
+    for a, b in ((gu, vi.u_tendency(grid, u, v, w)),
+                 (gv, vi.v_tendency(grid, u, v, w))):
+        err = float(jnp.max(jnp.abs(a[S] - b[S])))
+        scale = float(jnp.max(jnp.abs(b[S])))
+        assert err / scale < 1e-12, err / scale
+
+    # the realistic hydro config prefers the transposed layout
+    g2 = RectilinearGrid(size=(360, 160, 60), extent=(4e7, 2e7, 4e3),
+                         topology=(Periodic, Bounded, Bounded),
+                         halo=(6, 6, 4), dtype="float32")
+    assert vi_transposed_layout_preferred(g2, WENOVectorInvariant())
+
+
+def test_hydrostatic_step_transposed_vi_matches_xla():
+    """Full hydrostatic step with the TRANSPOSED VI + tracer kernels
+    engaged (nz-thin grid, fused forced, CPU interpret) matches the XLA
+    path to f64 roundoff — validates the model wiring."""
+    import dataclasses
+
+    from oceananigans_tpu import WENO
+    from oceananigans_tpu.models import (
+        HydrostaticFreeSurfaceModel, SplitExplicitFreeSurface,
+    )
+    from oceananigans_tpu.ops.pallas_vi import (
+        vi_transposed_layout_preferred,
+    )
+
+    grid = RectilinearGrid(size=(116, 16, 6), extent=(1e5, 2e5, 1e3),
+                           topology=(Periodic, Bounded, Bounded),
+                           halo=(6, 6, 4), dtype="float64")
+    vi = WENOVectorInvariant()
+    assert vi_transposed_layout_preferred(grid, vi)
+
+    def build(fused):
+        return HydrostaticFreeSurfaceModel(
+            grid=grid, momentum_advection=WENOVectorInvariant(),
+            tracer_advection=WENO(7), tracers=("T",),
+            free_surface=SplitExplicitFreeSurface(substeps=8),
+            fused_kernels=fused)
+
+    mf = build(True)
+    mx = build(False)
+    assert mf.fused_kernels and mf.fused_tracer
+    state = mf.initial_state(
+        u=lambda x, y, z: 0.1 * jnp.sin(2 * np.pi * x / 1e5),
+        T=lambda x, y, z: 20.0 + 8e-4 * z)
+    sf = mf.step(state, 60.0)
+    sx_ = mx.step(state, 60.0)
+    H = grid.H
+    # compare the OWNED ranges (interior cells + the bounded-axis shared
+    # faces); halo zones outside them carry layout-dependent junk until
+    # the next fill
+    Su = (slice(H[0], H[0] + grid.N[0]), slice(H[1], H[1] + grid.N[1]),
+          slice(H[2], H[2] + grid.N[2]))
+    Sv = (Su[0], slice(H[1], H[1] + grid.N[1] + 1), Su[2])
+    vel_scale = float(np.abs(np.asarray(sx_.u)).max())
+    for name, S_ in (("u", Su), ("v", Sv), ("eta", (Su[0], Su[1],
+                                                    slice(None)))):
+        a = np.asarray(getattr(sf, name))[S_]
+        b = np.asarray(getattr(sx_, name))[S_]
+        scale = max(np.abs(b).max(), vel_scale)
+        assert np.abs(a - b).max() / scale < 1e-12, (
+            name, np.abs(a - b).max() / scale)
+    aT = np.asarray(sf.tracers["T"])[Su]
+    bT = np.asarray(sx_.tracers["T"])[Su]
+    assert np.abs(aT - bT).max() / np.abs(bT).max() < 1e-12
