@@ -206,7 +206,43 @@ def _cases():
         return {"a": np.asarray(s.tracers["a"]),
                 "b": np.asarray(s.tracers["b"])}
 
+    def hydro_vi_zyx():
+        """nz-thin realistic layout: the TRANSPOSED (z, y, x) VI +
+        tracer kernels auto-engage on TPU (round-5 lane-major
+        relayout); compares against the CPU XLA path."""
+        from oceananigans_tpu.models.hydrostatic import (
+            SplitExplicitFreeSurface, WENOVectorInvariant,
+        )
+        from oceananigans_tpu.ops.pallas_vi import (
+            vi_transposed_layout_preferred,
+        )
+        grid = RectilinearGrid(size=(244, 48, 12),
+                               extent=(4e6, 1e6, 2e3),
+                               topology=(Periodic, Bounded, Bounded),
+                               halo=(6, 6, 4), dtype="float32")
+        vi = WENOVectorInvariant()
+        assert vi_transposed_layout_preferred(grid, vi)
+        model = HydrostaticFreeSurfaceModel(
+            grid=grid, momentum_advection=vi,
+            tracer_advection=WENO(7), tracers=("T",),
+            free_surface=SplitExplicitFreeSurface(substeps=8))
+        if jax.default_backend() != "cpu":
+            assert model.fused_kernels, "zyx VI kernel did not engage"
+            assert model.fused_tracer, "zyx tracer kernel did not engage"
+        state = model.initial_state(
+            u=lambda x, y, z: 0.3 * jnp.sin(2 * np.pi * x / 4e6),
+            T=lambda x, y, z: 20.0 + 8e-4 * z)
+        step = jax.jit(lambda s: model.step(s, jnp.float32(60.0)))
+        s = state
+        for _ in range(10):
+            s = step(s)
+        s = jax.block_until_ready(s)
+        return {"u": np.asarray(s.u), "v": np.asarray(s.v),
+                "T": np.asarray(s.tracers["T"]),
+                "eta": np.asarray(s.eta)}
+
     return {"nonhydro": (nonhydro, 5e-6),
+            "hydro_vi_zyx": (hydro_vi_zyx, 5e-4),
             "nonhydro_weno": (nonhydro_weno, 5e-6),
             "hydro_implicit": (hydro_implicit, 5e-5),
             "hydro_vi": (hydro_vi, 5e-4),   # u ~ 0.5 m/s scale
