@@ -1123,3 +1123,54 @@ def test_cs_grid_fitted_boundary_mask():
     # value (fill_state_halos contract), so don't assert zeros there;
     # instead the WET-masked transports through solid faces vanish in
     # the flux assembly (exercised by the conservation check above)
+
+
+def test_cs_partial_zstar_checkpoint_restart_exact(tmp_path):
+    """AB2 restart is bitwise with the full round-5 stack: ZStar +
+    PartialCellBottom + corner_filter (the tendency history and
+    persistent transports checkpoint; the static fraction metrics
+    rebuild from the model)."""
+    from oceananigans_tpu import Checkpointer, IterationInterval, Simulation
+    from oceananigans_tpu.immersed import PartialCellBottom
+    from oceananigans_tpu.models.hydrostatic import ZStar
+
+    def build():
+        grid = _grid(N=12, Nz=4, depth=1000.0)
+        model = CubedSphereHydrostaticModel(
+            grid, timestepper="QuasiAdamsBashforth2",
+            vertical_coordinate=ZStar(), corner_filter=0.005,
+            bathymetry=PartialCellBottom(
+                lambda lam, phi: -1000.0 + 400.0 * np.exp(
+                    -((lam - 30.0) ** 2 + phi ** 2) / 400.0)),
+            free_surface=SplitExplicitFreeSurface(substeps=8),
+            tracers=("c",), buoyancy=None)
+        g = grid.panel_grid
+        eta0 = grid.set_tracer(
+            lambda lam, phi, z: 20.0 * np.exp(
+                -((lam + 60) ** 2 + (phi - 10) ** 2) / 400.0) + 0 * z
+        )[..., g.Hz:g.Hz + 1]
+        state = model.initial_state(
+            eta=eta0, c=lambda lam, phi, z: 1.0 + 0.5 * np.cos(
+                np.deg2rad(phi)))
+        return model, state
+
+    model, state = build()
+    sim = Simulation(model, state=state, dt=100.0, stop_iteration=8)
+    ckpt = Checkpointer(dirname=str(tmp_path / "ck"),
+                        schedule=IterationInterval(4))
+    sim.output_writers["ckpt"] = ckpt
+    sim.run()
+    final = sim.state
+
+    model2, template = build()
+    restored = ckpt.restore(template, path=ckpt._path(4))
+    assert int(restored.clock.iteration) == 4
+    sim2 = Simulation(model2, state=restored, dt=100.0, stop_iteration=8)
+    sim2.run()
+    for nm in ("eta", "u", "v", "U", "Gu"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(final, nm)),
+            np.asarray(getattr(sim2.state, nm)), err_msg=nm)
+    np.testing.assert_array_equal(
+        np.asarray(final.tracers["c"]),
+        np.asarray(sim2.state.tracers["c"]))
