@@ -63,10 +63,12 @@ def _bench_window(make_multi_step, state, inner, repeats):
     return best, state
 
 
-def _cs_global(inner, repeats):
-    """Cubed-sphere realistic global ocean (continents + wind stress +
+def cs_global_model():
+    """The cs_global bench configuration (continents + wind stress +
     heat flux + T/S + convective adjustment + split-explicit), the
-    examples/global_ocean.py configuration at C48x16."""
+    examples/global_ocean.py class of setup at C48x16. Shared with
+    tools/bench_simulation_dispatch.py so the dispatch comparison is
+    apples-to-apples."""
     from oceananigans_tpu.boundary_conditions import (
         FieldBoundaryConditions, FluxBC,
     )
@@ -111,6 +113,11 @@ def _cs_global(inner, repeats):
     state = model.initial_state(
         T=lambda lam, phi, z: 5.0 + 20.0
         * np.cos(np.deg2rad(phi)) ** 2 * np.exp(z / 800.0), S=35.0)
+    return model, state, N, Nz
+
+
+def _cs_global(inner, repeats):
+    model, state, N, Nz = cs_global_model()
     dt = jnp.float32(300.0)
 
     def make():
@@ -250,11 +257,17 @@ def _hydro_vi(inner, repeats):
                 0, inner, lambda i, s_: model.step(s_, dt), st)
         return multi_step
 
+    fused = bool(model.fused_kernels or model.fused_tracer)
     try:
         best, _ = _bench_window(make, state, inner, repeats)
-    except Exception:
+    except Exception as e:
         # fall back to the XLA path if this environment's Pallas
-        # toolchain rejects the transposed fused kernels
+        # toolchain rejects the transposed fused kernels — and SAY SO
+        # (a silent fallback would report an XLA number as the fused
+        # path's)
+        print(f"hydro_vi: fused path failed ({type(e).__name__}: {e}); "
+              f"falling back to XLA", file=sys.stderr)
+        fused = False
         model.fused_kernels = False
         model.fused_tracer = False
         state = model.initial_state(
@@ -272,6 +285,7 @@ def _hydro_vi(inner, repeats):
         # published hydrostatic V100 row exists)
         "vs_baseline": (npts / best) / BASELINE_PTS_PER_S,
         "ms_per_step": best * 1e3,
+        "fused": fused,
     }))
 
 

@@ -1114,6 +1114,18 @@ class CubedSphereHydrostaticModel:
                     jnp.asarray(solid), grid)) > 0.5
                 solid = solid.astype(float)
             wet = 1.0 - np.clip(solid, 0.0, 1.0)
+            # z-halo slots: below-domain halos must read DRY so the
+            # bottom-cell indicator (bot_ind's roll from below) marks
+            # the deepest wet cell of full-depth columns; above-surface
+            # halos stay WET so the free-slip top mirror (_fill_z) is
+            # not overwritten by the solid mirror (round-5 self-review
+            # finding). NOTE: columns with several wet segments get one
+            # bottom indicator per segment — bottom flux BCs then apply
+            # at every solid-fluid lower interface, and callable BCs'
+            # field_dependencies see the SUM over segments (use
+            # single-segment masks with bottom BCs).
+            wet[:, :, :, :Hz] = 0.0
+            wet[:, :, :, Hz + Nz:] = 1.0
             self._frac_c = self._frac_u = self._frac_v = None
             self._wet_c = wet
             self._wet_u = wet * np.roll(wet, 1, axis=1)
@@ -1383,20 +1395,25 @@ class CubedSphereHydrostaticModel:
         the DIA-SURFACE velocity ω: the grid motion h(z)/H·H∂tσ is
         subtracted so ω vanishes at the moving surface — reference
         ``compute_w_from_continuity.jl`` z-star branch)."""
-        # the grid-motion correction applies only under ACTUAL ZStar —
-        # the bathymetry path passes a neutral σ=1 scaled view whose w
-        # must stay the plain continuity integral
-        scaled = (g is not None and hasattr(g, "sigma")
-                  and getattr(self, "_zstar", False))
+        # the grid-motion correction applies only under ACTUAL ZStar;
+        # the METRIC-consistent flux divergence applies whenever the
+        # panel view carries scaled thicknesses (ZStar σ and/or
+        # partial-cell fractions) — with partial cells on the FIXED-z
+        # coordinate the tracer fluxes use frac-scaled areas, so w must
+        # integrate the same scaled divergence or a uniform tracer
+        # develops anomalies at partial bottom cells (round-5
+        # self-review finding)
+        has_sigma = g is not None and hasattr(g, "sigma")
+        scaled = has_sigma and getattr(self, "_zstar", False)
         if g is None:
             g = self.grid.panel_grid
         base = getattr(g, "base", g)
-        if scaled:
-            # σ-CONSISTENT horizontal flux divergence (the same σ-scaled
-            # Ax/Ay areas the tracer fluxes use): only this form makes
-            # the per-cell dia-surface cancellation exact for flows with
-            # vertical structure (the plain per-level form commutes σ
-            # through δx, exact only for barotropic u)
+        if has_sigma:
+            # thickness-CONSISTENT horizontal flux divergence (the same
+            # scaled Ax/Ay areas the tracer fluxes use): only this form
+            # makes the per-cell cancellation exact for flows with
+            # vertical structure (the plain per-level form commutes the
+            # scaling through δx, exact only for barotropic u)
             hdiv = (dx_c(g.Ax(Face, Center, Center) * u)
                     + dy_c(g.Ay(Center, Face, Center) * v)) \
                 / g.V(Center, Center, Center)
@@ -1747,8 +1764,9 @@ class CubedSphereHydrostaticModel:
                 sgu, sgv = self._sigma_faces(state.eta)
             else:
                 sgu = sgv = ones2
-            sg2d = sg
+            sg2d = None
             if self._frac_c is not None:
+                sg2d = sg
                 # partial bottom cells: the STATIC height fractions ride
                 # the same scaled-metric channel as the (time-varying)
                 # z-star σ — the grid the dynamics see has thickness
@@ -1758,6 +1776,9 @@ class CubedSphereHydrostaticModel:
                 sgu = sgu * jnp.asarray(self._frac_u, dtype)
                 sgv = sgv * jnp.asarray(self._frac_v, dtype)
                 wc = wc * jnp.asarray(self._frac_c, dtype)
+            # sg2d is None unless partial cells are active (vmap
+            # carries the None through; the in-function sentinel is
+            # `sigma2d is not None`)
             Gu, Gv, w = jax.vmap(self._panel_tendencies)(
                 state.u, state.v, state.eta, f, zeta, state.tracers,
                 wu, wv, sg, sgu, sgv, wc, sg2d)

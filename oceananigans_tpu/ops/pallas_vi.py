@@ -102,43 +102,20 @@ def _vi_schemes_ok(vi) -> bool:
 def vi_available(grid, vi) -> bool:
     """True when the fused kernel applies: a regular 3-D rectilinear
     grid OR a z-regular LatitudeLongitudeGrid (curvature metrics become
-    broadcast y-profiles in VMEM), all four schemes plain WENO (no
-    stretched tables), OnlySelfUpwinding with a Centered(2) cross
-    scheme, and per-axis halo compatibility (axis 0 needs halo >= Hx;
-    axes 1/2 need halo >= their stencil reach or a halo-free periodic
-    tile-aligned layout)."""
-    from oceananigans_tpu.advection import Centered
+    broadcast y-profiles in VMEM), admissible schemes
+    (``_vi_schemes_ok``), and per-axis halo compatibility (axis 0 needs
+    halo >= Hx; axes 1/2 need halo >= their stencil reach or a halo-free
+    periodic tile-aligned layout)."""
     from oceananigans_tpu.grids.base import Periodic as _P
     from oceananigans_tpu.grids.latlon import LatitudeLongitudeGrid
     from oceananigans_tpu.grids.rectilinear import RectilinearGrid
-    from oceananigans_tpu.models.hydrostatic import (
-        CrossAndSelfUpwinding, OnlySelfUpwinding, VectorInvariant,
-    )
     if not ((type(grid) is RectilinearGrid and grid.regular)
             or (type(grid) is LatitudeLongitudeGrid and grid.z_regular
                 and grid.x_regular)):
         return False
-    if not isinstance(vi, VectorInvariant):
+    if not _vi_schemes_ok(vi):
         return False
-    if getattr(vi, "multi_dimensional_stencil", False):
-        return False   # the kernel implements 1-D stencils only
-    if vi.vorticity_stencil not in ("velocity", "default"):
-        return False
-    b = _buffers(vi)
-    if b is None:
-        return False
-    for s in (vi.vorticity_scheme, vi.kinetic_energy_gradient_scheme,
-              vi.divergence_scheme, vi.vertical_scheme):
-        if s.bounds is not None or getattr(s, "_tables", None) is not None:
-            return False
-    up = vi.upwinding
-    if type(up) is CrossAndSelfUpwinding or type(up) is not \
-            OnlySelfUpwinding:
-        return False
-    if not (type(up.cross_scheme) is Centered
-            and up.cross_scheme.order == 2):
-        return False
-    Bv, Bke, Bd, Bz = b
+    Bv, Bke, Bd, Bz = _buffers(vi)
     if grid.H[0] < vi_halo_x(vi):
         return False
     # y reach: ζ y-reconstruction (Bv taps around o=1 target, ζ itself

@@ -997,8 +997,11 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                         sgu, sgv = view._sigma_faces(eta)
                     else:
                         sgu = sgv = ones2
-                    sg2d = sg
+                    # sg2d stays None unless partial cells are active
+                    # (the serial sentinel is `sigma2d is not None`)
+                    sg2d = None
                     if "_frac_c" in aux:
+                        sg2d = sg
                         sg = sg * jnp.asarray(aux["_frac_c"], u.dtype)
                         sgu = sgu * jnp.asarray(aux["_frac_u"], u.dtype)
                         sgv = sgv * jnp.asarray(aux["_frac_v"], u.dtype)
