@@ -1174,3 +1174,46 @@ def test_cs_partial_zstar_checkpoint_restart_exact(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(final.tracers["c"]),
         np.asarray(sim2.state.tracers["c"]))
+
+
+def test_cs_partial_cell_fixed_z_uniform_below_surface():
+    """FIXED-z + PartialCellBottom: the thickness-consistent continuity
+    (round-5 self-review fix) keeps a uniform tracer as clean at the
+    partial bottom cells as the binary GridFittedBottom baseline —
+    partial cells add NO anomaly on top of the (tiny, pre-existing)
+    panel-edge flux-sync residual, which is identical for both. (The
+    surface layer absorbs the free-surface volume change in any
+    fixed-z model.)"""
+    from oceananigans_tpu.immersed import PartialCellBottom
+
+    def ridge(lam, phi):
+        return -1000.0 + 400.0 * np.exp(-((lam - 30.0) ** 2 + phi ** 2)
+                                        / 400.0)
+
+    def run(bath):
+        grid = _grid(N=12, Nz=4, depth=1000.0)
+        model = CubedSphereHydrostaticModel(
+            grid, bathymetry=bath,
+            free_surface=SplitExplicitFreeSurface(substeps=8),
+            tracers=("c",), buoyancy=None)
+        g = grid.panel_grid
+        eta0 = grid.set_tracer(
+            lambda lam, phi, z: 10.0 * np.exp(
+                -((lam + 60) ** 2 + (phi - 10) ** 2) / 400.0) + 0 * z
+        )[..., g.Hz:g.Hz + 1]
+        state = model.initial_state(eta=eta0, c=1.0)
+        step = jax.jit(lambda s: model.step(s, 100.0))
+        s = state
+        for _ in range(10):
+            s = step(s)
+        sx, sy, sz = g.interior_slices
+        cu = np.asarray(s.tracers["c"])[:, sx, sy, sz]
+        wet = np.asarray(model._wet_c, bool)[:, sx, sy, sz]
+        d = np.where(wet, np.abs(cu - 1.0), 0.0)
+        return d[:, :, :, :-1].max()      # sub-surface deviation
+
+    d_partial = run(PartialCellBottom(ridge))
+    d_binary = run(ridge)
+    # parity with the binary baseline (measured ~2e-7/10 steps — the
+    # panel-edge flux-sync residual, identical in both)
+    assert d_partial < max(2.0 * d_binary, 1e-10), (d_partial, d_binary)
