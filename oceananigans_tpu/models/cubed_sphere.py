@@ -1443,6 +1443,54 @@ class CubedSphereHydrostaticModel:
                               0.0) * total
         return w
 
+    def _panel_transport_fluxes(self, u, v, wet_u=None, wet_v=None,
+                                sigma=None, sigma_u=None, sigma_v=None):
+        """Per-level horizontal transport fluxes (Ax·u, Ay·v) of one
+        panel, wet-masked, on the (possibly) scaled metric view — the
+        SAME areas the tracer fluxes use. The caller edge-SYNCS these
+        before the continuity integral so ω and the (also synced)
+        tracer fluxes see identical transports at panel seams: the
+        per-cell cancellation that keeps uniform tracers uniform then
+        holds exactly at edge columns too (round-5 refinement of the
+        panel-local ω)."""
+        g = self.grid.panel_grid
+        if sigma is not None:
+            from oceananigans_tpu.models.hydrostatic import _ScaledZGrid
+            g = _ScaledZGrid(g, sigma, sigma_u, sigma_v)
+        um = u if wet_u is None else u * wet_u
+        vm = v if wet_v is None else v * wet_v
+        return (g.Ax(Face, Center, Center) * um,
+                g.Ay(Center, Face, Center) * vm)
+
+    def _panel_w_from_fluxes(self, Fxl, Fyl, sigma=None, wet_c=None):
+        """ω from edge-synced per-level transport fluxes: continuity
+        cumsum (+ the z-star grid-motion correction when σ is a real
+        moving-grid scaling)."""
+        g = self.grid.panel_grid
+        if sigma is not None:
+            from oceananigans_tpu.models.hydrostatic import _ScaledZGrid
+            g = _ScaledZGrid(g, sigma)
+        base = getattr(g, "base", g)
+        hdiv = (dx_c(Fxl) + dy_c(Fyl)) / g.V(Center, Center, Center)
+        dz = jnp.broadcast_to(g.dz(Center), base.shape)
+        k = jnp.arange(base.shape[2]).reshape(1, 1, -1)
+        interior = (k >= base.Hz) & (k < base.Hz + base.Nz)
+        contrib = jnp.where(interior, hdiv * dz, 0.0)
+        csum = jnp.cumsum(contrib, axis=2)
+        w = -jnp.where(k == 0, 0.0, jnp.roll(csum, 1, 2))
+        if getattr(self, "_zstar", False):
+            total = jnp.sum(contrib, axis=2, keepdims=True)
+            dz0 = jnp.broadcast_to(base.dz(Center), base.shape)
+            dz0w = jnp.where(interior, dz0, 0.0)
+            if wet_c is not None:
+                dz0w = dz0w * wet_c
+            hb = jnp.roll(jnp.cumsum(dz0w, 2), 1, 2)
+            hb = jnp.where(k == 0, 0.0, hb)
+            H = jnp.sum(dz0w, axis=2, keepdims=True)
+            w = w + jnp.where(H > 0, hb / jnp.where(H > 0, H, 1.0),
+                              0.0) * total
+        return w
+
     def _panel_pressure(self, b, g=None):
         """p′ = −∫_z^0 b dz′ at centers (per panel)."""
         if g is None:
@@ -1470,7 +1518,7 @@ class CubedSphereHydrostaticModel:
     def _panel_tendencies(self, u, v, eta, f_ff, zeta, tracers,
                           wet_u=None, wet_v=None, sigma=None,
                           sigma_u=None, sigma_v=None, wet_c=None,
-                          sigma2d=None):
+                          sigma2d=None, w=None):
         g = self.grid.panel_grid
         if sigma is not None:
             from oceananigans_tpu.models.hydrostatic import _ScaledZGrid
@@ -1480,7 +1528,8 @@ class CubedSphereHydrostaticModel:
         # mirrored fields the exchange produced (free-slip extension)
         um = u if wet_u is None else u * wet_u
         vm = v if wet_v is None else v * wet_v
-        w = self._panel_w(um, vm, g, wet_c)
+        if w is None:
+            w = self._panel_w(um, vm, g, wet_c)
         b = self._buoyancy_ccc(g, tracers)
         p = self._panel_pressure(b, g) if b is not None else 0.0
         # the distributed view namespaces default to the explicit form
@@ -1743,9 +1792,16 @@ class CubedSphereHydrostaticModel:
         zstar = getattr(self, "_zstar", False)
         sig = self._sigma_field(state.eta) if zstar else None
         if self._wet_u is None and not zstar:
-            Gu, Gv, w = jax.vmap(self._panel_tendencies,
-                                 in_axes=(0, 0, 0, 0, 0, 0))(
-                state.u, state.v, state.eta, f, zeta, state.tracers)
+            # edge-synced ω: the continuity integral uses the same
+            # single-valued panel-seam transports as the tracer fluxes
+            Fxl, Fyl = jax.vmap(self._panel_transport_fluxes)(
+                state.u, state.v)
+            Fxl, Fyl = cubed_sphere_sync_edge_fluxes(Fxl, Fyl,
+                                                     self.grid)
+            w = jax.vmap(self._panel_w_from_fluxes)(Fxl, Fyl)
+            Gu, Gv, w = jax.vmap(self._panel_tendencies)(
+                state.u, state.v, state.eta, f, zeta, state.tracers,
+                None, None, None, None, None, None, None, w)
             Fx, Fy, Ft = jax.vmap(self._panel_fluxes)(
                 state.u, state.v, w, state.tracers)
         else:
@@ -1779,9 +1835,15 @@ class CubedSphereHydrostaticModel:
             # sg2d is None unless partial cells are active (vmap
             # carries the None through; the in-function sentinel is
             # `sigma2d is not None`)
+            # edge-synced ω (see the plain branch)
+            Fxl, Fyl = jax.vmap(self._panel_transport_fluxes)(
+                state.u, state.v, wu, wv, sg, sgu, sgv)
+            Fxl, Fyl = cubed_sphere_sync_edge_fluxes(Fxl, Fyl,
+                                                     self.grid)
+            w = jax.vmap(self._panel_w_from_fluxes)(Fxl, Fyl, sg, wc)
             Gu, Gv, w = jax.vmap(self._panel_tendencies)(
                 state.u, state.v, state.eta, f, zeta, state.tracers,
-                wu, wv, sg, sgu, sgv, wc, sg2d)
+                wu, wv, sg, sgu, sgv, wc, sg2d, w)
             Fx, Fy, Ft = jax.vmap(self._panel_fluxes)(
                 state.u, state.v, w, state.tracers, wu, wv, ww, sg,
                 sgu, sgv)

@@ -1006,17 +1006,34 @@ class CubedSphereDistributedHydrostatic(_CSDistBase):
                         sgu = sgu * jnp.asarray(aux["_frac_u"], u.dtype)
                         sgv = sgv * jnp.asarray(aux["_frac_v"], u.dtype)
                         wc_ = wc_ * jnp.asarray(aux["_frac_c"], u.dtype)
+                    # edge-synced ω (mirrors the serial
+                    # compute_tendencies)
+                    Fxl, Fyl = jax.vmap(
+                        partial(HY._panel_transport_fluxes, view))(
+                        u, v, wu_, wv_, sg, sgu, sgv)
+                    Fxl, Fyl = _apply_exchange(
+                        self.ex_flux2d, [Fxl, Fyl], dev, mean=True)
+                    w = jax.vmap(
+                        partial(HY._panel_w_from_fluxes, view))(
+                        Fxl, Fyl, sg, wc_)
                     Gu, Gv, w = jax.vmap(
                         partial(HY._panel_tendencies, view))(
                         u, v, eta, fff, zeta, tr, wu_, wv_, sg,
-                        sgu, sgv, wc_, sg2d)
+                        sgu, sgv, wc_, sg2d, w)
                     Fx, Fy, Ft = jax.vmap(
                         partial(HY._panel_fluxes, view))(
                         u, v, w, tr, wu_, wv_, ww_, sg, sgu, sgv)
                 else:
+                    Fxl, Fyl = jax.vmap(
+                        partial(HY._panel_transport_fluxes, view))(u, v)
+                    Fxl, Fyl = _apply_exchange(
+                        self.ex_flux2d, [Fxl, Fyl], dev, mean=True)
+                    w = jax.vmap(
+                        partial(HY._panel_w_from_fluxes, view))(Fxl, Fyl)
                     Gu, Gv, w = jax.vmap(
                         partial(HY._panel_tendencies, view))(
-                        u, v, eta, fff, zeta, tr)
+                        u, v, eta, fff, zeta, tr, None, None, None,
+                        None, None, None, None, w)
                     Fx, Fy, Ft = jax.vmap(partial(HY._panel_fluxes, view))(
                         u, v, w, tr)
                 Fx, Fy = _apply_exchange(self.ex_flux2d, [Fx, Fy], dev,
