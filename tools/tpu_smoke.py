@@ -166,10 +166,16 @@ def _cases():
                                      latitude=(15.0, 55.0),
                                      z=(-1000.0, 0.0), halo=6,
                                      dtype="float32")
+        # force the VI kernel on chip (the auto gate rightly refuses this
+        # nz-thin grid's 20->128 lane padding; the smoke's job is to
+        # validate the KERNEL against the CPU XLA reference, not the
+        # gate policy)
+        on_tpu = jax.default_backend() != "cpu"
         model = HydrostaticFreeSurfaceModel(
             grid=grid, momentum_advection=WENOVectorInvariant(),
-            free_surface=ExplicitFreeSurface())
-        if jax.default_backend() != "cpu":
+            free_surface=ExplicitFreeSurface(),
+            fused_kernels=True if on_tpu else "auto")
+        if on_tpu:
             assert model.fused_kernels, "pallas_vi kernel did not engage"
         state = model.initial_state(
             u=lambda lam, phi, z: 0.5 * np.cos(np.deg2rad(phi))
@@ -254,11 +260,21 @@ def _cases():
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
+    if mode not in ("check", "generate"):      # bare case name(s)
+        mode, only = "check", sys.argv[1:]
+    else:
+        only = sys.argv[2:]
     if mode == "generate":
         import jax
         jax.config.update("jax_platforms", "cpu")
     os.makedirs(OUT, exist_ok=True)
     cases = _cases()
+    if only:
+        unknown = [n for n in only if n not in cases]
+        if unknown:
+            sys.exit(f"unknown smoke case(s) {unknown}; "
+                     f"have {sorted(cases)}")
+        cases = {n: cases[n] for n in only}
     failed = []
     for name, (fn, atol) in cases.items():
         out = fn()
