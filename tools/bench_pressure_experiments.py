@@ -65,6 +65,9 @@ def measure(config, ps_fused, corr_fused, precision="auto"):
 
     label = (f"  {config:9s} ps_fused={str(ps_fused):5s} "
              f"corr={corr_fused!s:5s} prec={str(precision):7s}")
+    # chain the donated state across windows (bench._bench_window
+    # pattern): the axon tunnel uploads host-built states lazily, so a
+    # fresh state per repeat would bill seconds of transfer to the step
     try:
         out = jax.block_until_ready(multi(s0))
     except Exception as e:  # noqa: BLE001 - report and move on
@@ -72,10 +75,10 @@ def measure(config, ps_fused, corr_fused, precision="auto"):
         return
     best = float("inf")
     for _ in range(REPEATS):
-        m2, s = build(config, ps_fused, corr_fused, precision)
-        del m2
         t0 = time.perf_counter()
-        out = jax.block_until_ready(multi(s))
+        out = jax.block_until_ready(multi(out))
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(leaf.ravel()[:1]))
         best = min(best, (time.perf_counter() - t0) / INNER)
     g = m.grid
     div = divergence_ccc(g, out.u, out.v, out.w)
