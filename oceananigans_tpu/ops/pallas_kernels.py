@@ -298,7 +298,7 @@ def pressure_correction(grid, p, u, v, w, dt, tile_x=8, interpret=False):
         kern,
         grid=(gx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=[out_spec] * 3,
         out_shape=out_shape,
         scratch_shapes=[
@@ -371,7 +371,7 @@ def centered2_momentum_tendency(grid, u, v, w, tile_x=None,
     gu, gv, gw = pl.pallas_call(
         kern,
         grid=(gx,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=[out_spec] * 3,
         out_shape=out_shape,
         scratch_shapes=[
@@ -575,8 +575,8 @@ def centered2_science_ab2_update(grid, u, v, w, tracers, Gu_prev,
         kern,
         grid=(gx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * nin),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * nin),
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * nin),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * nin),
         out_shape=out_shape,
         scratch_shapes=[win] * nin + [slab] * nin + [slab] * (2 * nin)
         + [pltpu.SemaphoreType.DMA((2 * nin,)),
@@ -629,8 +629,8 @@ def centered2_ab2_update(grid, u, v, w, Gu_prev, Gv_prev, Gw_prev,
         kern,
         grid=(gx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_shape=out_shape,
         scratch_shapes=[win, win, win, slab, slab, slab,
                         slab, slab, slab, slab, slab, slab,

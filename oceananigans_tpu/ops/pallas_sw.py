@@ -208,8 +208,8 @@ def sw_rk3_stage(grid, uh, vh, h, Guh_prev, Gvh_prev, Gh_prev, a, b,
         kern,
         grid=(gx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_shape=out_shape,
         scratch_shapes=[win, win, win, slab, slab, slab,
                         slab, slab, slab, slab, slab, slab,

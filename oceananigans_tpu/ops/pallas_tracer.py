@@ -269,7 +269,7 @@ def _tracer_core(grid, scheme, u, v, w, tracers, N, H0, lane_axis,
     outs = pl.pallas_call(
         kern,
         grid=(gx,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (3 + NT)
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (3 + NT)
         + [m_spec] * len(morder),
         out_specs=[out_spec] * NT,
         out_shape=out_shape,

@@ -538,7 +538,7 @@ def vi_momentum_tendency_zyx(grid, vi, u, v, w, tile_z=None,
     outs = pl.pallas_call(
         kern,
         grid=(gz,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=[out_spec] * 2,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((TZ + 2 * Bz, ny, nx128), u.dtype)
@@ -634,7 +634,7 @@ def vi_momentum_tendency(grid, vi, u, v, w, tile_x=None, interpret=False):
     gu, gv = pl.pallas_call(
         kern,
         grid=(gx,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
         + [m_spec] * len(morder),
         out_specs=[out_spec] * 2,
         out_shape=out_shape,

@@ -434,8 +434,8 @@ def weno5_science_ab2_update(grid, u, v, w, tracers, Gu_prev, Gv_prev,
         kern,
         grid=(gx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * nin),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * nin),
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * nin),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * nin),
         out_shape=out_shape,
         scratch_shapes=[win] * nin + [slab] * nin + [slab] * (2 * nin)
         + [pltpu.SemaphoreType.DMA((2 * nin,)),
@@ -507,8 +507,8 @@ def weno5_ab2_update(grid, u, v, w, Gu_prev, Gv_prev, Gw_prev, a, b,
         kern,
         grid=(gx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_shape=out_shape,
         scratch_shapes=[win, win, win, slab, slab, slab,
                         slab, slab, slab, slab, slab, slab,
@@ -568,7 +568,7 @@ def weno5_momentum_tendency(grid, u, v, w, epsilon=1e-8, tile_x=None,
     gu, gv, gw = pl.pallas_call(
         kern,
         grid=(gx,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=[out_spec] * 3,
         out_shape=out_shape,
         scratch_shapes=[
@@ -687,7 +687,7 @@ def weno5_tracer_tendencies(grid, u, v, w, tracers, epsilon=1e-8,
     outs = pl.pallas_call(
         kern,
         grid=(gx,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (3 + NT),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (3 + NT),
         out_specs=[out_spec] * NT,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((TX + 2 * H, ny, nz), u.dtype)
