@@ -285,6 +285,101 @@ def _weno_ab2_kernel(coef_ref, u_hbm, v_hbm, w_hbm,
         cp.wait()
 
 
+def _weno_ab2_pipelined_kernel(coef_ref, u_hbm, v_hbm, w_hbm,
+                               gum_hbm, gvm_hbm, gwm_hbm,
+                               un_hbm, vn_hbm, wn_hbm,
+                               gu_hbm, gv_hbm, gw_hbm,
+                               u_s, v_s, w_s, gum_s, gvm_s, gwm_s,
+                               un_s, vn_s, wn_s, gu_s, gv_s, gw_s,
+                               isems, osems,
+                               *, NCH, TX, inv_dx, inv_dy, inv_dz, eps):
+    """Double-buffered ``_weno_ab2_kernel``: one kernel invocation walks
+    all NCH x-slabs in a fori_loop, prefetching slab i+1's inputs while
+    computing slab i and draining slab i's output copies under slab
+    i+1/i+2's compute (pallas_guide.md double-buffering pattern). The
+    serial copy->wait->compute->copy chain of the per-program variant
+    cost ~1 ms/step of exposed DMA at 256-cubed.
+
+    Scratch buffers hold two slots stacked on the x axis:
+    windows (2*(TX+2H), ny, nz), slabs (2*TX, ny, nz); the DMA
+    semaphore arrays are (2, 6)-shaped [slot, operand]."""
+    W = TX + 2 * H
+
+    def in_dmas(slot, ci):
+        x0 = ci * TX
+        cps = []
+        for k, (src, dst, rows, lo) in enumerate((
+                (u_hbm, u_s, W, x0), (v_hbm, v_s, W, x0),
+                (w_hbm, w_s, W, x0),
+                (gum_hbm, gum_s, TX, x0 + H),
+                (gvm_hbm, gvm_s, TX, x0 + H),
+                (gwm_hbm, gwm_s, TX, x0 + H))):
+            cps.append(pltpu.make_async_copy(
+                src.at[pl.ds(lo, rows)],
+                dst.at[pl.ds(slot * rows, rows)], isems.at[slot, k]))
+        return cps
+
+    def out_dmas(slot, ci):
+        x0 = ci * TX
+        cps = []
+        for k, (src, dst) in enumerate((
+                (un_s, un_hbm), (vn_s, vn_hbm), (wn_s, wn_hbm),
+                (gu_s, gu_hbm), (gv_s, gv_hbm), (gw_s, gw_hbm))):
+            cps.append(pltpu.make_async_copy(
+                src.at[pl.ds(slot * TX, TX)],
+                dst.at[pl.ds(x0 + H, TX)], osems.at[slot, k]))
+        return cps
+
+    for cp in in_dmas(0, 0):
+        cp.start()
+
+    def body(ci, _):
+        slot = jax.lax.rem(ci, 2)
+        nxt = jax.lax.rem(ci + 1, 2)
+
+        @pl.when(ci + 1 < NCH)
+        def _prefetch():
+            for cp in in_dmas(nxt, ci + 1):
+                cp.start()
+
+        for cp in in_dmas(slot, ci):
+            cp.wait()
+
+        win = pl.ds(slot * W, W)
+        gu, gv, gw = _weno5_body(u_s[win], v_s[win], w_s[win], TX=TX,
+                                 inv_dx=inv_dx, inv_dy=inv_dy,
+                                 inv_dz=inv_dz, eps=eps)
+        a = coef_ref[0]
+        b = coef_ref[1]
+        C = pl.ds(slot * W + H, TX)
+        S = pl.ds(slot * TX, TX)
+
+        # the output copies issued two slabs ago reused this slot's out
+        # buffers; drain them before overwriting
+        @pl.when(ci >= 2)
+        def _drain():
+            for cp in out_dmas(slot, ci - 2):
+                cp.wait()
+
+        un_s[S] = u_s[C] + a * gu + b * gum_s[S]
+        vn_s[S] = v_s[C] + a * gv + b * gvm_s[S]
+        wn_s[S] = w_s[C] + a * gw + b * gwm_s[S]
+        gu_s[S] = gu
+        gv_s[S] = gv
+        gw_s[S] = gw
+        for cp in out_dmas(slot, ci):
+            cp.start()
+
+    jax.lax.fori_loop(0, NCH, body, None, unroll=False)
+
+    @pl.when(NCH >= 2)
+    def _drain_penultimate():
+        for cp in out_dmas(jax.lax.rem(NCH - 2, 2), NCH - 2):
+            cp.wait()
+    for cp in out_dmas(jax.lax.rem(NCH - 1, 2), NCH - 1):
+        cp.wait()
+
+
 def _weno_science_kernel(T, buoy_idx, f, refs, *, TX, inv_dx, inv_dy,
                          inv_dz, eps):
     """Fused WENO-5 SCIENCE step: momentum tendency + f-plane Coriolis +
@@ -498,22 +593,23 @@ def weno5_ab2_update(grid, u, v, w, Gu_prev, Gv_prev, Gw_prev, a, b,
     inv_dz = float(grid.Nz / grid.Lz) if grid.N[2] > 1 else 0.0
 
     coef = jnp.stack([jnp.asarray(a, u.dtype), jnp.asarray(b, u.dtype)])
-    kern = partial(_weno_ab2_kernel, TX=TX, inv_dx=inv_dx,
-                   inv_dy=inv_dy, inv_dz=inv_dz, eps=float(epsilon))
+    kern = partial(_weno_ab2_pipelined_kernel, NCH=gx, TX=TX,
+                   inv_dx=inv_dx, inv_dy=inv_dy, inv_dz=inv_dz,
+                   eps=float(epsilon))
     out_shape = [jax.ShapeDtypeStruct((nx, ny, nz), u.dtype)] * 6
-    win = pltpu.VMEM((TX + 2 * H, ny, nz), u.dtype)
-    slab = pltpu.VMEM((TX, ny, nz), u.dtype)
+    # two slots stacked on the x axis (double buffering)
+    win = pltpu.VMEM((2 * (TX + 2 * H), ny, nz), u.dtype)
+    slab = pltpu.VMEM((2 * TX, ny, nz), u.dtype)
     return pl.pallas_call(
         kern,
-        grid=(gx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_shape=out_shape,
         scratch_shapes=[win, win, win, slab, slab, slab,
                         slab, slab, slab, slab, slab, slab,
-                        pltpu.SemaphoreType.DMA((6,)),
-                        pltpu.SemaphoreType.DMA((6,))],
+                        pltpu.SemaphoreType.DMA((2, 6)),
+                        pltpu.SemaphoreType.DMA((2, 6))],
         input_output_aliases={4: 3, 5: 4, 6: 5},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
